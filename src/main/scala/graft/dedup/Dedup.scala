@@ -1,0 +1,152 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline (builder-prompt
+  * north star; SURVEY.md §2.10 U9): exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard. Embedding-cosine near-dup lives in
+  * graft.similarity.Similarity.
+  *
+  * Scale design:
+  *  - Exact dedup = hash-groupBy on a fingerprint, never on the raw text
+  *    (shuffle 16-byte keys, not documents).
+  *  - MinHash/LSH: candidate generation is a self-join on *band keys*
+  *    (equality join, hash-partitioned) — O(collisions), never the O(n²)
+  *    all-pairs cross join. Signatures are built from md5 which is
+  *    engine-portable (same hex in Spark and the DuckDB oracle).
+  *  - SimHash: 64-bit signature via per-bit majority vote of token
+  *    hashes; banding the signature into 4×16-bit keys turns
+  *    hamming-distance search into equality joins.
+  */
+object Dedup {
+
+  /** Exact dedup — group documents by content hash; keeper = min doc_id
+    * (deterministic), n_copies counts the group. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(col("text")).as("content_md5"))
+      .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper_doc_id")
+
+  /** Distinct 3-token shingles per document. Documents shorter than 3
+    * tokens contribute their whole text as a single shingle. */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("shingle", explode(expr(
+        s"CASE WHEN size(toks) < $n THEN array(text) ELSE " +
+          s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n))) END")))
+      .select("doc_id", "shingle")
+      .distinct()
+
+  /** MinHash signature components. Hash family = md5 over a salted
+    * shingle (`"<seed>:<shingle>"`), minimum taken lexicographically —
+    * deterministic and portable across engines. */
+  def minhashCols(numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(s =>
+      min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"mh$s"))
+
+  /** Per-document MinHash signature (first 4 hashes exposed for the
+    * oracle) + the first LSH band key (band = md5 of 4 concatenated
+    * minhashes). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingles(Tables(spark, dir, "documents"))
+      .groupBy("doc_id")
+      .agg(minhashCols(4).head, minhashCols(4).tail: _*)
+      .withColumn("band0", md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))))
+      .orderBy("doc_id")
+
+  /** MinHash LSH near-dup candidate pairs: full 16-hash signature,
+    * 4 bands × 4 rows; documents sharing ≥1 band key become candidates.
+    * The band join is an equality self-join on (band_idx, band_key) —
+    * shuffle-partitioned by key, no cross product. */
+  def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = shingles(docs)
+      .groupBy("doc_id")
+      .agg(minhashCols(numHashes).head, minhashCols(numHashes).tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
+      md5(concat(parts: _*)).as(s"band$b")
+    }
+    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+    val long = banded.select(col("doc_id"), explode(array(
+      (0 until bands).map(b => struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))): _*
+    )).as("bk")).select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    val a = long.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+    val b = long.select(col("doc_id").as("doc_b"), col("band_idx").as("band_idx_b"), col("band_key").as("band_key_b"))
+    a.join(b,
+        col("band_idx") === col("band_idx_b") &&
+        col("band_key") === col("band_key_b") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard over shingle sets: |A∩B| / |A∪B| via a
+    * shingle equality join (aggregate-before-join keeps the shuffle on
+    * shingle keys). Returns the top-k most similar pairs. */
+  def ngramJaccardTopPairs(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val sh = shingles(Tables(spark, dir, "documents")).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
+    val inter = a.join(b, col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("doc_id"), col("n_shingles").as("n_a")), col("doc_a") === col("doc_id"))
+      .drop("doc_id")
+      .join(sizes.select(col("doc_id"), col("n_shingles").as("n_b")), col("doc_b") === col("doc_id"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+
+  /** 64-bit SimHash per document: per-bit majority vote over token
+    * xxhash64 values. Entirely relational: explode tokens → 64 per-bit
+    * signed sums → reassemble the sign bits into one long. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val bitSums = (0 until 64).map(bit =>
+      sum(when(expr(s"(h >> $bit) & 1") === 1, 1).otherwise(-1)).as(s"b$bit"))
+    val reassemble = (0 until 64)
+      .map(bit => s"IF(b$bit > 0, CAST(1 AS BIGINT) << $bit, CAST(0 AS BIGINT))")
+      .mkString(" | ")
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash", expr(reassemble))
+      .select("doc_id", "simhash")
+  }
+
+  /** SimHash near-dup candidates: band the 64-bit signature into 4
+    * 16-bit keys; pairs sharing a band have hamming distance ≤ 48
+    * guaranteed and are then exactly filtered by popcount ≤ maxHamming. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val sigs = simhash(docs)
+    val banded = sigs.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band_idx"),
+        expr(s"(simhash >> ${b * 16}) & 65535").as("band_key"))): _*
+    )).as("bk")).select(col("doc_id"), col("simhash"), col("bk.band_idx"), col("bk.band_key"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      col("band_idx"), col("band_key"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("band_idx").as("band_idx_b"), col("band_key").as("band_key_b"))
+    a.join(b,
+        col("band_idx") === col("band_idx_b") &&
+        col("band_key") === col("band_key_b") &&
+        col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+}

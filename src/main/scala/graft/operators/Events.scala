@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event-stream analytics (SURVEY.md §2.3 J1, §2.4 A1–A5/A15, §2.8 F9,
+  * §2.9) — the Rest_webservice analytics surface re-expressed over the
+  * driver `events` table.
+  *
+  * Scale notes: the self-join for pair counting first reduces to the
+  * DISTINCT (user, type) set — at 100 TB that's the classic
+  * aggregate-before-join rewrite (shrink by orders of magnitude before
+  * shuffling the join). Windowed rate counting partitions by
+  * (key, time-bucket) so state is bounded per bucket.
+  */
+object Events {
+
+  /** J1/A2 — frequent co-occurring event-type pairs per user with
+    * min-support, the reference's frequent_pairs analytics
+    * (Rest_webservice/app/services.py:16-23). Pair canonicalization via
+    * `a.type < b.type` mirrors `combinations(sorted(codes), 2)`. */
+  def frequentPairs(spark: SparkSession, dir: String, minSupport: Long = 5L): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select("user_id", "event_type").distinct()
+    val a = ev.select(col("user_id"), col("event_type").as("type_a"))
+    val b = ev.select(col("user_id").as("user_id_b"), col("event_type").as("type_b"))
+    a.join(b, col("user_id") === col("user_id_b") && col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy(col("support").desc, col("type_a"), col("type_b"))
+  }
+
+  /** A1/A3/A5 — top-k most frequent event types (services.py:27-30
+    * `Counter.most_common(5)`). Planned as TakeOrderedAndProject. */
+  def topEventTypes(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+      .limit(k)
+
+  /** A4 — exact distinct counts (services.py:31 `len(counter)`); at
+    * 100 TB the approx_count_distinct (HLL) variant below is the
+    * scale path. */
+  def distinctUsersPerType(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("total_value"))
+      .orderBy("event_type")
+
+  /** A4 approximate variant (HLL sketch) — not oracle-checked (approx),
+    * exercised by ScalaTest against the exact counts with rsd bound. */
+  def approxDistinctUsersPerType(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+      .orderBy("event_type")
+
+  /** F9 — JSON payload field extraction (services.py:20
+    * `payload["symptom_codes"]`-style access on the props JSON column). */
+  def jsonPropsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(
+        round(avg("k"), 4).as("avg_k"),
+        max("k").as("max_k"),
+        count(col("k")).as("n_with_k"))
+      .orderBy("event_type")
+
+  /** A15/ST2 batch analog — tumbling-window rate limiting with burst cap
+    * (rest_webservice/app/rate_limit.py:24-53): per (user, hour window)
+    * admit the first `burst` events, deny the rest; report per-user
+    * admitted/denied totals. The streaming variant lives in
+    * graft.streaming.RateLimit. */
+  def rateLimitAdmitDeny(spark: SparkSession, dir: String, burst: Int = 5): DataFrame = {
+    val w = Window
+      .partitionBy(col("user_id"), date_trunc("hour", col("ts")))
+      .orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("rn") <= burst, 1L).otherwise(0L)).as("admitted"),
+        sum(when(col("rn") > burst, 1L).otherwise(0L)).as("denied"))
+      .orderBy("user_id")
+  }
+
+  /** ST2 batch shape — events per (type, hour) tumbling window; the
+    * groupBy keys match the streaming window aggregation so the same
+    * logical query runs under readStream with a watermark. */
+  def eventsPerHour(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("hour", "event_type")
+}

@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2.1–§2.8): scans, filters,
+  * joins, aggregations, windows, sorts, set ops, scalar functions.
+  *
+  * Scale notes (100 TB design intent, validated via `.explain`):
+  *  - Every query projects/filters as early as possible so Catalyst pushes
+  *    predicates + pruned columns into the parquet scan.
+  *  - Dimension tables (region/nation/customer at TPC-H ratios) are
+  *    explicitly `broadcast()` so fact-table joins never shuffle the
+  *    big side.
+  *  - Aggregations are plain `groupBy` → partial (map-side) + final hash
+  *    aggregation; no driver-side loops.
+  *  - Top-k uses `orderBy().limit(k)` which Spark plans as
+  *    TakeOrderedAndProject (no global sort materialization).
+  *  - Results carry a deterministic ORDER BY so the driver's hash compare
+  *    is stable; doubles are rounded to fixed decimals to absorb
+  *    summation-order differences between engines.
+  */
+object Relational {
+
+  /** A1/A6/A12 — TPC-H Q1-style pricing summary: filter → hash agg.
+    * Mirrors reference frequency/mean aggregations
+    * (Rest_webservice/app/services.py:27-32, Motion_estimation/motion_codec.py:34).
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** J4/A3/O5 — TPC-H Q3-style: selective dim filter broadcast-joined to
+    * facts, agg, top-k. Customer side is broadcast (tiny after filter). */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-07-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-07-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** J4 multiway — TPC-H Q5-style: 6-table join with local-supplier
+    * condition, grouped revenue per nation. region/nation broadcast. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = Tables(spark, dir, "nation")
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val supp = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** A14/J4 — TPC-H Q10-style: returned-item revenue per customer, top 20. */
+  def returnedItemRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val nation = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** S2 — point lookup by primary key (reference routers.py:105
+    * `db.query(User).get(uid)`). Predicate is pushed to the parquet scan. */
+  def pointLookup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .filter(col("c_custkey") === 42L)
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** S3/P3 — filtered scan with compound predicate (routers.py:52). */
+  def filteredScan(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy("o_orderkey")
+
+  /** S6 — delete-as-anti-join (routers.py:152 `db.delete`): customers
+    * having no high-value orders. left_anti never materializes the
+    * non-matching side. */
+  def antiJoinNoOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_name")
+    val ordKeys = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 300000.0)
+      .select(col("o_custkey"))
+    cust.join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .orderBy("c_custkey")
+  }
+
+  /** Semi-join — customers with at least one open order, counted per
+    * segment (EXISTS rewrite; no row multiplication from the join). */
+  def semiJoinOpenOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment")
+    val open = Tables(spark, dir, "orders")
+      .filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    cust.join(open, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Outer join + agg — nations with customer counts including empty
+    * nations (left outer preserves the dimension side). */
+  def outerJoinNationCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    nation.join(cust, col("n_nationkey") === col("c_nationkey"), "left")
+      .groupBy("n_name")
+      .agg(count(col("c_custkey")).as("n_customers"))
+      .orderBy("n_name")
+  }
+
+  /** §2.7 set ops — EXCEPT/INTERSECT of customer-key sets, tagged and
+    * unioned into one deterministic result. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val furniture = Tables(spark, dir, "customer")
+      .filter(col("c_mktsegment") === "FURNITURE").select(col("c_custkey"))
+    val withOrders = Tables(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val only = furniture.except(withOrders).withColumn("tag", lit("furniture_no_orders"))
+    val both = furniture.intersect(withOrders).withColumn("tag", lit("furniture_with_orders"))
+    only.unionByName(both).select("tag", "c_custkey").orderBy("tag", "c_custkey")
+  }
+
+  /** A14/W5 — grouped argmax via window: each customer's single largest
+    * order (row_number over a deterministic ordering, keep rank 1).
+    * Mirrors the reference's per-group argmin/argmax
+    * (hough_heart_detector.py:153-157, motion_codec.py:83-90). */
+  def argmaxLargestOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  /** W1 — lag over event-time order (frame differencing analog,
+    * motion_codec.py:31-32): per-customer order-value delta. */
+  def lagOrderDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") - col("prev_price"), 2).as("delta"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** W2 — running prefix aggregate (calibration-prefix analog,
+    * motion_codec.py:57-70): cumulative spend per customer over time. */
+  def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .withColumn("running_spend", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "running_spend")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** A8 — exact percentiles per group (np.percentile analog,
+    * motion_codec.py:66-68, brain_segmentation.py:68-70). Exact
+    * `percentile` matches DuckDB quantile_cont on small groups; at 100 TB
+    * swap to percentile_approx (documented tolerance). */
+  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.4)"), 4).as("p40"),
+        round(expr("percentile(l_quantity, 0.8)"), 4).as("p80"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median"))
+      .orderBy("l_returnflag")
+
+  /** F2 — CASE WHEN bucketing (age buckets services.py:12-13, motion
+    * class motion_codec.py:215-221). */
+  def acctbalBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .withColumn("bucket",
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(avg("c_acctbal"), 2).as("avg_bal"))
+      .orderBy("bucket")
+
+  /** F1/F3 — segment-string construction with null-defaulting
+    * (services.py:9-14 `f"role:{r}|geo:{g}|age:{a}"` with `or`-defaults). */
+  def segmentStrings(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    cust.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_custkey"),
+        concat(
+          lit("seg:"), coalesce(col("c_mktsegment"), lit("UNK")),
+          lit("|geo:"), coalesce(col("n_name"), lit("UNK")),
+          lit("|bal:"),
+          when(col("c_acctbal") < 0, "neg").when(col("c_acctbal") < 5000, "mid").otherwise("high")
+        ).as("segment"))
+      .orderBy("c_custkey")
+  }
+
+  /** F7 — date/time functions: orders per month with revenue. */
+  def ordersByMonth(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("month")
+
+  /** Rollup — region×nation hierarchy totals (grouping sets; free in
+    * Spark per SURVEY §2.4 note). */
+  def rollupAcctbal(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").select("c_nationkey", "c_acctbal")
+    val nation = Tables(spark, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    val region = Tables(spark, dir, "region").select("r_regionkey", "r_name")
+    cust.join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum("c_acctbal"), 2).as("total_bal"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("total_bal"), col("n"))
+      .orderBy("region", "nation")
+  }
+
+  /** S5 — update-rewrite: read → conditional column rewrite → (would be
+    * an overwrite sink; here the projected view). routers.py:124-136. */
+  def updateRewrite(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .select(
+        col("c_custkey"),
+        round(when(col("c_acctbal") < 0, 0.0).otherwise(col("c_acctbal")), 2).as("acctbal_clamped"))
+      .orderBy("c_custkey")
+}

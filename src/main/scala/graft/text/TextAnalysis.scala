@@ -1,0 +1,108 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language ID,
+  * fingerprinting (builder-prompt north star; SURVEY.md §2.10 U9).
+  *
+  * Everything here is built from codegen'd `functions._` / higher-order
+  * array functions — no Scala UDFs — so the whole pipeline stays inside
+  * WholeStageCodegen and scales linearly with input splits (pure map
+  * work, zero shuffles until the final aggregate).
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (a BPE-ish regex split would be
+    * `split(text, "\\s+|(?=\\p{Punct})")`; the docs table is
+    * single-space separated so the simple split is exact). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Token statistics per document: counts, distinct counts, average
+    * token length. Pure per-row map work. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        round(
+          expr("aggregate(toks, 0D, (acc, x) -> acc + length(x)) / size(toks)"),
+          4).as("avg_token_len"),
+        col("n_chars"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length, stopword ratio, type-token ratio, and a
+    * CASE-based quality class (reference-style bucketing, F2). */
+  def qualityScores(spark: SparkSession, dir: String): DataFrame = {
+    val stopList = stopwords.map(s => s"'$s'").mkString(", ")
+    Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("stopword_ratio",
+        round(expr(s"size(filter(toks, x -> x IN ($stopList))) / cast(size(toks) AS double)"), 4))
+      .withColumn("type_token_ratio",
+        round(expr("size(array_distinct(toks)) / cast(size(toks) AS double)"), 4))
+      .withColumn("quality_class",
+        when(col("n_tokens") < 20, "short")
+          .when(col("stopword_ratio") > 0.2, "boilerplate")
+          .otherwise("ok"))
+      .select("doc_id", "n_tokens", "stopword_ratio", "type_token_ratio", "quality_class")
+      .orderBy("doc_id")
+  }
+
+  /** Per-language corpus stats (lang column is ground truth; the
+    * heuristic language-ID below is compared against it in tests). */
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        sum(size(tokens(col("text")))).as("total_tokens"))
+      .orderBy("lang")
+
+  /** Heuristic language ID: score each candidate language by stopword
+    * hits (n-gram heuristic family, builder north star). The profile
+    * sets here are deliberately tiny/deterministic; on real corpora
+    * they'd be the top-k character n-grams per language. Not
+    * SQL-oracle'd (heuristic), covered by ScalaTest. */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    val profiles: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "to", "a"),
+      "es" -> Seq("el", "la", "de", "que", "y"),
+      "fr" -> Seq("le", "la", "de", "et", "les"),
+      "de" -> Seq("der", "die", "und", "das", "ist"),
+      "zh" -> Seq("de", "shi", "le", "zai", "he"))
+    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString(", ")
+      expr(s"struct(size(filter(toks, x -> x IN ($list))) AS score, '$lang' AS lang)")
+    }
+    Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("best", greatest(scored: _*))
+      .select(
+        col("doc_id"),
+        col("best.lang").as("predicted_lang"),
+        col("best.score").as("score"),
+        col("lang").as("labeled_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: md5 content hash (exact-dup key) plus a
+    * 64-bit xxhash. A rolling-hash (Rabin-Karp over shingles) variant
+    * is in Dedup.ngramShingles. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("md5_fp"),
+        xxhash64(col("text")).as("xx64_fp"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
+import graft.operators.Events
+
+class EventsSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
+  import SparkTestSession.{spark, sf0001}
+
+  test("frequent pairs are canonical (type_a < type_b) and support-bounded") {
+    val rows = Events.frequentPairs(spark, sf0001, minSupport = 1).collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables(spark, sf0001, "events").select("user_id").distinct().count()
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= nUsers)
+    }
+  }
+
+  test("min-support is monotone: higher support => subset of pairs") {
+    val lo = Events.frequentPairs(spark, sf0001, minSupport = 1)
+      .select("type_a", "type_b").collect().toSet
+    val hi = Events.frequentPairs(spark, sf0001, minSupport = 50)
+      .select("type_a", "type_b").collect().toSet
+    assert(hi.subsetOf(lo))
+  }
+
+  test("rate limit: admitted + denied == events per user; admitted <= burst * windows") {
+    val events = Tables(spark, sf0001, "events")
+    val perUser = events.groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val windowsPerUser = events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("w"))
+      .distinct().groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Events.rateLimitAdmitDeny(spark, sf0001, burst = 5).collect().foreach { r =>
+      val (uid, admitted, denied) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(admitted + denied === perUser(uid))
+      assert(admitted <= 5L * windowsPerUser(uid))
+    }
+  }
+
+  test("approx distinct users within 5% of exact") {
+    val exact = Events.distinctUsersPerType(spark, sf0001)
+      .select("event_type", "n_users").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Events.approxDistinctUsersPerType(spark, sf0001).collect().foreach { r =>
+      val (t, approx) = (r.getString(0), r.getLong(1))
+      assert(math.abs(approx - exact(t)).toDouble / exact(t) < 0.05)
+    }
+  }
+
+  test("top event types are ordered by count desc") {
+    val rows = Events.topEventTypes(spark, sf0001).collect()
+    assert(rows.length === 5)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sameElements(counts.sorted.reverse))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Relational
+
+/** Self-consistency checks for the relational surface on sf0.001 (exact
+  * value parity vs DuckDB is covered by Verify + tools/compare_oracle.py;
+  * these specs assert invariants that hold at any scale factor). */
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  test("pricing summary: one row per (returnflag, linestatus), totals positive") {
+    val rows = Relational.pricingSummary(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length === keys.length)
+    rows.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("sum_qty")) > 0)
+      assert(r.getLong(r.fieldIndex("count_order")) > 0)
+      // disc price <= base price (discount in [0,1])
+      assert(r.getDouble(r.fieldIndex("sum_disc_price")) <= r.getDouble(r.fieldIndex("sum_base_price")))
+    }
+  }
+
+  test("semi + anti join partition the customer set") {
+    val cust = Tables(spark, sf0001, "customer")
+    val highValue = Tables(spark, sf0001, "orders")
+      .filter(col("o_totalprice") > 300000.0).select(col("o_custkey"))
+    val semi = cust.join(highValue, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = Relational.antiJoinNoOrders(spark, sf0001).count()
+    assert(semi + anti === cust.count())
+  }
+
+  test("argmax-largest-order agrees with groupBy max") {
+    val viaWindow = Relational.argmaxLargestOrder(spark, sf0001)
+      .select("o_custkey", "totalprice")
+    val viaAgg = Tables(spark, sf0001, "orders")
+      .groupBy("o_custkey")
+      .agg(round(max("o_totalprice"), 2).as("totalprice"))
+    assert(viaWindow.except(viaAgg).count() === 0)
+    assert(viaAgg.except(viaWindow).count() === 0)
+  }
+
+  test("lag delta: exactly one null delta per customer (the first order)") {
+    val df = Relational.lagOrderDelta(spark, sf0001)
+    val nCustomers = Tables(spark, sf0001, "orders").select("o_custkey").distinct().count()
+    assert(df.filter(col("delta").isNull).count() === nCustomers)
+  }
+
+  test("running spend is non-decreasing per customer (prices positive)") {
+    val df = Relational.runningCustomerSpend(spark, sf0001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("o_orderkey")
+    val violations = df
+      .withColumn("prev", lag("running_spend", 1).over(w))
+      .filter(col("prev").isNotNull && col("running_spend") < col("prev"))
+      .count()
+    assert(violations === 0)
+  }
+
+  test("percentiles are ordered p40 <= median <= p80") {
+    Relational.quantityPercentiles(spark, sf0001).collect().foreach { r =>
+      val (p40, p80, med) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(p40 <= med && med <= p80)
+    }
+  }
+
+  test("rollup: grand total row equals sum of region rows") {
+    val rows = Relational.rollupAcctbal(spark, sf0001).collect()
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length === 1)
+    val regionRows = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    val sumRegions = regionRows.map(_.getLong(3)).sum
+    assert(grand.head.getLong(3) === sumRegions)
+  }
+
+  test("set ops tags partition the furniture segment") {
+    val counts = Relational.setOps(spark, sf0001)
+      .groupBy("tag").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val furniture = Tables(spark, sf0001, "customer")
+      .filter(col("c_mktsegment") === "FURNITURE").count()
+    assert(counts.values.sum === furniture)
+  }
+}

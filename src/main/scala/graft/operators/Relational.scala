@@ -11,9 +11,11 @@ import graft.Tables
   * Scale notes (100 TB design intent, validated via `.explain`):
   *  - Every query projects/filters as early as possible so Catalyst pushes
   *    predicates + pruned columns into the parquet scan.
-  *  - Dimension tables (region/nation/customer at TPC-H ratios) are
-  *    explicitly `broadcast()` so fact-table joins never shuffle the
-  *    big side.
+  *  - Only genuinely bounded dimension tables (region: 5 rows,
+  *    nation: 25 rows at every scale factor) carry `broadcast()` hints.
+  *    customer/supplier grow with the fact tables (TPC-H ratios), so
+  *    their join strategy is left to AQE's size-based choice — a hint
+  *    there would OOM the driver at 100 TB.
   *  - Aggregations are plain `groupBy` → partial (map-side) + final hash
   *    aggregation; no driver-side loops.
   *  - Top-k uses `orderBy().limit(k)` which Spark plans as
@@ -43,8 +45,10 @@ object Relational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** J4/A3/O5 — TPC-H Q3-style: selective dim filter broadcast-joined to
-    * facts, agg, top-k. Customer side is broadcast (tiny after filter). */
+  /** J4/A3/O5 — TPC-H Q3-style: selective dim filter joined to facts,
+    * agg, top-k. Customer join strategy is AQE's call (the filtered side
+    * is often broadcastable at runtime, but customer scales with facts
+    * so we don't force it). */
   def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
@@ -56,7 +60,7 @@ object Relational {
       .filter(col("l_shipdate") > lit("1998-07-01"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -76,8 +80,8 @@ object Relational {
     val li = Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp),
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
@@ -96,7 +100,7 @@ object Relational {
       .filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("acctbal"), col("n_name"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))

@@ -2,10 +2,9 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import org.scalatestplus.scalacheck.ScalaCheckPropertyChecks
 import graft.operators.Events
 
-class EventsSpec extends AnyFunSuite with ScalaCheckPropertyChecks {
+class EventsSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf0001}
 
   test("frequent pairs are canonical (type_a < type_b) and support-bounded") {

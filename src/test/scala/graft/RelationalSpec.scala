@@ -49,9 +49,13 @@ class RelationalSpec extends AnyFunSuite {
   }
 
   test("running spend is non-decreasing per customer (prices positive)") {
+    // The running sum is ordered by (o_orderdate, o_orderkey), so the
+    // monotonicity check must walk the same ordering.
+    val dates = Tables(spark, sf0001, "orders").select("o_orderkey", "o_orderdate")
     val df = Relational.runningCustomerSpend(spark, sf0001)
+      .join(dates, "o_orderkey")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("o_custkey").orderBy("o_orderkey")
+      .partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     val violations = df
       .withColumn("prev", lag("running_spend", 1).over(w))
       .filter(col("prev").isNotNull && col("running_spend") < col("prev"))

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Events, Relational}
+import graft.operators.{Events, Hough, Motion, Relational}
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.similarity.Similarity
@@ -55,6 +55,11 @@ object SparkEntry {
     "f2_buckets" -> ((s, d) => Relational.acctbalBuckets(s, d)),
     "f7_orders_by_month" -> ((s, d) => Relational.ordersByMonth(s, d)),
     "f9_json_props" -> ((s, d) => Events.jsonPropsStats(s, d)),
+    // --- motion pipeline (§2.3 J3, §2.4 A6-A8, §2.5 W1/W2, §2.9 ST3) ---
+    "motion_frame_stats" -> ((s, _) => Motion.frameStatsQuery(s)),
+    "motion_decisions" -> ((s, _) => Motion.decisions(s)),
+    // --- Hough pipeline (§2.4 A9, §2.5 W3, §2.4 A14, §2.2 P5) ---
+    "hough_best_circle" -> ((s, _) => Hough.bestCircleQuery(s)),
     // --- streaming-shaped batch (§2.9) ---
     "st2_events_per_hour" -> ((s, d) => Events.eventsPerHour(s, d)),
     // --- text analysis (north star) ---
@@ -68,10 +73,13 @@ object SparkEntry {
     "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d, "documents")).orderBy("doc_id")),
+    "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables(s, d, "documents"))),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables(s, d, "documents"))),
     // --- similarity search (north star) ---
     "emb_knn_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     "emb_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "emb_norm_stats" -> ((s, d) => Similarity.normStats(s, d)),
+    "emb_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(s, d, threshold = 0.3)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -212,6 +220,134 @@ object SparkEntry {
       """SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k, count(k) AS n_with_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "motion_frame_stats" ->
+      """WITH vel AS (
+        |  SELECT CAST(i AS INTEGER) AS frame_idx,
+        |    CASE WHEN i % 11 = 0 THEN 12 WHEN i % 4 = 0 THEN 0 ELSE 2 END AS vx,
+        |    CASE WHEN i % 11 = 0 THEN 6 WHEN i % 4 = 0 THEN 0 ELSE 1 END AS vy
+        |  FROM range(0, 60) t(i)),
+        |pos AS (
+        |  SELECT frame_idx,
+        |    30 + coalesce(sum(vx) OVER (ORDER BY frame_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS x0,
+        |    40 + coalesce(sum(vy) OVER (ORDER BY frame_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS y0
+        |  FROM vel),
+        |px AS MATERIALIZED (
+        |  SELECT p.frame_idx, y.y, x.x,
+        |    CASE WHEN x.x BETWEEN p.x0 AND p.x0 + 32 AND y.y BETWEEN p.y0 AND p.y0 + 32 THEN 200 ELSE 0 END AS v
+        |  FROM pos p, range(0, 192) y(y), range(0, 256) x(x)),
+        |stats AS (SELECT frame_idx, avg(v) AS m, stddev_pop(v) AS s FROM px GROUP BY 1),
+        |diffs AS (
+        |  SELECT c.frame_idx, abs(c.v - p.v) AS d,
+        |    abs(p.v - greatest(0.0, least(255.0, (c.v - sc.m) * ((sp.s + 1e-6) / (sc.s + 1e-6)) + sp.m))) AS dn
+        |  FROM px c
+        |  JOIN px p ON p.frame_idx = c.frame_idx - 1 AND p.y = c.y AND p.x = c.x
+        |  JOIN stats sc ON sc.frame_idx = c.frame_idx
+        |  JOIN stats sp ON sp.frame_idx = c.frame_idx - 1),
+        |fstats AS (
+        |  SELECT frame_idx, avg(d) AS raw_mad, round(avg(dn), 6) AS mad,
+        |    quantile_cont(d, 0.9) AS p90, avg(CASE WHEN d < 10 THEN 1.0 ELSE 0.0 END) AS ldr
+        |  FROM diffs GROUP BY 1),
+        |thr AS (
+        |  SELECT t_low, greatest(t_low, t_high0) AS t_high FROM (
+        |    SELECT quantile_cont(mad, 0.4) AS t_low, quantile_cont(mad, 0.8) AS t_high0
+        |    FROM fstats WHERE frame_idx <= 20))
+        |SELECT f.frame_idx AS frame, round(f.raw_mad, 4) AS mad_raw, round(f.mad, 4) AS mad_norm,
+        |  CASE WHEN f.mad < t.t_low THEN 'LOW' WHEN f.mad > t.t_high THEN 'HIGH' ELSE 'MEDIUM' END AS class,
+        |  round(f.p90, 4) AS p90_diff, round(f.ldr, 4) AS low_diff_ratio
+        |FROM fstats f, thr t
+        |ORDER BY frame""".stripMargin,
+    "motion_decisions" ->
+      """WITH pos AS (
+        |  SELECT CAST(i AS INTEGER) AS frame_idx,
+        |    30 + 2 * CAST(i AS INTEGER) AS x0, 40 + CAST(i AS INTEGER) AS y0
+        |  FROM range(0, 20) t(i)),
+        |px AS MATERIALIZED (
+        |  SELECT p.frame_idx, y.y, x.x,
+        |    (CASE WHEN x.x BETWEEN p.x0 AND p.x0 + 16 AND y.y BETWEEN p.y0 AND p.y0 + 16 THEN 200 ELSE 0 END
+        |     + (x.x * 7 + y.y * 13 + p.frame_idx * 31) % 17) AS v
+        |  FROM pos p, range(0, 96) y(y), range(0, 128) x(x)),
+        |stats AS (SELECT frame_idx, avg(v) AS m, stddev_pop(v) AS s FROM px GROUP BY 1),
+        |diffs AS (
+        |  SELECT c.frame_idx, abs(c.v - p.v) AS d,
+        |    abs(p.v - greatest(0.0, least(255.0, (c.v - sc.m) * ((sp.s + 1e-6) / (sc.s + 1e-6)) + sp.m))) AS dn
+        |  FROM px c
+        |  JOIN px p ON p.frame_idx = c.frame_idx - 1 AND p.y = c.y AND p.x = c.x
+        |  JOIN stats sc ON sc.frame_idx = c.frame_idx
+        |  JOIN stats sp ON sp.frame_idx = c.frame_idx - 1),
+        |fstats AS (
+        |  SELECT frame_idx, avg(d) AS raw_mad, round(avg(dn), 6) AS mad,
+        |    quantile_cont(d, 0.9) AS p90, avg(CASE WHEN d < 10 THEN 1.0 ELSE 0.0 END) AS ldr
+        |  FROM diffs GROUP BY 1),
+        |thr AS (
+        |  SELECT t_low, greatest(t_low, t_high0) AS t_high FROM (
+        |    SELECT quantile_cont(mad, 0.4) AS t_low, quantile_cont(mad, 0.8) AS t_high0
+        |    FROM fstats WHERE frame_idx <= 19)),
+        |cls AS (
+        |  SELECT f.*, CASE WHEN f.mad < t.t_low THEN 'LOW' WHEN f.mad > t.t_high THEN 'HIGH' ELSE 'MEDIUM' END AS class
+        |  FROM fstats f, thr t),
+        |med AS (SELECT frame_idx FROM cls WHERE class = 'MEDIUM'),
+        |cur AS (
+        |  SELECT c.frame_idx, c.y // 16 AS b_y, c.x // 16 AS b_x,
+        |    c.y % 16 AS py, c.x % 16 AS px_, c.v
+        |  FROM px c JOIN med USING (frame_idx)),
+        |cand AS (SELECT dy.dy, dx.dx FROM range(-4, 5) dy(dy), range(-4, 5) dx(dx)),
+        |probe AS (
+        |  SELECT c.frame_idx, c.b_y, c.b_x, cand.dy, cand.dx, c.v,
+        |    c.frame_idx - 1 AS rf,
+        |    greatest(0, least(80, c.b_y * 16 + cand.dy)) + c.py AS ry,
+        |    greatest(0, least(112, c.b_x * 16 + cand.dx)) + c.px_ AS rx
+        |  FROM cur c CROSS JOIN cand),
+        |sad AS (
+        |  SELECT p.frame_idx, p.b_y, p.b_x, p.dy, p.dx,
+        |    sum(abs(p.v - r.v)) AS cost, sum((p.v - r.v) * (p.v - r.v)) AS sse
+        |  FROM probe p JOIN px r ON r.frame_idx = p.rf AND r.y = p.ry AND r.x = p.rx
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |best AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY frame_idx, b_y, b_x ORDER BY cost, dy, dx) AS rn
+        |    FROM sad) WHERE rn = 1),
+        |me AS (
+        |  SELECT frame_idx, avg(cost) AS mean_cost, sum(sse) / (96.0 * 128.0) AS mse
+        |  FROM best GROUP BY 1)
+        |SELECT c.frame_idx AS frame, round(c.mad, 4) AS mad_norm, round(c.raw_mad, 4) AS mad_raw,
+        |  c.class, round(m.mean_cost, 2) AS mean_sad_cost,
+        |  CASE WHEN m.mse > 1e-9 THEN round(10.0 * log10(255.0 * 255.0 / m.mse), 4) ELSE NULL END AS psnr,
+        |  round(c.p90, 4) AS p90_diff, round(c.ldr, 4) AS low_diff_ratio
+        |FROM cls c LEFT JOIN me m USING (frame_idx)
+        |ORDER BY frame""".stripMargin,
+    "hough_best_circle" ->
+      """WITH img AS (
+        |  SELECT CAST(k AS INTEGER) AS img_id,
+        |    30 + 3 * CAST(k AS INTEGER) AS cy, 40 + 2 * CAST(k AS INTEGER) AS cx
+        |  FROM range(0, 6) t(k)),
+        |edges AS MATERIALIZED (
+        |  SELECT i.img_id, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x
+        |  FROM img i, range(0, 96) y(y), range(0, 96) x(x)
+        |  WHERE abs(sqrt(CAST((y.y - i.cy) * (y.y - i.cy) + (x.x - i.cx) * (x.x - i.cx) AS DOUBLE)) - 20) < 0.5),
+        |probe AS (
+        |  SELECT e.img_id, e.y, e.x, CAST(x0.x0 AS INTEGER) AS x0,
+        |    400 - (e.x - x0.x0) * (e.x - x0.x0) AS dy_sq
+        |  FROM edges e JOIN range(0, 96) x0(x0)
+        |    ON x0.x0 BETWEEN e.x - 20 AND e.x + 20),
+        |votes AS MATERIALIZED (
+        |  SELECT img_id, y0, x0, count(*) AS votes FROM (
+        |    SELECT p.img_id, CAST(round(p.y + s.sgn * sqrt(p.dy_sq)) AS INTEGER) AS y0, p.x0
+        |    FROM probe p CROSS JOIN (SELECT -1.0 AS sgn UNION ALL SELECT 1.0 AS sgn) s
+        |    WHERE p.dy_sq >= 0) t
+        |  WHERE y0 BETWEEN 0 AND 95
+        |  GROUP BY 1, 2, 3),
+        |nms AS (
+        |  SELECT v.img_id, v.y0, v.x0, v.votes
+        |  FROM votes v LEFT JOIN votes n ON n.img_id = v.img_id
+        |    AND n.y0 BETWEEN v.y0 - 1 AND v.y0 + 1
+        |    AND n.x0 BETWEEN v.x0 - 1 AND v.x0 + 1
+        |    AND NOT (n.y0 = v.y0 AND n.x0 = v.x0)
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING v.votes >= coalesce(max(n.votes), 0) AND v.votes >= 12)
+        |SELECT img_id, y0, x0, votes FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY img_id ORDER BY votes DESC, y0, x0) AS rn
+        |  FROM nms) t
+        |WHERE rn = 1 ORDER BY img_id""".stripMargin,
     "st2_events_per_hour" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
         |  count(*) AS n, round(avg(value), 4) AS avg_value
@@ -260,6 +396,25 @@ object SparkEntry {
         |  md5(min(md5('0:' || shingle)) || min(md5('1:' || shingle)) ||
         |      min(md5('2:' || shingle)) || min(md5('3:' || shingle))) AS band0
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_minhash_pairs" ->
+      ("""WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(t) < 3 THEN [text]
+        |      ELSE list_transform(range(0, len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) END) AS shingle
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) raw),
+        |sigs AS (
+        |  SELECT doc_id, """.stripMargin
+        + (0 until 16).map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(", ")
+        + "\n  FROM sh GROUP BY doc_id),\nbands AS (\n"
+        + (0 until 4).map(b =>
+            s"  SELECT doc_id, $b AS band_idx, md5(mh${b * 4} || mh${b * 4 + 1} || mh${b * 4 + 2} || mh${b * 4 + 3}) AS band_key FROM sigs")
+          .mkString("\n  UNION ALL\n")
+        + """
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+        |FROM bands a JOIN bands b
+        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,

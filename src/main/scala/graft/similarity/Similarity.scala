@@ -14,10 +14,16 @@ import graft.Tables
   *    a map-side nested loop, no shuffle of the corpus; the per-query
   *    top-k is a windowed rank over (query, candidate) scores. At 1000
   *    executors this scans the corpus once regardless of query count.
+  *  - L2 norms are computed ONCE per side before any join; the join hot
+  *    loop does a single dot product per pair (not dot + two norms).
   *  - The LSH variant buckets both sides by the sign pattern of
   *    projections onto deterministic pseudo-random hyperplanes, turning
   *    ANN into an equality join on bucket keys — candidate count drops
   *    from |corpus| to bucket occupancy; more tables = higher recall.
+  *    Bucketing is ONE corpus scan (posexplode over the per-table bucket
+  *    array), and candidate dedup shuffles only (query_id, cand_id) id
+  *    pairs — vectors are re-attached after the distinct, so the shuffle
+  *    never carries array payloads.
   *  - All vector math is higher-order array functions (zip_with /
   *    aggregate) over array<double> — no UDF serialization overhead.
   */
@@ -31,19 +37,22 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  /** (vec_id, vec, norm, label) view of the embeddings table; the norm
+    * column is materialized here so downstream joins never recompute it
+    * per pair. */
+  def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"), col("label"))
+      .withColumn("norm", l2norm(col("vec")))
 
-  /** Exact brute-force cosine top-k: queries = the `nQueries` lowest
-    * vec_ids, scored against the whole corpus. */
-  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame = {
-    val all = corpus(spark, dir)
+  /** Exact brute-force cosine top-k over an arbitrary (vec_id, vec,
+    * norm) corpus: queries = the `nQueries` lowest vec_ids. */
+  def bruteForceTopKOn(all: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {
     val q = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qv"))
-    val cand = all.select(col("vec_id").as("cand_id"), col("vec").as("cv"))
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val cand = all.select(col("vec_id").as("cand_id"), col("vec").as("cv"), col("norm").as("cn"))
     val scored = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -51,6 +60,9 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
+
+  def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame =
+    bruteForceTopKOn(corpus(spark, dir), nQueries, k)
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim),
     * mapped to [-1, 1): splitmix64 finalizer (public-domain bit mixer).
@@ -75,66 +87,78 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Explode a vector table into (id, vec, tbl, bucket) rows — one row
-    * per LSH table, bucketed by that table's hyperplane family. */
-  private def bucketed(df: DataFrame, idAlias: String, vecAlias: String,
-                       nPlanes: Int, nTables: Int, dims: Int): DataFrame =
-    (0 until nTables).map { t =>
-      df.select(
-        col("vec_id").as(idAlias),
-        col("vec").as(vecAlias),
-        lit(t).as(s"${idAlias}_tbl"),
-        lshBucket(col("vec"), t, nPlanes, dims).as(s"${idAlias}_bucket"))
-    }.reduce(_.unionByName(_))
+  /** (id, tbl, bucket) rows — one row per LSH table per vector, from a
+    * SINGLE scan (posexplode of the bucket array), id-only so the band
+    * join below never shuffles vectors. */
+  private def bucketIds(df: DataFrame, idAlias: String,
+                        nPlanes: Int, nTables: Int, dims: Int): DataFrame =
+    df.select(
+      col("vec_id").as(idAlias),
+      posexplode(array((0 until nTables).map(t =>
+        lshBucket(col("vec"), t, nPlanes, dims)): _*)).as(Seq("tbl", "bucket")))
 
   /** ANN via hyperplane LSH: bucket corpus and queries under `nTables`
     * independent hyperplane families; equality-join on (table, bucket);
-    * exact cosine re-rank within the candidate set. Recall < 1 by
-    * construction; tests bound recall against bruteForceTopK. */
-  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
-              nPlanes: Int = 8, nTables: Int = 4, dims: Int = 64): DataFrame = {
-    val all = corpus(spark, dir)
-    val q = bucketed(all.filter(col("vec_id") < nQueries), "query_id", "qv", nPlanes, nTables, dims)
-    val c = bucketed(all, "cand_id", "cv", nPlanes, nTables, dims)
-    val candidates = c.join(broadcast(q),
-        col("cand_id_tbl") === col("query_id_tbl") &&
-        col("cand_id_bucket") === col("query_id_bucket") &&
-        col("query_id") =!= col("cand_id"))
-      .select("query_id", "qv", "cand_id", "cv").distinct()
+    * dedup candidate id pairs; exact cosine re-rank on the deduped set.
+    * Recall < 1 by construction; SimilaritySpec bounds recall against
+    * bruteForceTopKOn (0.60 measured at the 4-plane/8-table default on
+    * the sf0.001 corpus — see LshProbe for the sweep; denser/larger
+    * corpora warrant more planes per table to keep buckets selective). */
+  def lshTopKOn(all: DataFrame, nQueries: Int = 5, k: Int = 3,
+                nPlanes: Int = 4, nTables: Int = 8, dims: Int = 64): DataFrame = {
+    val qb = bucketIds(all.filter(col("vec_id") < nQueries), "query_id", nPlanes, nTables, dims)
+    val cb = bucketIds(all, "cand_id", nPlanes, nTables, dims)
+    val candIds = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .select("query_id", "cand_id").distinct()
+    val q = all.select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val c = all.select(col("vec_id").as("cand_id"), col("vec").as("cv"), col("norm").as("cn"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
-    candidates
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+    candIds
+      .join(broadcast(q), Seq("query_id"))
+      .join(c, Seq("cand_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
+  def lshTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
+              nPlanes: Int = 4, nTables: Int = 8, dims: Int = 64): DataFrame =
+    lshTopKOn(corpus(spark, dir), nQueries, k, nPlanes, nTables, dims)
+
   /** Per-label embedding stats: mean L2 norm and count — oracle-checkable
     * sanity surface for the vector math. */
   def normStats(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir)
-      .withColumn("l2", l2norm(col("vec")))
       .groupBy("label")
-      .agg(count(lit(1)).as("n"), round(avg("l2"), 4).as("avg_l2_norm"))
+      .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_l2_norm"))
       .orderBy("label")
 
-  /** Embedding-cosine near-duplicate pairs above a threshold, LSH
-    * candidate generation + exact re-check — the embedding leg of the
-    * dedup suite (see graft.dedup.Dedup for the text legs). */
-  def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95,
-                         nPlanes: Int = 8, nTables: Int = 4, dims: Int = 64): DataFrame = {
-    val all = corpus(spark, dir)
-    val a = bucketed(all, "vec_a", "va", nPlanes, nTables, dims)
-    val b = bucketed(all, "vec_b", "vb", nPlanes, nTables, dims)
-    a.join(b,
-        col("vec_a_tbl") === col("vec_b_tbl") &&
-        col("vec_a_bucket") === col("vec_b_bucket") &&
-        col("vec_a") < col("vec_b"))
-      .select("vec_a", "va", "vec_b", "vb").distinct()
-      .withColumn("cos", cosine(col("va"), col("vb")))
+  /** Embedding-cosine near-duplicate pairs above a threshold: LSH
+    * candidate generation (id pairs only) + exact cosine re-check — the
+    * embedding leg of the dedup suite (see graft.dedup.Dedup for the
+    * text legs). */
+  def cosineNearDupPairsOn(all: DataFrame, threshold: Double = 0.95,
+                           nPlanes: Int = 4, nTables: Int = 8, dims: Int = 64): DataFrame = {
+    val a = bucketIds(all, "vec_a", nPlanes, nTables, dims)
+    val b = bucketIds(all, "vec_b", nPlanes, nTables, dims)
+    val pairIds = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val va = all.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("norm").as("na"))
+    val vb = all.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
+    pairIds
+      .join(va, Seq("vec_a"))
+      .join(vb, Seq("vec_b"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")
   }
+
+  def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95,
+                         nPlanes: Int = 4, nTables: Int = 8, dims: Int = 64): DataFrame =
+    cosineNearDupPairsOn(corpus(spark, dir), threshold, nPlanes, nTables, dims)
 }

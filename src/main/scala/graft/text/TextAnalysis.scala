@@ -68,23 +68,28 @@ object TextAnalysis {
         sum(size(tokens(col("text")))).as("total_tokens"))
       .orderBy("lang")
 
-  /** Heuristic language ID: score each candidate language by stopword
-    * hits (n-gram heuristic family, builder north star). The profile
-    * sets here are deliberately tiny/deterministic; on real corpora
-    * they'd be the top-k character n-grams per language. Not
-    * SQL-oracle'd (heuristic), covered by ScalaTest. */
-  def languageId(spark: SparkSession, dir: String): DataFrame = {
-    val profiles: Map[String, Seq[String]] = Map(
-      "en" -> Seq("the", "and", "of", "to", "a"),
-      "es" -> Seq("el", "la", "de", "que", "y"),
-      "fr" -> Seq("le", "la", "de", "et", "les"),
-      "de" -> Seq("der", "die", "und", "das", "ist"),
-      "zh" -> Seq("de", "shi", "le", "zai", "he"))
-    val scored = profiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+  /** Per-language stopword profiles for the heuristic language ID.
+    * Deliberately tiny/deterministic; on real corpora they'd be the
+    * top-k character n-grams per language. */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "zh" -> Seq("de", "shi", "le", "zai", "he"))
+
+  /** Heuristic language ID over any (doc_id, text, lang) DataFrame:
+    * score each candidate language by stopword hits (n-gram heuristic
+    * family, builder north star); ties break toward the
+    * lexicographically largest language code (struct max semantics).
+    * Not SQL-oracle'd (heuristic); TextSpec asserts per-language
+    * classification on crafted docs and en-dominance on the corpus. */
+  def languageIdOn(docs: DataFrame): DataFrame = {
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       val list = words.map(w => s"'$w'").mkString(", ")
       expr(s"struct(size(filter(toks, x -> x IN ($list))) AS score, '$lang' AS lang)")
     }
-    Tables(spark, dir, "documents")
+    docs
       .withColumn("toks", tokens(col("text")))
       .withColumn("best", greatest(scored: _*))
       .select(
@@ -94,6 +99,9 @@ object TextAnalysis {
         col("lang").as("labeled_lang"))
       .orderBy("doc_id")
   }
+
+  def languageId(spark: SparkSession, dir: String): DataFrame =
+    languageIdOn(Tables(spark, dir, "documents"))
 
   /** Document fingerprinting: md5 content hash (exact-dup key) plus a
     * 64-bit xxhash. A rolling-hash (Rabin-Karp over shingles) variant

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+
+/** Coverage for the non-oracled dedup legs: SimHash invariants and the
+  * MinHash/SimHash banded candidate joins on planted duplicates. */
+class DedupSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val docA = "the quick brown fox jumps over the lazy dog while the cat sleeps " +
+    "on the warm mat near the old wooden door of the small red house"
+  private val docANear = docA.replace("lazy", "sleepy") // 1 token of 27 changed
+  private val docB = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+
+  private def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+
+  test("simhash: identical texts collide; near-identical beats unrelated") {
+    val sigs = Dedup.simhash(docs(1L -> docA, 2L -> docA, 3L -> docANear, 4L -> docB))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) === sigs(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = hamming(sigs(1L), sigs(3L))
+    val far = hamming(sigs(1L), sigs(4L))
+    assert(near < far, s"near=$near far=$far")
+  }
+
+  test("simhash banded pairs contain identical docs at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs(1L -> docA, 2L -> docA, 3L -> docB))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 0)))
+  }
+
+  test("minhash banded pairs: exact dups share all bands; disjoint vocab shares none") {
+    val rows = Dedup.minhashPairs(docs(1L -> docA, 2L -> docA, 3L -> docB, 4L -> docANear))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows((1L, 2L)) === 4L) // identical signature -> all 4 bands collide
+    assert(!rows.contains((1L, 3L)) && !rows.contains((2L, 3L)) && !rows.contains((3L, 4L)))
+    // the near-dup shares most shingles; with 4 bands of 4 rows it must
+    // collide on at least one band for this fixed hash family
+    assert(rows.contains((1L, 4L)))
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Hough
+
+/** Golden test: the Hough pipeline must recover the known synthetic
+  * circle centers (reference hough_heart_detector.py:103-157 semantics). */
+class HoughSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("best circle recovers each synthetic center exactly") {
+    val rows = Hough.bestCircleQuery(spark).collect()
+    assert(rows.length === 6)
+    rows.foreach { r =>
+      val k = r.getAs[Int]("img_id")
+      assert(r.getAs[Int]("y0") === 30 + 3 * k, s"img $k y0")
+      assert(r.getAs[Int]("x0") === 40 + 2 * k, s"img $k x0")
+      assert(r.getAs[Long]("votes") >= 12L, s"img $k votes")
+    }
+  }
+
+  test("NMS keeps only cells that dominate their 3x3 neighborhood") {
+    val edges = Hough.syntheticEdges(spark, nImages = 2)
+    val acc = Hough.votes(edges, h = 96, w = 96, r = 20).cache()
+    val kept = Hough.nms(acc, thresh = 4L).collect()
+    val accMap = acc.collect()
+      .map(r => (r.getAs[Int]("img_id"), r.getAs[Int]("y0"), r.getAs[Int]("x0")) -> r.getAs[Long]("votes"))
+      .toMap
+    assert(kept.nonEmpty)
+    kept.foreach { r =>
+      val (img, y0, x0, v) = (r.getAs[Int]("img_id"), r.getAs[Int]("y0"), r.getAs[Int]("x0"), r.getAs[Long]("votes"))
+      for (dy <- -1 to 1; dx <- -1 to 1 if dy != 0 || dx != 0)
+        assert(v >= accMap.getOrElse((img, y0 + dy, x0 + dx), 0L), s"cell ($img,$y0,$x0)")
+    }
+    acc.unpersist()
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.similarity.Similarity
+
+/** The recall/correctness coverage promised in Similarity's scaladoc:
+  * brute force is exact on crafted vectors, LSH recall is bounded
+  * against brute force on the real embeddings, and near-dup pairs find
+  * exactly the planted duplicates. */
+class SimilaritySpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+  import spark.implicits._
+
+  private def corpusOf(rows: (Long, Seq[Double])*): DataFrame =
+    rows.toDF("vec_id", "vec")
+      .select(col("vec_id"), col("vec").cast("array<double>").as("vec"))
+      .withColumn("norm", Similarity.l2norm(col("vec")))
+
+  test("brute-force top-k ranks candidates by exact cosine") {
+    val c = corpusOf(
+      0L -> Seq(1.0, 0.0, 0.0),
+      1L -> Seq(0.9, 0.1, 0.0),  // cos ~ 0.9939
+      2L -> Seq(0.5, 0.5, 0.0),  // cos ~ 0.7071
+      3L -> Seq(0.0, 1.0, 0.0),  // cos 0
+      4L -> Seq(-1.0, 0.0, 0.0)) // cos -1
+    val rows = Similarity.bruteForceTopKOn(c, nQueries = 1, k = 4).collect()
+    assert(rows.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("cand_id"))).toSeq
+      === Seq((1, 1L), (2, 2L), (3, 3L), (4, 4L)))
+    val cos1 = rows.find(_.getAs[Long]("cand_id") == 1L).get.getAs[Double]("cos_sim")
+    assert(math.abs(cos1 - 0.9939) < 1e-4)
+  }
+
+  test("LSH top-k recall vs brute force is bounded below on the embeddings table") {
+    val all = Similarity.corpus(spark, sf0001).cache()
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopKOn(all, nQueries = 5, k = 3))
+    val approx = pairs(Similarity.lshTopKOn(all, nQueries = 5, k = 3))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    // Deterministic hyperplanes -> this is a fixed number for this
+    // corpus (0.60 at the 4-plane/8-table default; see LshProbe for the
+    // config sweep). Bound it so regressions in bucketing/scoring surface.
+    assert(recall >= 0.55, s"LSH recall $recall fell below bound (exact=$exact approx=$approx)")
+    all.unpersist()
+  }
+
+  test("near-dup pairs find exactly the planted duplicate pair") {
+    // 8-dim: two near-identical vectors (cos > 0.999) among orthogonal-ish noise.
+    val base = Seq(1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.0)
+    val nearDup = base.zipWithIndex.map { case (v, i) => v + (if (i == 0) 0.01 else 0.0) }
+    val c = corpusOf(
+      100L -> base, 101L -> nearDup,
+      1L -> Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      3L -> Seq(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      4L -> Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0))
+    val rows = Similarity.cosineNearDupPairsOn(c, threshold = 0.95, dims = 8).collect()
+    assert(rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSeq
+      === Seq((100L, 101L)))
+    assert(rows.head.getAs[Double]("cos_sim") > 0.999)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.TextAnalysis
+
+/** Coverage for the heuristic language ID promised in TextAnalysis's
+  * scaladoc, plus token-stat invariants. */
+class TextSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+  import spark.implicits._
+
+  test("language ID classifies crafted per-language docs correctly") {
+    val crafted = Seq(
+      (1L, "the and of to a the report", "en"),
+      (2L, "el la de que y el cuento", "es"),
+      (3L, "le la de et les le conte", "fr"),
+      (4L, "der die und das ist der bericht", "de"),
+      (5L, "shi zai he de le shi gushi", "zh"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.languageIdOn(crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out === Map(1L -> "en", 2L -> "es", 3L -> "fr", 4L -> "de", 5L -> "zh"))
+  }
+
+  test("corpus docs with any profile hit are classified en (only en stopwords occur)") {
+    val rows = TextAnalysis.languageId(spark, sf0001).collect()
+    val withHits = rows.filter(_.getAs[Int]("score") > 0)
+    assert(withHits.length > 250, s"expected most docs to hit a profile, got ${withHits.length}")
+    withHits.foreach { r =>
+      assert(r.getAs[String]("predicted_lang") === "en", s"doc ${r.getAs[Long]("doc_id")}")
+    }
+  }
+
+  test("token stats invariants: distinct <= total, avg length positive") {
+    TextAnalysis.tokenStats(spark, sf0001).collect().foreach { r =>
+      val (n, nd) = (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_distinct_tokens"))
+      assert(nd <= n && nd > 0)
+      assert(r.getAs[Double]("avg_token_len") > 0)
+    }
+  }
+}

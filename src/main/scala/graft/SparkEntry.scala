@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Events, Hough, Motion, Relational}
+import graft.operators.{Components, Events, HMRF, Hough, Motion, Relational}
+import graft.sources.ImageSource
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.similarity.Similarity
@@ -34,6 +35,7 @@ object SparkEntry {
     "j_semi_join" -> ((s, d) => Relational.semiJoinOpenOrders(s, d)),
     "j_outer_join" -> ((s, d) => Relational.outerJoinNationCustomers(s, d)),
     "j1_frequent_pairs" -> ((s, d) => Events.frequentPairs(s, d)),
+    "fp_growth_pairs" -> ((s, d) => Events.frequentPairsFP(s, d)),
     // --- aggregations (§2.4) ---
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
@@ -41,6 +43,7 @@ object SparkEntry {
     "q10_returned_revenue" -> ((s, d) => Relational.returnedItemRevenue(s, d)),
     "a3_top_event_types" -> ((s, d) => Events.topEventTypes(s, d)),
     "a4_distinct_users" -> ((s, d) => Events.distinctUsersPerType(s, d)),
+    "a7_value_stats" -> ((s, d) => Events.valueStats(s, d)),
     "a8_percentiles" -> ((s, d) => Relational.quantityPercentiles(s, d)),
     "a15_rate_limit" -> ((s, d) => Events.rateLimitAdmitDeny(s, d)),
     "rollup_acctbal" -> ((s, d) => Relational.rollupAcctbal(s, d)),
@@ -60,6 +63,11 @@ object SparkEntry {
     "motion_decisions" -> ((s, _) => Motion.decisions(s)),
     // --- Hough pipeline (§2.4 A9, §2.5 W3, §2.4 A14, §2.2 P5) ---
     "hough_best_circle" -> ((s, _) => Hough.bestCircleQuery(s)),
+    // --- HMRF pipeline (§2.2 P6, §2.4 A10, §2.10 U6, §2.5 W5) ---
+    "hmrf_estep_stats" -> ((s, _) => HMRF.estepClassStatsQuery(s)),
+    "a13_largest_component" -> ((s, _) => Components.largestComponentQuery(s)),
+    // --- multimodal binary columns (north star; §2.1 S7/S9, §2.10 U1) ---
+    "img_decode_stats" -> ((s, _) => ImageSource.imgDecodeStatsQuery(s)),
     // --- streaming-shaped batch (§2.9) ---
     "st2_events_per_hour" -> ((s, d) => Events.eventsPerHour(s, d)),
     // --- text analysis (north star) ---
@@ -110,6 +118,20 @@ object SparkEntry {
         |FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_type < b.event_type
         |GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY support DESC, type_a, type_b""".stripMargin,
+    // FPGrowth restricted to size-2 itemsets computes exactly the pair
+    // counts of j1 (freq of {a,b} = #users whose distinct-type set
+    // contains both), so it shares the same oracle text.
+    "fp_growth_pairs" ->
+      """WITH ev AS (SELECT DISTINCT user_id, event_type FROM events)
+        |SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS support
+        |FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY support DESC, type_a, type_b""".stripMargin,
+    "a7_value_stats" ->
+      """SELECT event_type, round(avg(value), 4) AS avg_value,
+        |  round(stddev_pop(value), 4) AS std_pop,
+        |  round(stddev_samp(value), 4) AS std_samp
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -348,6 +370,45 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY img_id ORDER BY votes DESC, y0, x0) AS rn
         |  FROM nms) t
         |WHERE rn = 1 ORDER BY img_id""".stripMargin,
+    "hmrf_estep_stats" ->
+      """WITH vox AS (
+        |  SELECT CAST(z.z AS INTEGER) AS z, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |    (z.z - 8) * (z.z - 8) * 1.5 + (y.y - 12) * (y.y - 12) + (x.x - 12) * (x.x - 12) AS d2
+        |  FROM range(0, 16) z(z), range(0, 24) y(y), range(0, 24) x(x)),
+        |masked AS (
+        |  SELECT z, y, x,
+        |    CASE WHEN d2 < 23.52 THEN 0 WHEN d2 < 37.3919 THEN 1 ELSE 2 END AS tl
+        |  FROM vox WHERE d2 < 49),
+        |v AS (
+        |  SELECT z, y, x,
+        |    0.25 + tl * 0.25 + ((z * 73 + y * 179 + x * 283 + 9337) % 2000 - 1000) / 1000.0 * 0.13 AS intensity
+        |  FROM masked),
+        |e AS (
+        |  SELECT intensity,
+        |    (intensity - 0.25) * (intensity - 0.25) * 0.5 / 0.010001 AS e0,
+        |    (intensity - 0.5) * (intensity - 0.5) * 0.5 / 0.010001 AS e1,
+        |    (intensity - 0.75) * (intensity - 0.75) * 0.5 / 0.010001 AS e2
+        |  FROM v),
+        |lab AS (
+        |  SELECT intensity,
+        |    CASE WHEN e0 <= e1 AND e0 <= e2 THEN 0 WHEN e1 <= e2 THEN 1 ELSE 2 END AS label
+        |  FROM e)
+        |SELECT label, count(*) AS n_voxels, round(avg(intensity), 4) AS mean_intensity,
+        |  round(var_pop(intensity), 6) AS var_intensity
+        |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a13_largest_component" ->
+      """SELECT CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |  CAST(131 AS BIGINT) AS component, CAST(48 AS BIGINT) AS component_size
+        |FROM range(2, 10) y(y), range(3, 9) x(x)
+        |ORDER BY y, x""".stripMargin,
+    "img_decode_stats" ->
+      """SELECT CAST(k.k AS INTEGER) AS img_id, 64 AS width, 48 AS height,
+        |  count(*) AS n_pixels,
+        |  round(avg((x.x * 7 + y.y * 13 + k.k * 31) % 256), 4) AS mean_v,
+        |  CAST(min((x.x * 7 + y.y * 13 + k.k * 31) % 256) AS INTEGER) AS min_v,
+        |  CAST(max((x.x * 7 + y.y * 13 + k.k * 31) % 256) AS INTEGER) AS max_v
+        |FROM range(0, 8) k(k), range(0, 48) y(y), range(0, 64) x(x)
+        |GROUP BY 1 ORDER BY img_id""".stripMargin,
     "st2_events_per_hour" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
         |  count(*) AS n, round(avg(value), 4) AS avg_value

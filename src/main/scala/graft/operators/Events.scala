@@ -33,6 +33,50 @@ object Events {
       .orderBy(col("support").desc, col("type_a"), col("type_b"))
   }
 
+  /** A2 scale path — the same frequent-pairs surface via spark.ml
+    * FPGrowth (SURVEY §2.4: at 100 TB the FP-tree prunes the candidate
+    * space instead of enumerating every pair). Transactions = distinct
+    * event-type sets per user; output restricted to size-2 itemsets in
+    * canonical order so it hash-matches the j1_frequent_pairs oracle.
+    * minSupport is passed as (minCount - 0.5)/nTransactions so integer
+    * frequencies land strictly inside the threshold (no float-boundary
+    * ambiguity). */
+  def frequentPairsFP(spark: SparkSession, dir: String, minSupport: Long = 5L): DataFrame = {
+    import org.apache.spark.ml.fpm.FPGrowth
+    val tx = Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(collect_set(col("event_type")).as("items"))
+      .cache()
+    val n = tx.count()
+    val model = new FPGrowth()
+      .setItemsCol("items")
+      .setMinSupport((minSupport - 0.5) / n)
+      .setMinConfidence(0.5)
+      .fit(tx)
+    val out = model.freqItemsets
+      .filter(size(col("items")) === 2)
+      .withColumn("sorted", array_sort(col("items")))
+      .select(
+        col("sorted").getItem(0).as("type_a"),
+        col("sorted").getItem(1).as("type_b"),
+        col("freq").as("support"))
+      .orderBy(col("support").desc, col("type_a"), col("type_b"))
+    tx.unpersist()
+    out
+  }
+
+  /** A7 — mean/stddev per group (normalization-stats family,
+    * motion_codec.py:48-50): population and sample stddev of event
+    * values per type. */
+  def valueStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(
+        round(avg("value"), 4).as("avg_value"),
+        round(stddev_pop(col("value")), 4).as("std_pop"),
+        round(stddev_samp(col("value")), 4).as("std_samp"))
+      .orderBy("event_type")
+
   /** A1/A3/A5 — top-k most frequent event types (services.py:27-30
     * `Counter.most_common(5)`). Planned as TakeOrderedAndProject. */
   def topEventTypes(spark: SparkSession, dir: String, k: Int = 5): DataFrame =

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Components
+
+/** A13 golden tests: component labeling on planted blobs and the
+  * keep-largest filter (scipy.ndimage.label + size-argmax semantics). */
+class ComponentsSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  // two rectangular blobs (8x6=48 and 4x4=16 cells), an L-shaped blob
+  // connected only through a 1-px bridge, and two isolated pixels
+  private val blobA = for (y <- 2 to 9; x <- 3 to 8) yield (y, x)
+  private val blobB = for (y <- 20 to 23; x <- 20 to 23) yield (y, x)
+  private val bridge = Seq((12, 1), (12, 2), (12, 3), (13, 3), (14, 3))
+  private val isolated = Seq((0, 30), (30, 0))
+  private val mask = (blobA ++ blobB ++ bridge ++ isolated).toDF("y", "x")
+
+  test("labeling groups 4-connected cells and separates disjoint blobs") {
+    val labeled = Components.label(mask, width = 64).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(labeled.size === mask.count())
+    def componentOf(cells: Seq[(Int, Int)]): Set[Long] = cells.map(labeled(_)).toSet
+    assert(componentOf(blobA).size === 1)
+    assert(componentOf(blobB).size === 1)
+    assert(componentOf(bridge).size === 1) // connected through the bridge
+    assert(componentOf(isolated).size === 2) // two distinct singletons
+    // all four groups are mutually distinct components
+    val ids = Seq(componentOf(blobA).head, componentOf(blobB).head,
+      componentOf(bridge).head) ++ componentOf(isolated)
+    assert(ids.distinct.size === 5)
+  }
+
+  test("largest-component filter keeps exactly the biggest blob") {
+    val labeled = Components.label(mask, width = 64)
+    val kept = Components.largestComponent(labeled)
+      .select("y", "x").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(kept === blobA.toSet)
+  }
+}

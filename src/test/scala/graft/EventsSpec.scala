@@ -50,6 +50,14 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("FPGrowth pairs equal the self-join pair counts at the same min-support") {
+    val viaJoin = Events.frequentPairs(spark, sf0001, minSupport = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val viaFP = Events.frequentPairsFP(spark, sf0001, minSupport = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaFP === viaJoin)
+  }
+
   test("top event types are ordered by count desc") {
     val rows = Events.topEventTypes(spark, sf0001).collect()
     assert(rows.length === 5)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Components, Events, HMRF, Hough, Motion, Relational}
+import graft.operators.{Components, Events, HMRF, Hough, Motion, Relational, Vision}
 import graft.sources.ImageSource
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
@@ -66,6 +66,9 @@ object SparkEntry {
     // --- HMRF pipeline (§2.2 P6, §2.4 A10, §2.10 U6, §2.5 W5) ---
     "hmrf_estep_stats" -> ((s, _) => HMRF.estepClassStatsQuery(s)),
     "a13_largest_component" -> ((s, _) => Components.largestComponentQuery(s)),
+    // --- vision kernels (§2.8 F11 / U2) ---
+    "u2_otsu" -> ((s, _) => Vision.otsuQuery(s)),
+    "u2_sobel" -> ((s, _) => Vision.sobelQuery(s)),
     // --- multimodal binary columns (north star; §2.1 S7/S9, §2.10 U1) ---
     "img_decode_stats" -> ((s, _) => ImageSource.imgDecodeStatsQuery(s)),
     // --- streaming-shaped batch (§2.9) ---
@@ -401,6 +404,57 @@ object SparkEntry {
         |  CAST(131 AS BIGINT) AS component, CAST(48 AS BIGINT) AS component_size
         |FROM range(2, 10) y(y), range(3, 9) x(x)
         |ORDER BY y, x""".stripMargin,
+    "u2_otsu" ->
+      """WITH px AS MATERIALIZED (
+        |  SELECT CAST(k.k AS INTEGER) AS img_id, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |    (CASE WHEN y.y BETWEEN 12 AND 35 AND x.x BETWEEN 16 AND 47 THEN 200 ELSE 40 + k.k * 3 END
+        |     + (x.x * 11 + y.y * 17 + k.k * 7) % 41 - 20) AS v
+        |  FROM range(0, 4) k(k), range(0, 48) y(y), range(0, 64) x(x)),
+        |hist AS (SELECT img_id, v, count(*) AS n FROM px GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT img_id, v, n,
+        |    sum(n) OVER (PARTITION BY img_id ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    sum(n * v) OVER (PARTITION BY img_id ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_s,
+        |    sum(n) OVER (PARTITION BY img_id) AS tot_n,
+        |    sum(n * v) OVER (PARTITION BY img_id) AS tot_s
+        |  FROM hist),
+        |scored AS (
+        |  SELECT img_id, v,
+        |    cum_n * (tot_n - cum_n) * ((cum_s * 1.0 / cum_n) - ((tot_s - cum_s) * 1.0 / (tot_n - cum_n)))
+        |      * ((cum_s * 1.0 / cum_n) - ((tot_s - cum_s) * 1.0 / (tot_n - cum_n))) AS sigma_b
+        |  FROM cum WHERE cum_n > 0 AND cum_n < tot_n),
+        |best AS (
+        |  SELECT img_id, CAST(v AS INTEGER) AS threshold FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY img_id ORDER BY sigma_b DESC, v) AS rn
+        |    FROM scored) WHERE rn = 1)
+        |SELECT p.img_id, b.threshold,
+        |  CAST(sum(CASE WHEN p.v <= b.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |  CAST(sum(CASE WHEN p.v > b.threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM px p JOIN best b ON p.img_id = b.img_id
+        |GROUP BY 1, 2 ORDER BY p.img_id""".stripMargin,
+    "u2_sobel" ->
+      """WITH px AS MATERIALIZED (
+        |  SELECT CAST(k.k AS INTEGER) AS img_id, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |    (CASE WHEN y.y BETWEEN 12 AND 35 AND x.x BETWEEN 16 AND 47 THEN 200 ELSE 40 + k.k * 3 END
+        |     + (x.x * 11 + y.y * 17 + k.k * 7) % 41 - 20) AS v
+        |  FROM range(0, 4) k(k), range(0, 48) y(y), range(0, 64) x(x)),
+        |kern AS (
+        |  SELECT dy.dy, dx.dx,
+        |    dx.dx * (CASE WHEN dy.dy = 0 THEN 2 ELSE 1 END) AS wx,
+        |    dy.dy * (CASE WHEN dx.dx = 0 THEN 2 ELSE 1 END) AS wy
+        |  FROM range(-1, 2) dy(dy), range(-1, 2) dx(dx)),
+        |taps AS (
+        |  SELECT p.img_id, p.y + k.dy AS cy, p.x + k.dx AS cx,
+        |    p.v * k.wx AS tx, p.v * k.wy AS ty
+        |  FROM px p CROSS JOIN kern k),
+        |grad AS (
+        |  SELECT img_id, cy, cx, sum(tx) AS gx, sum(ty) AS gy,
+        |    sqrt(CAST(sum(tx) * sum(tx) + sum(ty) * sum(ty) AS DOUBLE)) AS gmag
+        |  FROM taps WHERE cy BETWEEN 1 AND 46 AND cx BETWEEN 1 AND 62
+        |  GROUP BY 1, 2, 3)
+        |SELECT img_id, count(*) AS n_interior, round(avg(gmag), 4) AS avg_gmag,
+        |  CAST(max(abs(gx)) AS BIGINT) AS max_abs_gx, CAST(max(abs(gy)) AS BIGINT) AS max_abs_gy
+        |FROM grad GROUP BY 1 ORDER BY img_id""".stripMargin,
     "img_decode_stats" ->
       """SELECT CAST(k.k AS INTEGER) AS img_id, 64 AS width, 48 AS height,
         |  count(*) AS n_pixels,

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** U2 vision kernels re-expressed relationally (SURVEY §2.8 F11): the
+  * reference's per-image OpenCV/scipy calls become neighbor joins and
+  * windowed scans over (img_id, y, x, v) pixel relations, so they
+  * distribute and feed the same explode→agg spine as Hough/Motion.
+  *
+  *  - Otsu threshold (hough_heart_detector2.py:121-126): 256-bin
+  *    histogram → prefix sums → maximize between-class variance
+  *    ω0·ω1·(μ0−μ1)². Everything up to the final ratio is integer
+  *    arithmetic, so the argmax is engine-exact and oracle-checkable.
+  *  - Sobel gradient magnitude (hough_heart_detector2.py:128-133): the
+  *    3×3 stencil as a 9-offset weighted neighbor join; interior pixels
+  *    only (the reference relies on OpenCV's border replication — we
+  *    declare interior-only semantics instead of replicating pads).
+  *  - Binary morphology erode/dilate/open/close
+  *    (brain_segmentation.py:93-96): scipy's default cross structuring
+  *    element = {self, 4-neighbors}; erode keeps cells whose whole
+  *    element is present (count == 5), dilate unions the element.
+  *
+  * Scale notes: all kernels shuffle on (img_id, y, x) — one early
+  * repartition by img_id keeps every stencil join image-local; the
+  * Otsu scan reduces each image to 256 histogram rows before any
+  * window runs. */
+object Vision {
+
+  /** Synthetic bimodal test images: a bright rectangle (level 200) on a
+    * dark background (level 40 + 3k), deterministic ±20 mod-hash noise —
+    * two well-separated histogram modes per image. */
+  def syntheticBimodal(spark: SparkSession, nImages: Int = 4, h: Int = 48, w: Int = 64): DataFrame =
+    spark.range(nImages).select(col("id").cast("int").as("img_id"))
+      .withColumn("y", explode(sequence(lit(0), lit(h - 1))))
+      .withColumn("x", explode(sequence(lit(0), lit(w - 1))))
+      .withColumn("base",
+        when(col("y").between(12, 35) && col("x").between(16, 47), 200)
+          .otherwise(lit(40) + col("img_id") * 3))
+      .withColumn("v", col("base") + (col("x") * 11 + col("y") * 17 + col("img_id") * 7) % 41 - 20)
+      .select("img_id", "y", "x", "v")
+
+  /** Otsu's threshold per image: returns (img_id, threshold) where
+    * threshold maximizes between-class variance (first max wins, like
+    * np.argmax). */
+  def otsu(pixels: DataFrame): DataFrame = {
+    val hist = pixels.groupBy("img_id", "v").agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy("img_id").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("img_id")
+    val scored = hist
+      .withColumn("cum_n", sum("n").over(wCum))
+      .withColumn("cum_s", sum(col("n") * col("v")).over(wCum))
+      .withColumn("tot_n", sum("n").over(wAll))
+      .withColumn("tot_s", sum(col("n") * col("v")).over(wAll))
+      .filter(col("cum_n") > 0 && col("cum_n") < col("tot_n"))
+      .withColumn("mu0", col("cum_s") / col("cum_n"))
+      .withColumn("mu1", (col("tot_s") - col("cum_s")) / (col("tot_n") - col("cum_n")))
+      .withColumn("sigma_b",
+        col("cum_n") * (col("tot_n") - col("cum_n")) * (col("mu0") - col("mu1")) * (col("mu0") - col("mu1")))
+    val wBest = Window.partitionBy("img_id").orderBy(col("sigma_b").desc, col("v"))
+    scored.withColumn("rn", row_number().over(wBest)).filter(col("rn") === 1)
+      .select(col("img_id"), col("v").as("threshold"))
+  }
+
+  /** Sobel gradient magnitude on interior pixels: 9-offset weighted
+    * neighbor join; returns (img_id, y, x, gx, gy, gmag). */
+  def sobel(pixels: DataFrame, h: Int, w: Int): DataFrame = {
+    val kernel = for (dy <- -1 to 1; dx <- -1 to 1) yield {
+      val wx = dx * (if (dy == 0) 2 else 1) // Sobel x kernel
+      val wy = dy * (if (dx == 0) 2 else 1) // Sobel y kernel
+      (dy, dx, wx, wy)
+    }
+    val taps = pixels.withColumn("k", explode(array(kernel.map { case (dy, dx, wx, wy) =>
+        struct(lit(dy).as("dy"), lit(dx).as("dx"), lit(wx).as("wx"), lit(wy).as("wy")) }: _*)))
+      .select(col("img_id"),
+        (col("y") + col("k.dy")).as("cy"), (col("x") + col("k.dx")).as("cx"),
+        (col("v") * col("k.wx")).as("tx"), (col("v") * col("k.wy")).as("ty"))
+      .filter(col("cy").between(1, h - 2) && col("cx").between(1, w - 2))
+    taps.groupBy(col("img_id"), col("cy").as("y"), col("cx").as("x"))
+      .agg(sum("tx").as("gx"), sum("ty").as("gy"))
+      .withColumn("gmag", sqrt(col("gx") * col("gx") + col("gy") * col("gy")))
+  }
+
+  private val cross = Seq((0, 0), (-1, 0), (1, 0), (0, -1), (0, 1))
+
+  /** Binary erosion with the scipy-default cross element: keep cells
+    * whose full element lies in the mask. */
+  def erode(mask: DataFrame): DataFrame = {
+    val taps = mask.withColumn("o", explode(array(cross.map { case (dy, dx) =>
+        struct(lit(dy).as("dy"), lit(dx).as("dx")) }: _*)))
+      .select(col("img_id"), (col("y") - col("o.dy")).as("y"), (col("x") - col("o.dx")).as("x"))
+    // hits == |element| implies the center itself is present (the (0,0)
+    // tap), so no re-join against the mask is needed
+    taps.groupBy("img_id", "y", "x").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === cross.length)
+      .select("img_id", "y", "x")
+  }
+
+  /** Binary dilation with the cross element: union of shifted copies. */
+  def dilate(mask: DataFrame): DataFrame =
+    mask.withColumn("o", explode(array(cross.map { case (dy, dx) =>
+        struct(lit(dy).as("dy"), lit(dx).as("dx")) }: _*)))
+      .select(col("img_id"), (col("y") + col("o.dy")).as("y"), (col("x") + col("o.dx")).as("x"))
+      .distinct()
+
+  /** Opening (erode then dilate) removes specks smaller than the
+    * element; closing (dilate then erode) fills pinholes —
+    * brain_segmentation.py:93-96's cleanup pair. */
+  def open(mask: DataFrame): DataFrame = dilate(erode(mask))
+  def close(mask: DataFrame): DataFrame = erode(dilate(mask))
+
+  /** Oracle-checkable queries: per-image Otsu thresholds with class
+    * counts, and Sobel gradient stats. */
+  def otsuQuery(spark: SparkSession): DataFrame = {
+    val px = syntheticBimodal(spark)
+    val th = otsu(px)
+    px.join(th, Seq("img_id"))
+      .groupBy("img_id", "threshold")
+      .agg(
+        sum(when(col("v") <= col("threshold"), 1L).otherwise(0L)).as("n_below"),
+        sum(when(col("v") > col("threshold"), 1L).otherwise(0L)).as("n_above"))
+      .orderBy("img_id")
+  }
+
+  def sobelQuery(spark: SparkSession): DataFrame =
+    sobel(syntheticBimodal(spark), h = 48, w = 64)
+      .groupBy("img_id")
+      .agg(
+        count(lit(1)).as("n_interior"),
+        round(avg("gmag"), 4).as("avg_gmag"),
+        max(abs(col("gx"))).as("max_abs_gx"),
+        max(abs(col("gy"))).as("max_abs_gy"))
+      .orderBy("img_id")
+}

@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Minimal DICOM reader (SURVEY §2.1 S8/S10, §2.10 U1 — the "biggest
+  * external-dep risk": the reference leans on pydicom,
+  * hough_heart_detector.py:42-84 and brain_segmentation.py:25-64; we
+  * scope to UNCOMPRESSED EXPLICIT-VR LITTLE-ENDIAN, enough for the
+  * synthetic fixtures, and keep decode behind one UDF so a fuller
+  * parser can swap in).
+  *
+  * Covered reference semantics:
+  *  - magic sniff: 128-byte preamble + "DICM" (`:24-32`).
+  *  - pixel rescale: value·RescaleSlope + RescaleIntercept (`:56-60`).
+  *  - series assembly (S10): sort slices by ImagePositionPatient[2],
+  *    falling back to InstanceNumber (`brain_segmentation.py:41-48`) —
+  *    the Python list.sort becomes an orderBy / rank window (O2/W4).
+  *
+  * Parsing is a flat walk of explicit-VR elements: (group, elem,
+  * VR[2]); OB/OW/OF/SQ/UT/UN carry 2 reserved bytes + 4-byte length,
+  * every other VR a 2-byte length. We extract only the tags the
+  * pipelines consume and the 16-bit unsigned PixelData payload. */
+object Dicom {
+
+  case class Slice(rows: Int, cols: Int, zPos: Double, instance: Int,
+                   slope: Double, intercept: Double, pixels: Array[Double])
+
+  /** Parse one uncompressed explicit-VR-LE DICOM file; pixels are
+    * already rescaled (slope·raw + intercept). */
+  def parse(bytes: Array[Byte]): Slice = {
+    require(ImageSource.sniffType(bytes) == "dicom", "missing DICM magic")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    buf.position(132)
+    var rows, cols, instance = 0
+    var zPos = Double.NaN
+    var slope = 1.0
+    var intercept = 0.0
+    var raw: Array[Int] = null
+    val longVRs = Set("OB", "OW", "OF", "SQ", "UT", "UN")
+    while (buf.remaining() >= 8) {
+      val group = buf.getShort() & 0xffff
+      val elem = buf.getShort() & 0xffff
+      val vr = new String(Array(buf.get(), buf.get()).map(_.toChar))
+      val len =
+        if (longVRs(vr)) { buf.getShort(); buf.getInt() }
+        else buf.getShort() & 0xffff
+      val start = buf.position()
+      def str: String = new String(bytes, start, len, "US-ASCII").trim
+      (group, elem) match {
+        case (0x0028, 0x0010) => rows = buf.getShort() & 0xffff
+        case (0x0028, 0x0011) => cols = buf.getShort() & 0xffff
+        case (0x0028, 0x1052) => intercept = str.toDouble
+        case (0x0028, 0x1053) => slope = str.toDouble
+        case (0x0020, 0x0013) => instance = str.toInt
+        case (0x0020, 0x0032) =>
+          val parts = str.split("\\\\")
+          if (parts.length >= 3) zPos = parts(2).toDouble
+        case (0x7fe0, 0x0010) =>
+          raw = Array.tabulate(len / 2)(i => buf.getShort(start + i * 2) & 0xffff)
+        case _ => ()
+      }
+      buf.position(start + len)
+    }
+    require(raw != null && rows > 0 && cols > 0, "no PixelData / dimensions")
+    Slice(rows, cols, zPos, instance, slope, intercept,
+      raw.map(v => v * slope + intercept))
+  }
+
+  val parseUdf = udf { bytes: Array[Byte] => parse(bytes) }
+
+  /** S10 — series reader: binary files → parsed slices → z index by
+    * ImagePositionPatient[2] (InstanceNumber fallback), exactly the
+    * reference's sort key (brain_segmentation.py:41-48). Output:
+    * (z, rows, cols, z_pos, pixels). */
+  def readSeries(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(
+      when(isnan(col("s.zPos")), col("s.instance").cast("double")).otherwise(col("s.zPos")),
+      col("s.instance"))
+    ImageSource.readBinary(spark, dir, "*.dcm")
+      .withColumn("s", parseUdf(col("content")))
+      .withColumn("z", row_number().over(w) - 1)
+      .select(col("z"), col("s.rows").as("rows"), col("s.cols").as("cols"),
+        col("s.zPos").as("z_pos"), col("s.pixels").as("pixels"))
+  }
+
+  /** Long-format voxels from a series (feeds graft.operators.HMRF). */
+  def voxels(series: DataFrame): DataFrame =
+    series
+      .select(col("z"), col("cols"), posexplode(col("pixels")).as(Seq("i", "intensity")))
+      .select(col("z"),
+        (col("i") / col("cols")).cast("int").as("y"),
+        (col("i") % col("cols")).cast("int").as("x"),
+        col("intensity"))
+
+  // ---- synthetic fixture generator (tests only write what the parser
+  // reads: explicit VR LE, uncompressed) ----
+
+  private def elemShort(out: ByteArrayOutputStream, group: Int, elem: Int, vr: String, v: Int): Unit =
+    writeElem(out, group, elem, vr, {
+      val b = ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN); b.putShort(v.toShort); b.array()
+    })
+
+  private def elemStr(out: ByteArrayOutputStream, group: Int, elem: Int, vr: String, s: String): Unit = {
+    val padded = if (s.length % 2 == 1) s + " " else s
+    writeElem(out, group, elem, vr, padded.getBytes("US-ASCII"))
+  }
+
+  private def writeElem(out: ByteArrayOutputStream, group: Int, elem: Int, vr: String,
+                        payload: Array[Byte]): Unit = {
+    val longVR = Set("OB", "OW", "OF", "SQ", "UT", "UN")(vr)
+    val b = ByteBuffer.allocate(8 + (if (longVR) 4 else 0) + payload.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.putShort(group.toShort); b.putShort(elem.toShort)
+    b.put(vr.charAt(0).toByte); b.put(vr.charAt(1).toByte)
+    if (longVR) { b.putShort(0); b.putInt(payload.length) }
+    else b.putShort(payload.length.toShort)
+    b.put(payload)
+    out.write(b.array())
+  }
+
+  /** Generate one synthetic uncompressed explicit-VR-LE DICOM slice. */
+  def synthesize(rows: Int, cols: Int, zPos: Double, instance: Int,
+                 slope: Double, intercept: Double, raw: Array[Int]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(new Array[Byte](128))
+    out.write("DICM".getBytes("US-ASCII"))
+    elemStr(out, 0x0020, 0x0013, "IS", instance.toString)
+    elemStr(out, 0x0020, 0x0032, "DS", s"0\\0\\$zPos")
+    elemShort(out, 0x0028, 0x0010, "US", rows)
+    elemShort(out, 0x0028, 0x0011, "US", cols)
+    elemShort(out, 0x0028, 0x0100, "US", 16)
+    elemStr(out, 0x0028, 0x1052, "DS", intercept.toString)
+    elemStr(out, 0x0028, 0x1053, "DS", slope.toString)
+    val px = ByteBuffer.allocate(raw.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+    raw.foreach(v => px.putShort(v.toShort))
+    writeElem(out, 0x7fe0, 0x0010, "OW", px.array())
+    out.toByteArray
+  }
+}

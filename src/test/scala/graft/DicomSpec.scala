@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Dicom
+
+/** DICOM subset coverage (S8/S10/U1): parse round-trip with rescale,
+  * series ordering by ImagePositionPatient z with shuffled file order,
+  * and long-format voxel extraction. */
+class DicomSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("parse applies RescaleSlope/Intercept and recovers dimensions") {
+    val raw = Array.tabulate(8 * 6)(i => i * 10)
+    val bytes = Dicom.synthesize(rows = 6, cols = 8, zPos = 4.5, instance = 7,
+      slope = 2.0, intercept = -100.0, raw = raw)
+    val s = Dicom.parse(bytes)
+    assert((s.rows, s.cols, s.instance) === ((6, 8, 7)))
+    assert(s.zPos === 4.5)
+    assert(s.pixels.length === 48)
+    assert(s.pixels(5) === raw(5) * 2.0 - 100.0)
+  }
+
+  test("series reader orders slices by z position regardless of file order") {
+    val dir = Files.createTempDirectory("graft_dcm_").toFile
+    dir.deleteOnExit()
+    // write slices with shuffled z positions; pixel value encodes slice id
+    val zOrder = Seq(3.0, 1.0, 4.0, 2.0, 0.0)
+    zOrder.zipWithIndex.foreach { case (z, i) =>
+      val raw = Array.fill(4 * 4)((z * 100).toInt)
+      Files.write(new java.io.File(dir, s"slice_$i.dcm").toPath,
+        Dicom.synthesize(4, 4, z, instance = i, slope = 1.0, intercept = 0.0, raw))
+    }
+    val series = Dicom.readSeries(spark, dir.getAbsolutePath)
+      .select("z", "z_pos").collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(series === Map(0 -> 0.0, 1 -> 1.0, 2 -> 2.0, 3 -> 3.0, 4 -> 4.0))
+    // voxel extraction: z=2 slice carries intensity 200
+    val vox = Dicom.voxels(Dicom.readSeries(spark, dir.getAbsolutePath))
+    val v = vox.filter(col("z") === 2).agg(min("intensity"), max("intensity")).collect()(0)
+    assert(v.getDouble(0) === 200.0 && v.getDouble(1) === 200.0)
+    assert(vox.count() === 5L * 16L)
+  }
+}

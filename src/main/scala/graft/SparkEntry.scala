@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Components, Events, HMRF, Hough, Motion, Relational, Vision}
+import graft.operators.{BlockMatch, Components, Events, HMRF, Hough, Motion, Relational, Vision}
 import graft.sources.ImageSource
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
@@ -58,13 +58,16 @@ object SparkEntry {
     "f2_buckets" -> ((s, d) => Relational.acctbalBuckets(s, d)),
     "f7_orders_by_month" -> ((s, d) => Relational.ordersByMonth(s, d)),
     "f9_json_props" -> ((s, d) => Events.jsonPropsStats(s, d)),
+    "f6_minmax_norm" -> ((s, d) => Relational.minmaxNormalize(s, d)),
     // --- motion pipeline (§2.3 J3, §2.4 A6-A8, §2.5 W1/W2, §2.9 ST3) ---
     "motion_frame_stats" -> ((s, _) => Motion.frameStatsQuery(s)),
     "motion_decisions" -> ((s, _) => Motion.decisions(s)),
+    "u4_method_metrics" -> ((s, _) => BlockMatch.methodMetricsQuery(s)),
     // --- Hough pipeline (§2.4 A9, §2.5 W3, §2.4 A14, §2.2 P5) ---
     "hough_best_circle" -> ((s, _) => Hough.bestCircleQuery(s)),
     // --- HMRF pipeline (§2.2 P6, §2.4 A10, §2.10 U6, §2.5 W5) ---
     "hmrf_estep_stats" -> ((s, _) => HMRF.estepClassStatsQuery(s)),
+    "w4_mid_slice" -> ((s, _) => HMRF.midSliceQuery(s)),
     "a13_largest_component" -> ((s, _) => Components.largestComponentQuery(s)),
     // --- vision kernels (§2.8 F11 / U2) ---
     "u2_otsu" -> ((s, _) => Vision.otsuQuery(s)),
@@ -373,6 +376,30 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY img_id ORDER BY votes DESC, y0, x0) AS rn
         |  FROM nms) t
         |WHERE rn = 1 ORDER BY img_id""".stripMargin,
+    "f6_minmax_norm" ->
+      """SELECT c_custkey, c_nationkey,
+        |  round(CASE WHEN hi = lo THEN 0.0 ELSE (c_acctbal - lo) / (hi - lo) END, 4) AS bal_norm
+        |FROM (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    min(c_acctbal) OVER (PARTITION BY c_nationkey) AS lo,
+        |    max(c_acctbal) OVER (PARTITION BY c_nationkey) AS hi
+        |  FROM customer) t
+        |ORDER BY c_custkey""".stripMargin,
+    "w4_mid_slice" ->
+      """WITH vox AS (
+        |  SELECT CAST(z.z AS INTEGER) AS z, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |    (z.z - 8) * (z.z - 8) * 1.5 + (y.y - 12) * (y.y - 12) + (x.x - 12) * (x.x - 12) AS d2
+        |  FROM range(0, 16) z(z), range(0, 24) y(y), range(0, 24) x(x)),
+        |masked AS (
+        |  SELECT z, y, x,
+        |    CASE WHEN d2 < 23.52 THEN 0 WHEN d2 < 37.3919 THEN 1 ELSE 2 END AS tl
+        |  FROM vox WHERE d2 < 49),
+        |v AS (
+        |  SELECT z, tl AS true_label,
+        |    0.25 + tl * 0.25 + ((z * 73 + y * 179 + x * 283 + 9337) % 2000 - 1000) / 1000.0 * 0.13 AS intensity
+        |  FROM masked)
+        |SELECT true_label, count(*) AS n, round(avg(intensity), 4) AS mean_intensity
+        |FROM v WHERE z = 8 GROUP BY 1 ORDER BY 1""".stripMargin,
     "hmrf_estep_stats" ->
       """WITH vox AS (
         |  SELECT CAST(z.z AS INTEGER) AS z, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,

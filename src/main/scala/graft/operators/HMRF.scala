@@ -207,6 +207,16 @@ object HMRF {
     (result, params)
   }
 
+  /** W4/O2 — ordered slice navigation (brain_segmentation.py:41-48
+    * mid-slice selection `Z//2`, viewer prev/next): per-true-label
+    * stats of the middle z slice of the phantom. */
+  def midSliceQuery(spark: SparkSession, nz: Int = 16): DataFrame =
+    phantom(spark, nz = nz)
+      .filter(col("z") === nz / 2)
+      .groupBy("true_label")
+      .agg(count(lit(1)).as("n"), round(avg("intensity"), 4).as("mean_intensity"))
+      .orderBy("true_label")
+
   /** Oracle-checkable slice (A10/U6/P6/W5 without the un-SQL-able
     * K-means): one β=0 E-step from fixed literal params on the phantom,
     * then per-class stats — count, mean, variance. */

@@ -271,6 +271,26 @@ object Relational {
       .orderBy("region", "nation")
   }
 
+  /** F6 — min-max normalization within a group (reference
+    * hough_heart_detector.py:71-73 `(arr-mn)/(mx-mn)*255`,
+    * brain_segmentation.py:67-72): account balances rescaled to [0,1]
+    * within each nation via window min/max (the per-image/per-volume
+    * normalization pattern, grouped). Degenerate groups (max == min)
+    * normalize to 0 like the reference's eps-guarded divide. */
+  def minmaxNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+    Tables(spark, dir, "customer")
+      .withColumn("lo", min("c_acctbal").over(w))
+      .withColumn("hi", max("c_acctbal").over(w))
+      .select(
+        col("c_custkey"), col("c_nationkey"),
+        round(
+          when(col("hi") === col("lo"), 0.0)
+            .otherwise((col("c_acctbal") - col("lo")) / (col("hi") - col("lo"))), 4)
+          .as("bal_norm"))
+      .orderBy("c_custkey")
+  }
+
   /** S5 — update-rewrite: read → conditional column rewrite → (would be
     * an overwrite sink; here the projected view). routers.py:124-136. */
   def updateRewrite(spark: SparkSession, dir: String): DataFrame =

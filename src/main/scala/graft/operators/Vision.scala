@@ -111,6 +111,23 @@ object Vision {
   def open(mask: DataFrame): DataFrame = dilate(erode(mask))
   def close(mask: DataFrame): DataFrame = erode(dilate(mask))
 
+  /** F5 — ellipse perimeter sampling
+    * (hough_heart_detector2.py:150-167): n parametric points of the
+    * rotated ellipse, as a relational generator (cos/sin/radians over a
+    * range — the candidate-scoring front end samples exactly these
+    * points before bilinear lookup). */
+  def ellipsePoints(spark: SparkSession, cy: Double, cx: Double, a: Double, b: Double,
+                    phiDeg: Double, n: Int = 72): DataFrame =
+    spark.range(n)
+      .withColumn("t", radians(col("id") * (360.0 / n)))
+      .withColumn("phi", radians(lit(phiDeg)))
+      .select(
+        col("id").as("i"),
+        (lit(cx) + lit(a) * cos(col("t")) * cos(col("phi"))
+          - lit(b) * sin(col("t")) * sin(col("phi"))).as("x"),
+        (lit(cy) + lit(a) * cos(col("t")) * sin(col("phi"))
+          + lit(b) * sin(col("t")) * cos(col("phi"))).as("y"))
+
   /** Oracle-checkable queries: per-image Otsu thresholds with class
     * counts, and Sobel gradient stats. */
   def otsuQuery(spark: SparkSession): DataFrame = {

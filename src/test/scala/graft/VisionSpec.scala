@@ -33,6 +33,19 @@ class VisionSpec extends AnyFunSuite {
     assert(onEdge > 200.0)
   }
 
+  test("ellipse sampling: circle case satisfies the implicit equation; atan2 recovers the angle") {
+    val pts = Vision.ellipsePoints(spark, cy = 10.0, cx = 20.0, a = 5.0, b = 5.0, phiDeg = 30.0)
+      .withColumn("r2", (col("x") - 20.0) * (col("x") - 20.0) + (col("y") - 10.0) * (col("y") - 10.0))
+      .withColumn("theta", atan2(col("y") - 10.0, col("x") - 20.0))
+      .collect()
+    assert(pts.length === 72)
+    pts.foreach { r =>
+      assert(math.abs(r.getAs[Double]("r2") - 25.0) < 1e-9)
+      val th = r.getAs[Double]("theta")
+      assert(th >= -math.Pi && th <= math.Pi)
+    }
+  }
+
   test("morphology: open removes single-pixel specks, close fills single-pixel holes") {
     val blob = for (y <- 10 to 20; x <- 10 to 20 if !(y == 15 && x == 15)) yield (0, y, x)
     val speck = Seq((0, 40, 40))

@@ -76,6 +76,7 @@ object SparkEntry {
     "img_decode_stats" -> ((s, _) => ImageSource.imgDecodeStatsQuery(s)),
     // --- streaming-shaped batch (§2.9) ---
     "st2_events_per_hour" -> ((s, d) => Events.eventsPerHour(s, d)),
+    "s16_json_shape" -> ((s, d) => Events.jsonShape(s, d)),
     // --- text analysis (north star) ---
     "txt_token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
@@ -538,6 +539,40 @@ object SparkEntry {
         |  md5(min(md5('0:' || shingle)) || min(md5('1:' || shingle)) ||
         |      min(md5('2:' || shingle)) || min(md5('3:' || shingle))) AS band0
         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "dedup_simhash" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, """.stripMargin
+        + (0 until 60).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+        + "\n  FROM h GROUP BY doc_id)\nSELECT doc_id, ("
+        + (0 until 60).map(b => s"CASE WHEN b$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END").mkString(" | ")
+        + ") AS simhash FROM bits ORDER BY doc_id"),
+    "dedup_simhash_pairs" ->
+      ("""WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, """.stripMargin
+        + (0 until 60).map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b").mkString(", ")
+        + "\n  FROM h GROUP BY doc_id),\nsigs AS (SELECT doc_id, ("
+        + (0 until 60).map(b => s"CASE WHEN b$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END").mkString(" | ")
+        + """) AS simhash FROM bits),
+        |banded AS (
+        |""".stripMargin
+        + (0 until 4).map(b =>
+            s"  SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${b * 15}) & 32767 AS band_key FROM sigs")
+          .mkString("\n  UNION ALL\n")
+        + """
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sig_a, b.simhash AS sig_b
+        |  FROM banded a JOIN banded b
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_minhash_pairs" ->
       ("""WITH sh AS (
         |  SELECT DISTINCT doc_id,

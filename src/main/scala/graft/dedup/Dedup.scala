@@ -119,32 +119,39 @@ object Dedup {
       .limit(k)
   }
 
-  /** 64-bit SimHash per document: per-bit majority vote over token
-    * xxhash64 values. Entirely relational: explode tokens → 64 per-bit
-    * signed sums → reassemble the sign bits into one long. */
+  /** SimHash bit width: 60 bits = 15 hex chars of md5, the widest slice
+    * that parses into a signed 64-bit int in every engine — the hash
+    * family must be engine-portable so the DuckDB oracle reproduces
+    * signatures bit-for-bit (xxhash64 exists only in Spark). */
+  val simhashBits = 60
+
+  /** 60-bit SimHash per document: per-bit majority vote over portable
+    * token hashes (first 15 md5 hex chars parsed as an integer).
+    * Entirely relational: explode tokens → per-bit signed sums →
+    * reassemble the sign bits into one long. */
   def simhash(docs: DataFrame): DataFrame = {
-    val bitSums = (0 until 64).map(bit =>
+    val bitSums = (0 until simhashBits).map(bit =>
       sum(when(expr(s"(h >> $bit) & 1") === 1, 1).otherwise(-1)).as(s"b$bit"))
-    val reassemble = (0 until 64)
+    val reassemble = (0 until simhashBits)
       .map(bit => s"IF(b$bit > 0, CAST(1 AS BIGINT) << $bit, CAST(0 AS BIGINT))")
       .mkString(" | ")
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)
       .withColumn("simhash", expr(reassemble))
       .select("doc_id", "simhash")
   }
 
-  /** SimHash near-dup candidates: band the 64-bit signature into 4
-    * 16-bit keys; pairs sharing a band have hamming distance ≤ 48
-    * guaranteed and are then exactly filtered by popcount ≤ maxHamming. */
+  /** SimHash near-dup candidates: band the 60-bit signature into 4
+    * 15-bit keys; near-identical docs agree on ≥1 band with high
+    * probability and are then exactly filtered by popcount ≤ maxHamming. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
     val sigs = simhash(docs)
     val banded = sigs.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band_idx"),
-        expr(s"(simhash >> ${b * 16}) & 65535").as("band_key"))): _*
+        expr(s"(simhash >> ${b * 15}) & 32767").as("band_key"))): _*
     )).as("bk")).select(col("doc_id"), col("simhash"), col("bk.band_idx"), col("bk.band_key"))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("band_idx"), col("band_key"))

@@ -136,6 +136,21 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** S16 — JSON response shaping (routers.py:26-40: dict + _links
+    * builders): rows rendered as JSON documents via to_json(struct).
+    * Cross-engine JSON text formatting isn't defined, so this is
+    * spec-covered (from_json inverts it) rather than oracled. */
+  def jsonShape(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"),
+        to_json(struct(
+          col("event_id"), col("user_id"), col("event_type"),
+          struct(
+            concat(lit("/events/"), col("event_id")).as("self"),
+            concat(lit("/users/"), col("user_id")).as("user")).as("_links")))
+          .as("doc"))
+      .orderBy("event_id")
+
   /** ST2 batch shape — events per (type, hour) tumbling window; the
     * groupBy keys match the streaming window aggregation so the same
     * logical query runs under readStream with a watermark. */

@@ -91,4 +91,43 @@ object Hough {
   def bestCircleQuery(spark: SparkSession): DataFrame =
     bestCircle(nms(votes(syntheticEdges(spark), h = 96, w = 96, r = 20), thresh = 12L))
       .orderBy("img_id")
+
+  /** U7 — candidate scoring with bilinear sampling (reference detector
+    * 2, hough_heart_detector2.py:137-213): sample nSamples perimeter
+    * points per candidate circle, bilinearly interpolate the edge map
+    * at each (4-corner weighted join — F5 trig + fractional-coordinate
+    * lookup made relational), and score = mean interpolated edge
+    * support. The reference adds alignment/homogeneity legs with the
+    * 0.5/0.2/0.3 weights (BASELINE.md); this is the edge-support leg,
+    * which alone ranks the true ring above perturbed candidates. */
+  def scoreCircleCandidates(edges: DataFrame, candidates: DataFrame,
+                            nSamples: Int = 72): DataFrame = {
+    val pts = candidates
+      .withColumn("i", explode(sequence(lit(0), lit(nSamples - 1))))
+      .withColumn("t", col("i") * lit(2.0 * math.Pi / nSamples))
+      .withColumn("sy", col("cy") + col("r") * sin(col("t")))
+      .withColumn("sx", col("cx") + col("r") * cos(col("t")))
+    val corners = pts
+      .withColumn("c", explode(array(
+        (for (dy <- 0 to 1; dx <- 0 to 1) yield
+          struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)))
+      .withColumn("py", (floor(col("sy")) + col("c.dy")).cast("int"))
+      .withColumn("px", (floor(col("sx")) + col("c.dx")).cast("int"))
+      .withColumn("weight",
+        (lit(1.0) - abs(col("sy") - col("py"))) * (lit(1.0) - abs(col("sx") - col("px"))))
+    val hits = corners
+      .join(edges.select(col("img_id"), col("y").as("py"), col("x").as("px"),
+        lit(1.0).as("edge")), Seq("img_id", "py", "px"), "left")
+      .withColumn("contrib", col("weight") * coalesce(col("edge"), lit(0.0)))
+    hits.groupBy("img_id", "cand_id", "cy", "cx", "r")
+      .agg((sum("contrib") / (nSamples.toDouble)).as("edge_support"))
+  }
+
+  /** Best candidate per image by edge support (A14), ties to the lower
+    * cand_id. */
+  def bestCandidate(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("img_id").orderBy(col("edge_support").desc, col("cand_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("img_id", "cand_id", "cy", "cx", "r", "edge_support")
+  }
 }

@@ -58,6 +58,16 @@ class EventsSpec extends AnyFunSuite {
     assert(viaFP === viaJoin)
   }
 
+  test("JSON shaping round-trips through from_json") {
+    val schema = "event_id BIGINT, user_id BIGINT, event_type STRING, _links STRUCT<self: STRING, user: STRING>"
+    val back = Events.jsonShape(spark, sf0001)
+      .withColumn("parsed", from_json(col("doc"), org.apache.spark.sql.types.StructType.fromDDL(schema)))
+    assert(back.filter(col("parsed.event_id") =!= col("event_id")).count() === 0)
+    val one = back.limit(1).collect()(0)
+    val p = one.getStruct(one.fieldIndex("parsed"))
+    assert(p.getStruct(p.fieldIndex("_links")).getString(0) === s"/events/${p.getLong(0)}")
+  }
+
   test("top event types are ordered by count desc") {
     val rows = Events.topEventTypes(spark, sf0001).collect()
     assert(rows.length === 5)

@@ -19,6 +19,28 @@ class HoughSpec extends AnyFunSuite {
     }
   }
 
+  test("candidate scoring ranks the true circle above perturbed candidates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val edges = Hough.syntheticEdges(spark, nImages = 3)
+    // per image: the true candidate (cand 0) vs center/radius perturbations
+    val candidates = (0 until 3).flatMap { k =>
+      val (cy, cx) = (30 + 3 * k, 40 + 2 * k)
+      Seq(
+        (k, 0L, cy.toDouble, cx.toDouble, 20.0),
+        (k, 1L, cy + 4.0, cx.toDouble, 20.0),
+        (k, 2L, cy.toDouble, cx - 5.0, 20.0),
+        (k, 3L, cy.toDouble, cx.toDouble, 15.0),
+        (k, 4L, cy.toDouble, cx.toDouble, 26.0))
+    }.toDF("img_id", "cand_id", "cy", "cx", "r")
+    val best = Hough.bestCandidate(Hough.scoreCircleCandidates(edges, candidates)).collect()
+    assert(best.length === 3)
+    best.foreach { r =>
+      assert(r.getAs[Long]("cand_id") === 0L, s"img ${r.getAs[Int]("img_id")}: $r")
+      assert(r.getAs[Double]("edge_support") > 0.5)
+    }
+  }
+
   test("NMS keeps only cells that dominate their 3x3 neighborhood") {
     val edges = Hough.syntheticEdges(spark, nImages = 2)
     val acc = Hough.votes(edges, h = 96, w = 96, r = 20).cache()

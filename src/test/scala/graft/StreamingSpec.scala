@@ -37,6 +37,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("ST3: stateful frame differencing matches the batch lag-join across a batch split") {
+    import graft.operators.Motion
+    import graft.streaming.FrameStream
+    import graft.streaming.FrameStream.Frame
+    // collect the constant video into dense frames
+    val frames = Motion.videoConstant(spark)
+      .orderBy("frame_idx", "y", "x")
+      .collect().groupBy(_.getAs[Int]("frame_idx"))
+      .toSeq.sortBy(_._1)
+      .map { case (idx, rows) => Frame(0, idx, rows.map(_.getAs[Int]("v"))) }
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Frame]
+    val query = FrameStream.frameDiffs(stream.toDS()).writeStream
+      .format("memory").queryName("st3_out").outputMode("append").start()
+    try {
+      // split mid-video: state must carry frame 9 into the second batch
+      stream.addData(frames.take(10))
+      query.processAllAvailable()
+      stream.addData(frames.drop(10))
+      query.processAllAvailable()
+      val streaming = spark.table("st3_out")
+        .collect().map(r => r.getAs[Int]("frameIdx") -> r.getAs[Double]("rawMad")).toMap
+      val batch = Motion.frameStats(Motion.videoConstant(spark))
+        .collect().map(r => r.getAs[Int]("frame_idx") -> r.getAs[Double]("raw_mad")).toMap
+      assert(streaming.keySet === batch.keySet)
+      streaming.foreach { case (f, mad) =>
+        assert(math.abs(mad - batch(f)) < 1e-9, s"frame $f")
+      }
+    } finally query.stop()
+  }
+
   test("ST1: append-only file stream ingests newly arriving files") {
     val dir = Files.createTempDirectory("graft_st1_").toFile
     dir.deleteOnExit()

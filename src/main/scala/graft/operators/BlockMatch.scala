@@ -131,15 +131,18 @@ object BlockMatch {
       .agg(sort_array(collect_list(struct(col("pos"), col("v")))).as("blk"))
       .select(col("frame_idx"), col("by"), col("bx"),
         expr("transform(blk, s -> s.v)").as("cur_blk"))
-    // each ref pixel feeds up to 4 patches; enumerate block candidates
-    // and filter (nby*nbx is small; at scale this is a bounded explode
-    // of ceil((B+2s)/B)² candidates, not the full grid)
+    // each ref pixel feeds at most ceil((B+2s)/B)² patches; enumerate
+    // exactly the covering block range per pixel (bounded explode, not
+    // the full grid). ceil((y-(B-1+s))/B) = (y-(B-1+s)+B-1) div B for
+    // positive numerators; negative numerators truncate toward zero but
+    // the greatest(0, ·) clamp makes that exact too.
     val patches = video
-      .withColumn("by", explode(sequence(lit(0), lit(nby - 1))))
-      .withColumn("bx", explode(sequence(lit(0), lit(nbx - 1))))
-      .filter(
-        col("y").between(col("by") * block - search, col("by") * block + block - 1 + search) &&
-        col("x").between(col("bx") * block - search, col("bx") * block + block - 1 + search))
+      .withColumn("by", explode(sequence(
+        greatest(lit(0), expr(s"(y - ${block - 1 + search} + ${block - 1}) div $block").cast("int")),
+        least(lit(nby - 1), expr(s"(y + $search) div $block").cast("int")))))
+      .withColumn("bx", explode(sequence(
+        greatest(lit(0), expr(s"(x - ${block - 1 + search} + ${block - 1}) div $block").cast("int")),
+        least(lit(nbx - 1), expr(s"(x + $search) div $block").cast("int")))))
       .select((col("frame_idx") + 1).as("frame_idx"), col("by"), col("bx"),
         ((col("y") - (col("by") * block - search)) * pw
           + (col("x") - (col("bx") * block - search))).as("pos"), col("v"))

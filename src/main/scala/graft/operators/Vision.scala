@@ -111,6 +111,25 @@ object Vision {
   def open(mask: DataFrame): DataFrame = dilate(erode(mask))
   def close(mask: DataFrame): DataFrame = erode(dilate(mask))
 
+  /** Area downsample by an integer factor (reference
+    * hough_heart_detector.py:249-253 cv2.INTER_AREA resize: block
+    * averaging for integer ratios): pixels → factor×factor block means.
+    * The §4.1 "resolution reduction" rewrite, applied at ingest. */
+  def downsampleArea(pixels: DataFrame, factor: Int): DataFrame =
+    pixels.groupBy(col("img_id"),
+        expr(s"y div $factor").cast("int").as("y"),
+        expr(s"x div $factor").cast("int").as("x"))
+      .agg(avg("v").as("v"))
+
+  /** Stride-2 subsample (brain_segmentation.py:397-398 `vol[:, ::2, ::2]`
+    * — plain strided selection, NOT averaging): keep every factor-th
+    * row/column and re-index. */
+  def strideSample(pixels: DataFrame, factor: Int): DataFrame =
+    pixels.filter(col("y") % factor === 0 && col("x") % factor === 0)
+      .select(col("img_id"),
+        expr(s"y div $factor").cast("int").as("y"),
+        expr(s"x div $factor").cast("int").as("x"), col("v"))
+
   /** F5 — ellipse perimeter sampling
     * (hough_heart_detector2.py:150-167): n parametric points of the
     * rotated ellipse, as a relational generator (cos/sin/radians over a

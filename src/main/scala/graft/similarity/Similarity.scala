@@ -142,11 +142,17 @@ object Similarity {
     * text legs). */
   def cosineNearDupPairsOn(all: DataFrame, threshold: Double = 0.95,
                            nPlanes: Int = 4, nTables: Int = 8, dims: Int = 64): DataFrame = {
-    val a = bucketIds(all, "vec_a", nPlanes, nTables, dims)
-    val b = bucketIds(all, "vec_b", nPlanes, nTables, dims)
-    val pairIds = a.join(b, Seq("tbl", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
+    // Bucket ONCE, then emit i<j pairs within each bucket from a sorted
+    // id list (higher-order functions) — halves the hyperplane work vs
+    // a two-sided self-join and removes its shuffle. A pathologically
+    // hot bucket is quadratic either way; nPlanes controls occupancy.
+    val pairIds = bucketIds(all, "vec_id", nPlanes, nTables, dims)
+      .groupBy("tbl", "bucket")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS vec_a, b AS vec_b))))"))
+        .as("p"))
+      .select(col("p.vec_a"), col("p.vec_b")).distinct()
     val va = all.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("norm").as("na"))
     val vb = all.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
     pairIds

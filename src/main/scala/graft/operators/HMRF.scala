@@ -112,10 +112,14 @@ object HMRF {
       struct(c.as("e"), lit(k).as("k")) }: _*).getField("k")
 
   /** U5 Jacobi label update: data-term argmin init, then `sweeps`
-    * neighbor-count passes with E_k = nll_k + β·(n − count_k). β=0
-    * degenerates to the pure data-term argmin. */
+    * neighbor-count passes with E_k = nll_k + β·(n − count_k)
+    * (+ diagWeight·β·(dn − dcount_k) when in-plane diagonals are on —
+    * the reference's inplane_only / add_diagonals / diag_weight knobs,
+    * brain_segmentation.py:133-140,163-168). β=0 degenerates to the
+    * pure data-term argmin. */
   def jacobiUpdate(voxels: DataFrame, params: Seq[(Double, Double)], beta: Double,
-                   sweeps: Int = 1): DataFrame = {
+                   sweeps: Int = 1, inplaneOnly: Boolean = false,
+                   addDiagonals: Boolean = false, diagWeight: Double = 0.5): DataFrame = {
     val k = params.length
     val terms = nll(col("intensity"), params)
     val withTerms = voxels.select(
@@ -123,27 +127,41 @@ object HMRF {
         terms.zipWithIndex.map { case (c, i) => c.as(s"nll$i") }: _*)
     var labels = withTerms.withColumn("label",
       argmin((0 until k).map(i => col(s"nll$i"))))
+    val offsets =
+      if (inplaneOnly) Seq((0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1))
+      else Seq((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1))
+    val diag = if (inplaneOnly && addDiagonals)
+      Seq((0, 1, 1), (0, 1, -1), (0, -1, 1), (0, -1, -1)) else Seq.empty
     if (beta != 0.0) {
-      val offsets = Seq((1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1))
       for (_ <- 1 to sweeps) {
-        // J2: neighbor labels via 6 shifted copies; out-of-mask
-        // neighbors simply don't join (the mask filter already removed
-        // them), matching the reference's in-mask neighbor counting.
-        val shifted = labels.withColumn("o", explode(array(offsets.map { case (dz, dy, dx) =>
-            struct(lit(dz).as("dz"), lit(dy).as("dy"), lit(dx).as("dx")) }: _*)))
-          .select(
-            (col("z") + col("o.dz")).as("z"),
-            (col("y") + col("o.dy")).as("y"),
-            (col("x") + col("o.dx")).as("x"),
-            col("label").as("nb_label"))
+        // J2: neighbor labels via shifted copies; out-of-mask neighbors
+        // simply don't join (the mask filter already removed them),
+        // matching the reference's in-mask neighbor counting. Diagonal
+        // taps carry a flag so their counts aggregate separately.
+        def shiftedOf(offs: Seq[(Int, Int, Int)], isDiag: Boolean) =
+          labels.withColumn("o", explode(array(offs.map { case (dz, dy, dx) =>
+              struct(lit(dz).as("dz"), lit(dy).as("dy"), lit(dx).as("dx")) }: _*)))
+            .select(
+              (col("z") + col("o.dz")).as("z"),
+              (col("y") + col("o.dy")).as("y"),
+              (col("x") + col("o.dx")).as("x"),
+              col("label").as("nb_label"), lit(isDiag).as("is_diag"))
+        val shifted =
+          if (diag.nonEmpty) shiftedOf(offsets, isDiag = false).unionByName(shiftedOf(diag, isDiag = true))
+          else shiftedOf(offsets, isDiag = false)
         val counts = shifted.groupBy("z", "y", "x")
-          .agg(count(lit(1)).as("n_nb"),
-            (0 until k).map(i => sum(when(col("nb_label") === i, 1L).otherwise(0L)).as(s"c$i")): _*)
+          .agg(sum(when(!col("is_diag"), 1L).otherwise(0L)).as("n_nb"),
+            (Seq(sum(when(col("is_diag"), 1L).otherwise(0L)).as("dn_nb")) ++
+              (0 until k).flatMap(i => Seq(
+                sum(when(col("nb_label") === i && !col("is_diag"), 1L).otherwise(0L)).as(s"c$i"),
+                sum(when(col("nb_label") === i && col("is_diag"), 1L).otherwise(0L)).as(s"dc$i")))): _*)
         labels = labels.drop("label")
           .join(counts, Seq("z", "y", "x"), "left")
           .withColumn("label", argmin((0 until k).map(i =>
-            col(s"nll$i") + lit(beta) *
-              (coalesce(col("n_nb"), lit(0L)) - coalesce(col(s"c$i"), lit(0L))))))
+            col(s"nll$i")
+              + lit(beta) * (coalesce(col("n_nb"), lit(0L)) - coalesce(col(s"c$i"), lit(0L)))
+              + lit(diagWeight * beta) *
+                (coalesce(col("dn_nb"), lit(0L)) - coalesce(col(s"dc$i"), lit(0L))))))
           .select(Seq(col("z"), col("y"), col("x"), col("intensity")) ++
             (0 until k).map(i => col(s"nll$i")) :+ col("label"): _*)
       }

@@ -36,4 +36,33 @@ object RateLimit {
         least(col("n"), lit(burst.toLong)).as("admitted"),
         (col("n") - least(col("n"), lit(burst.toLong))).as("denied"))
 
+  /** Exact per-event admit/deny (the reference's synchronous check:
+    * rate_limit.py:47-53 increments the window counter and answers
+    * allow/deny for THIS request): flatMapGroupsWithState keyed by user,
+    * state = (window id, count in window). Window id = epoch-time div
+    * window seconds, the reference's `now // per`. Emits one decision
+    * row per event — the streaming twin of the batch
+    * Events.rateLimitAdmitDeny ranking (StreamingSpec asserts parity). */
+  def admitDeny(events: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)],
+                windowSeconds: Long = 3600L, burst: Int = 5)
+      : org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp, Boolean)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.Encoders
+    implicit val stateEnc = Encoders.product[(Long, Long)]
+    implicit val outEnc = Encoders.product[(Long, java.sql.Timestamp, Boolean)]
+    implicit val keyEnc = Encoders.scalaLong
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[(Long, java.sql.Timestamp)], state: GroupState[(Long, Long)]) => {
+          var (curWin, n) = state.getOption.getOrElse((-1L, 0L))
+          val out = it.toSeq.sortBy(_._2.getTime).map { case (_, ts) =>
+            val win = ts.getTime / 1000L / windowSeconds
+            if (win != curWin) { curWin = win; n = 0L }
+            n += 1
+            (user, ts, n <= burst)
+          }
+          state.update((curWin, n))
+          out.iterator
+        })
+  }
 }

@@ -50,6 +50,29 @@ class HMRFSpec extends AnyFunSuite {
     assert(wrong === 0)
   }
 
+  test("in-plane and diagonal neighbor variants smooth without breaking class recovery") {
+    val voxels = HMRF.phantom(spark).cache()
+    val params = Seq((0.25, 0.01), (0.5, 0.01), (0.75, 0.01))
+    val base = HMRF.jacobiUpdate(voxels, params, beta = 0.0)
+    val inplane = HMRF.jacobiUpdate(voxels, params, beta = 1.2, inplaneOnly = true)
+    val diag = HMRF.jacobiUpdate(voxels, params, beta = 1.2,
+      inplaneOnly = true, addDiagonals = true)
+    def acc(labels: org.apache.spark.sql.DataFrame): Double = accuracy(labels, voxels)
+    val (a0, a1, a2) = (acc(base), acc(inplane), acc(diag))
+    // In-plane-only smoothing can erode thin shells where they are ~1
+    // voxel thick (it lacks the z evidence the 3-D prior uses), so the
+    // strict beats-beta=0 claim belongs to the 6-neighbor test above;
+    // here we assert the variants stay near the data-term accuracy and
+    // actually smooth (labels differ from the pure argmin).
+    assert(a1 > a0 - 0.02 && a1 > 0.93, s"in-plane $a1 vs beta=0 $a0")
+    assert(a2 > a0 - 0.02 && a2 > 0.93, s"diagonal $a2 vs beta=0 $a0")
+    val changedInplane = inplane.select("z", "y", "x", "label")
+      .join(base.select(col("z"), col("y"), col("x"), col("label").as("b")), Seq("z", "y", "x"))
+      .filter(col("label") =!= col("b")).count()
+    assert(changedInplane > 0, "prior had no effect")
+    voxels.unpersist()
+  }
+
   test("m-step falls back to global median/var for starved classes") {
     import spark.implicits._
     // class 2 has only 3 voxels -> fallback kicks in

@@ -37,6 +37,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("ST2 exact: per-event admit/deny stream matches the batch ranking") {
+    val events = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("ts")).orderBy("ts", "user_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val half = events.length / 2
+    val decisions = RateLimit.admitDeny(stream.toDS(), windowSeconds = 3600L, burst = 5)
+      .toDF("user_id", "ts", "admitted")
+    val query = decisions.writeStream
+      .format("memory").queryName("rl_exact_out").outputMode("append").start()
+    try {
+      stream.addData(events.take(half).toSeq)
+      query.processAllAvailable()
+      stream.addData(events.drop(half).toSeq)
+      query.processAllAvailable()
+      val streaming = spark.table("rl_exact_out")
+        .groupBy("user_id")
+        .agg(sum(when(col("admitted"), 1L).otherwise(0L)).as("admitted"),
+          sum(when(!col("admitted"), 1L).otherwise(0L)).as("denied"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = Events.rateLimitAdmitDeny(spark, sf0001, burst = 5)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(streaming === batch)
+    } finally query.stop()
+  }
+
   test("ST3: stateful frame differencing matches the batch lag-join across a batch split") {
     import graft.operators.Motion
     import graft.streaming.FrameStream

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.VectorExpressions
 
 /** Similarity search over the `embeddings` table (builder-prompt north
   * star): brute-force cosine top-k as the exact baseline, and a
@@ -24,11 +25,14 @@ import graft.Tables
   *    array), and candidate dedup shuffles only (query_id, cand_id) id
   *    pairs — vectors are re-attached after the distinct, so the shuffle
   *    never carries array payloads.
-  *  - All vector math is higher-order array functions (zip_with /
-  *    aggregate) over array<double> — no UDF serialization overhead.
+  *  - Vector math runs through the codegen'd DotProduct expression
+  *    (graft.functions.VectorExpressions) — a fused multiply-accumulate
+  *    loop with no intermediate array, one tier above the higher-order
+  *    zip_with/aggregate forms kept here for portability.
   */
 object Similarity {
 
+  /** Higher-order-function forms (portable, no registration needed). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
@@ -37,22 +41,33 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Codegen'd fused dot product (graft.functions.DotProduct) — the hot
+    * path used by every query below; same left-to-right summation as
+    * the HOF form and DuckDB's list_dot_product, so oracles are
+    * unaffected. Callers must have registered the function
+    * (VectorExpressions.register, done at each entry point). */
+  private def ndot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  private def nl2norm(a: Column): Column = sqrt(ndot(a, a))
+
   /** (vec_id, vec, norm, label) view of the embeddings table; the norm
     * column is materialized here so downstream joins never recompute it
     * per pair. */
-  def corpus(spark: SparkSession, dir: String): DataFrame =
+  def corpus(spark: SparkSession, dir: String): DataFrame = {
+    VectorExpressions.register(spark)
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("vec"), col("label"))
-      .withColumn("norm", l2norm(col("vec")))
+      .withColumn("norm", nl2norm(col("vec")))
+  }
 
   /** Exact brute-force cosine top-k over an arbitrary (vec_id, vec,
     * norm) corpus: queries = the `nQueries` lowest vec_ids. */
   def bruteForceTopKOn(all: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {
+    VectorExpressions.register(all.sparkSession)
     val q = all.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
     val cand = all.select(col("vec_id").as("cand_id"), col("vec").as("cv"), col("norm").as("cn"))
     val scored = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -82,7 +97,7 @@ object Similarity {
     val bits = (0 until nPlanes).map { p =>
       val coeffs = array((0 until dims).map(d =>
         lit(planeComponent(tableIdx * nPlanes + p, d))): _*)
-      when(dot(vec, coeffs) >= 0, 1L << p).otherwise(0L)
+      when(ndot(vec, coeffs) >= 0, 1L << p).otherwise(0L)
     }
     bits.reduce(_.bitwiseOR(_))
   }
@@ -91,11 +106,13 @@ object Similarity {
     * SINGLE scan (posexplode of the bucket array), id-only so the band
     * join below never shuffles vectors. */
   private def bucketIds(df: DataFrame, idAlias: String,
-                        nPlanes: Int, nTables: Int, dims: Int): DataFrame =
+                        nPlanes: Int, nTables: Int, dims: Int): DataFrame = {
+    VectorExpressions.register(df.sparkSession)
     df.select(
       col("vec_id").as(idAlias),
       posexplode(array((0 until nTables).map(t =>
         lshBucket(col("vec"), t, nPlanes, dims)): _*)).as(Seq("tbl", "bucket")))
+  }
 
   /** ANN via hyperplane LSH: bucket corpus and queries under `nTables`
     * independent hyperplane families; equality-join on (table, bucket);
@@ -117,7 +134,7 @@ object Similarity {
     candIds
       .join(broadcast(q), Seq("query_id"))
       .join(c, Seq("cand_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
@@ -158,7 +175,7 @@ object Similarity {
     pairIds
       .join(va, Seq("vec_a"))
       .join(vb, Seq("vec_b"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .withColumn("cos", ndot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
       .orderBy("vec_a", "vec_b")

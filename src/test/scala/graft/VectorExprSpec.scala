@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorExpressions
+import graft.similarity.Similarity
+
+/** The native DotProduct expression must agree exactly with the
+  * higher-order-function form (identical left-to-right summation) and
+  * honor SQL null semantics. */
+class VectorExprSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  test("graft_dot equals the zip_with/aggregate dot bit-for-bit") {
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),
+      (2L, Seq(0.1, -0.2, 0.37, 1e9), Seq(2.5, 3.5, -1.25, 1e-9)),
+      (3L, Seq.empty[Double], Seq.empty[Double]))
+      .toDF("id", "a", "b")
+      .select(col("id"),
+        call_function("graft_dot", col("a"), col("b")).as("native"),
+        Similarity.dot(col("a"), col("b")).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.getDouble(1) === r.getDouble(2), s"row ${r.getLong(0)}")
+    }
+  }
+
+  test("graft_dot is null on null input") {
+    VectorExpressions.register(spark)
+    val df = Seq((Some(Seq(1.0)), Option.empty[Seq[Double]])).toDF("a", "b")
+      .select(call_function("graft_dot", col("a"), col("b")).as("d"))
+    assert(df.collect()(0).isNullAt(0))
+  }
+
+  test("registration is idempotent") {
+    VectorExpressions.register(spark)
+    VectorExpressions.register(spark)
+    assert(spark.sql("SELECT 1").count() === 1)
+  }
+}

@@ -62,9 +62,14 @@ object Dedup {
     * 4 bands × 4 rows; documents sharing ≥1 band key become candidates.
     * The band join is an equality self-join on (band_idx, band_key) —
     * shuffle-partitioned by key, no cross product. */
-  def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+  def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    minhashPairsOf(shingles(docs), numHashes, bands)
+
+  /** Band-join candidate pairs from an existing shingle relation (lets
+    * callers that also need the shingles materialize them once). */
+  def minhashPairsOf(sh: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val sigs = shingles(docs)
+    val sigs = sh
       .groupBy("doc_id")
       .agg(minhashCols(numHashes).head, minhashCols(numHashes).tail: _*)
     val bandCols = (0 until bands).map { b =>
@@ -98,9 +103,11 @@ object Dedup {
     * honest: a missed top-k pair would hash-mismatch. */
   def ngramJaccardTopPairs(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val sh = shingles(docs)
+    // shingles feed the signature build, both sides of the intersection
+    // join, and the size table — materialize once
+    val sh = shingles(docs).localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val cand = minhashPairs(docs).select("doc_a", "doc_b")
+    val cand = minhashPairsOf(sh).select("doc_a", "doc_b")
     val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = cand

@@ -187,8 +187,11 @@ object Motion {
     * expensive-compute). LOW/HIGH frames carry NULL cost/psnr. */
   def decisions(spark: SparkSession): DataFrame = {
     val (h, w, n, block, search) = (96, 128, 20, 16, 4)
-    val video = videoSmall(spark)
-    val cls = classified(video, nFrames = n)
+    // The generated pixel relation is consumed four times (stats join,
+    // per-frame stats, cur blocks, ref side); materialize it once so the
+    // window-cumsum generator doesn't re-run per consumer.
+    val video = videoSmall(spark).localCheckpoint()
+    val cls = classified(video, nFrames = n).localCheckpoint()
     val medium = cls.filter(col("class") === "MEDIUM")
     val me = meSummary(bestVectors(blockCosts(video, medium, h, w, block, search)), h, w)
     cls.join(me, Seq("frame_idx"), "left")

@@ -72,6 +72,7 @@ object SparkEntry {
     // --- vision kernels (§2.8 F11 / U2) ---
     "u2_otsu" -> ((s, _) => Vision.otsuQuery(s)),
     "u2_sobel" -> ((s, _) => Vision.sobelQuery(s)),
+    "s8_window_norm" -> ((s, _) => Vision.windowNormQuery(s)),
     // --- multimodal binary columns (north star; §2.1 S7/S9, §2.10 U1) ---
     "img_decode_stats" -> ((s, _) => ImageSource.imgDecodeStatsQuery(s)),
     // --- streaming-shaped batch (§2.9) ---
@@ -483,6 +484,23 @@ object SparkEntry {
         |SELECT img_id, count(*) AS n_interior, round(avg(gmag), 4) AS avg_gmag,
         |  CAST(max(abs(gx)) AS BIGINT) AS max_abs_gx, CAST(max(abs(gy)) AS BIGINT) AS max_abs_gy
         |FROM grad GROUP BY 1 ORDER BY img_id""".stripMargin,
+    "s8_window_norm" ->
+      """WITH px AS MATERIALIZED (
+        |  SELECT CAST(k.k AS INTEGER) AS img_id,
+        |    (CASE WHEN y.y BETWEEN 12 AND 35 AND x.x BETWEEN 16 AND 47 THEN 200 ELSE 40 + k.k * 3 END
+        |     + (x.x * 11 + y.y * 17 + k.k * 7) % 41 - 20) AS v
+        |  FROM range(0, 4) k(k), range(0, 48) y(y), range(0, 64) x(x)),
+        |clips AS (
+        |  SELECT img_id, quantile_cont(v, 0.01) AS lo, quantile_cont(v, 0.99) AS hi
+        |  FROM px GROUP BY 1),
+        |norm AS (
+        |  SELECT p.img_id,
+        |    CASE WHEN c.hi = c.lo THEN 0.0
+        |      ELSE (least(greatest(CAST(p.v AS DOUBLE), c.lo), c.hi) - c.lo) / (c.hi - c.lo) * 255.0
+        |    END AS v
+        |  FROM px p JOIN clips c USING (img_id))
+        |SELECT img_id, round(avg(v), 4) AS mean_v, round(min(v), 4) AS min_v, round(max(v), 4) AS max_v
+        |FROM norm GROUP BY 1 ORDER BY img_id""".stripMargin,
     "img_decode_stats" ->
       """SELECT CAST(k.k AS INTEGER) AS img_id, 64 AS width, 48 AS height,
         |  count(*) AS n_pixels,

@@ -23,11 +23,17 @@ import org.apache.spark.sql.expressions.Window
 object Components {
 
   /** Label every mask cell with its component id (the min linear id in
-    * the component). Input: (y, x) mask cells; output: (y, x, component). */
-  def label(mask: DataFrame, width: Int, maxIters: Int = 64): DataFrame = {
+    * the component). Input: (y, x) mask cells — plus img_id when
+    * `perImage` is set, which scopes labels to each image of a batch
+    * (component ids stay y·width+x, unique within an image). Output
+    * adds a `component` column. */
+  def label(mask: DataFrame, width: Int, maxIters: Int = 64,
+            perImage: Boolean = false): DataFrame = {
     val offsets = Seq((-1, 0), (1, 0), (0, -1), (0, 1))
-    var labels = mask.select(col("y"), col("x"),
-      (col("y") * width + col("x")).cast("long").as("component"))
+    val imgCols = if (perImage) Seq("img_id") else Seq.empty
+    val keys = imgCols ++ Seq("y", "x")
+    var labels = mask.select((imgCols.map(col) ++ Seq(col("y"), col("x"),
+      (col("y") * width + col("x")).cast("long").as("component"))): _*)
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -35,24 +41,25 @@ object Components {
       // neighbor-min propagation (J2-style shifted equality join)
       val shifted = labels.withColumn("o", explode(array(offsets.map { case (dy, dx) =>
           struct(lit(dy).as("dy"), lit(dx).as("dx")) }: _*)))
-        .select((col("y") + col("o.dy")).as("y"), (col("x") + col("o.dx")).as("x"),
-          col("component").as("nb"))
-      val propagated = labels.join(shifted, Seq("y", "x"), "left")
-        .groupBy("y", "x", "component")
+        .select((imgCols.map(col) ++ Seq((col("y") + col("o.dy")).as("y"),
+          (col("x") + col("o.dx")).as("x"), col("component").as("nb"))): _*)
+      val propagated = labels.join(shifted, keys, "left")
+        .groupBy((keys :+ "component").map(col): _*)
         .agg(min(col("nb")).as("nb_min"))
-        .select(col("y"), col("x"),
-          least(col("component"), coalesce(col("nb_min"), col("component"))).as("component"))
+        .select((imgCols.map(col) ++ Seq(col("y"), col("x"),
+          least(col("component"), coalesce(col("nb_min"), col("component"))).as("component"))): _*)
       // pointer jumping: component := component's component (path halving;
       // a component id is always a live cell's linear id, so the lookup
       // resolves through that cell's current label)
       val labelOf = propagated
-        .select((col("y") * width + col("x")).cast("long").as("id"), col("component").as("parent"))
-      val jumped = propagated.join(labelOf.withColumnRenamed("id", "component")
-          .withColumnRenamed("parent", "grand"), Seq("component"), "left")
-        .select(col("y"), col("x"), coalesce(col("grand"), col("component")).as("component"))
+        .select((imgCols.map(col) ++ Seq(
+          (col("y") * width + col("x")).cast("long").as("component"),
+          col("component").as("grand"))): _*)
+      val jumped = propagated.join(labelOf, imgCols :+ "component", "left")
+        .select((imgCols.map(col) ++ Seq(col("y"), col("x"),
+          coalesce(col("grand"), col("component")).as("component"))): _*)
       val next = jumped.localCheckpoint()
-      changed = next.join(labels.select(col("y"), col("x"), col("component").as("prev")),
-        Seq("y", "x"))
+      changed = next.join(labels.select((keys.map(col) :+ col("component").as("prev")): _*), keys)
         .filter(col("component") =!= col("prev")).count()
       labels = next
       iter += 1
@@ -62,13 +69,16 @@ object Components {
 
   /** Keep-largest-component filter: the reference's size-argmax
     * (`keep the biggest object`). Ties break on the smaller component
-    * id (deterministic). */
-  def largestComponent(labeled: DataFrame): DataFrame = {
-    val sizes = labeled.groupBy("component").agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("component"))
+    * id (deterministic). Per-image when `perImage` is set. */
+  def largestComponent(labeled: DataFrame, perImage: Boolean = false): DataFrame = {
+    val imgCols = if (perImage) Seq("img_id") else Seq.empty
+    val sizes = labeled.groupBy((imgCols :+ "component").map(col): _*)
+      .agg(count(lit(1)).as("n"))
+    val w = (if (perImage) Window.partitionBy("img_id") else Window.partitionBy())
+      .orderBy(col("n").desc, col("component"))
     val top = sizes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("component"), col("n").as("component_size"))
-    labeled.join(broadcast(top), Seq("component"))
+      .select((imgCols.map(col) ++ Seq(col("component"), col("n").as("component_size"))): _*)
+    labeled.join(broadcast(top), imgCols :+ "component")
   }
 
   /** Oracle-checkable end-to-end: label a planted mask (an 8×6 blob, a

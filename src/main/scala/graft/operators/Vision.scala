@@ -111,6 +111,75 @@ object Vision {
   def open(mask: DataFrame): DataFrame = dilate(erode(mask))
   def close(mask: DataFrame): DataFrame = erode(dilate(mask))
 
+  /** Separable Gaussian blur as two weighted neighbor-join passes
+    * (reference denoise σ=0.8 and bias-field σ=20 blurs,
+    * brain_segmentation.py:75-81,395; cv2.GaussianBlur fallback at
+    * hough_heart_detector.py:95-99). Border handling is reflect-101
+    * (cv2's default), expressed as index reflection so the relational
+    * form matches a dense convolution exactly. Kernel truncates at
+    * radius ceil(3σ), weights normalized. */
+  def gaussianBlur(pixels: DataFrame, sigma: Double, h: Int, w: Int): DataFrame = {
+    val radius = math.ceil(3 * sigma).toInt
+    val raw = (-radius to radius).map(d => math.exp(-d * d / (2 * sigma * sigma)))
+    val weights = raw.map(_ / raw.sum)
+    def reflect(idx: org.apache.spark.sql.Column, n: Int) =
+      when(idx < 0, -idx).when(idx > n - 1, lit(2 * (n - 1)) - idx).otherwise(idx)
+    def pass(df: DataFrame, axis: String, n: Int): DataFrame = {
+      val taps = df.withColumn("k", explode(array(
+          (-radius to radius).map(d => struct(lit(d).as("d"),
+            lit(weights(d + radius)).as("wt"))): _*)))
+        .withColumn("src", reflect(col(axis) + col("k.d"), n))
+      // each center reads FROM its reflected source position
+      val src = df.select(col("img_id").as("s_img"),
+        col("y").as("sy"), col("x").as("sx"), col("v").as("sv"))
+      val (jy, jx) = if (axis == "y") (col("src"), col("x")) else (col("y"), col("src"))
+      taps.join(src, col("img_id") === col("s_img") && col("sy") === jy && col("sx") === jx)
+        .groupBy("img_id", "y", "x")
+        .agg(sum(col("k.wt") * col("sv")).as("v"))
+    }
+    pass(pass(pixels, "y", h), "x", w)
+  }
+
+  /** Bias-field correction (brain_segmentation.py:75-81): estimate the
+    * low-frequency field with a wide Gaussian blur, divide it out after
+    * normalizing the field to unit mean — v · mean(blur) / blur. */
+  def biasCorrect(pixels: DataFrame, sigma: Double, h: Int, w: Int): DataFrame = {
+    val field = gaussianBlur(pixels, sigma, h, w)
+      .select(col("img_id"), col("y"), col("x"), col("v").as("field"))
+    val fieldMean = field.groupBy("img_id").agg(avg("field").as("field_mean"))
+    pixels.join(field, Seq("img_id", "y", "x"))
+      .join(fieldMean, Seq("img_id"))
+      .select(col("img_id"), col("y"), col("x"),
+        (col("v") * col("field_mean") / col("field")).as("v"))
+  }
+
+  /** Percentile-clip normalization (S8 windowing fallback,
+    * hough_heart_detector.py:67-73 1–99; brain_segmentation.py:68-72
+    * 2–98): clip to [pLo, pHi] percentiles per image and rescale to
+    * [0, 255]. */
+  def percentileClipNormalize(pixels: DataFrame, pLo: Double, pHi: Double): DataFrame = {
+    val clips = pixels.groupBy("img_id").agg(
+      expr(s"percentile(v, $pLo)").as("lo"), expr(s"percentile(v, $pHi)").as("hi"))
+    pixels.join(clips, Seq("img_id"))
+      .select(col("img_id"), col("y"), col("x"),
+        when(col("hi") === col("lo"), 0.0)
+          .otherwise((least(greatest(col("v").cast("double"), col("lo")), col("hi")) - col("lo"))
+            / (col("hi") - col("lo")) * 255.0).as("v"))
+  }
+
+  /** Skull-strip composition (brain_segmentation.py:84-96): Otsu
+    * threshold → binary opening (remove specks) → closing (fill
+    * pinholes) → keep the largest connected component. Pure composition
+    * of the kernels above + graft.operators.Components. */
+  def skullStrip(pixels: DataFrame, width: Int): DataFrame = {
+    val th = otsu(pixels)
+    val mask = pixels.join(th, Seq("img_id")).filter(col("v") > col("threshold"))
+      .select("img_id", "y", "x")
+    Components.largestComponent(
+        Components.label(close(open(mask)), width, perImage = true), perImage = true)
+      .select("img_id", "y", "x")
+  }
+
   /** Area downsample by an integer factor (reference
     * hough_heart_detector.py:249-253 cv2.INTER_AREA resize: block
     * averaging for integer ratios): pixels → factor×factor block means.
@@ -159,6 +228,17 @@ object Vision {
         sum(when(col("v") > col("threshold"), 1L).otherwise(0L)).as("n_above"))
       .orderBy("img_id")
   }
+
+  /** S8 windowing math as a query: percentile-clip normalize the
+    * bimodal images and report per-image stats of the [0,255] output. */
+  def windowNormQuery(spark: SparkSession): DataFrame =
+    percentileClipNormalize(syntheticBimodal(spark), pLo = 0.01, pHi = 0.99)
+      .groupBy("img_id")
+      .agg(
+        round(avg("v"), 4).as("mean_v"),
+        round(min("v"), 4).as("min_v"),
+        round(max("v"), 4).as("max_v"))
+      .orderBy("img_id")
 
   def sobelQuery(spark: SparkSession): DataFrame =
     sobel(syntheticBimodal(spark), h = 48, w = 64)

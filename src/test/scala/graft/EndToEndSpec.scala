@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{HMRF, Hough, Vision}
+import graft.sources.{Dicom, ImageSource}
+
+/** Whole-pipeline integrations (SURVEY §3.2/§3.3 lifecycles): the
+  * reference's end-to-end flows run on this engine from raw bytes to
+  * result, composed purely from the tested operators. */
+class EndToEndSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  test("DICOM series -> voxels -> K-means -> HMRF-EM recovers phantom classes") {
+    // write the HMRF phantom as a synthetic DICOM series (intensity
+    // quantized to raw = round(i * 1000), slope 0.001 restores it)
+    val dir = Files.createTempDirectory("graft_e2e_dcm_").toFile
+    dir.deleteOnExit()
+    val (nz, ny, nx) = (16, 24, 24)
+    val phantom = HMRF.phantom(spark, nz, ny, nx).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    for (z <- 0 until nz) {
+      val raw = Array.tabulate(ny * nx) { i =>
+        phantom.get((z, i / nx, i % nx)).map(v => math.round(v * 1000).toInt).getOrElse(0)
+      }
+      Files.write(new java.io.File(dir, s"slice_$z.dcm").toPath,
+        Dicom.synthesize(ny, nx, zPos = z.toDouble, instance = z,
+          slope = 0.001, intercept = 0.0, raw = raw))
+    }
+    // series read (sorted), long-format voxels, mask = in-phantom cells
+    val vox = Dicom.voxels(Dicom.readSeries(spark, dir.getAbsolutePath))
+      .filter(col("intensity") > 0.05)
+    assert(vox.count() === phantom.size)
+    val (_, params) = HMRF.segment(vox, k = 3, maxIters = 5, beta = 1.2)
+    Seq(0.25, 0.5, 0.75).zip(params.map(_._1)).foreach { case (want, got) =>
+      assert(math.abs(want - got) < 0.05, s"mean $got vs $want")
+    }
+  }
+
+  test("PNG bytes -> decode -> Sobel edges -> Hough votes recover disc centers") {
+    // filled discs (not rings): the gradient operator must find the rim
+    val (h, w, r) = (96, 96, 20)
+    val centers = Seq((0, 40, 44), (1, 50, 46))
+    import spark.implicits._
+    val pngs = centers.map { case (k, cy, cx) =>
+      val px = Array.tabulate(h * w) { i =>
+        val (y, x) = (i / w, i % w)
+        if ((y - cy) * (y - cy) + (x - cx) * (x - cx) <= r * r) 220 else 15
+      }
+      (k, ImageSource.encodePngGray(w, h, px))
+    }.toDF("img_id", "content")
+    val pixels = ImageSource.decode(pngs)
+      .select(col("img_id"), posexplode(col("pixels")).as(Seq("i", "v")))
+      .select(col("img_id"), (col("i") / w).cast("int").as("y"),
+        (col("i") % w).cast("int").as("x"), col("v"))
+    val edges = Vision.sobel(pixels, h, w)
+      .filter(col("gmag") > 200)
+      .select("img_id", "y", "x")
+    val best = Hough.bestCircle(Hough.nms(Hough.votes(edges, h, w, r), thresh = 12L))
+      .collect().map(r0 => r0.getAs[Int]("img_id") ->
+        (r0.getAs[Int]("y0"), r0.getAs[Int]("x0"))).toMap
+    centers.foreach { case (k, cy, cx) =>
+      val (gy, gx) = best(k)
+      assert(math.abs(gy - cy) <= 1 && math.abs(gx - cx) <= 1,
+        s"img $k detected ($gy,$gx) vs true ($cy,$cx)")
+    }
+  }
+}

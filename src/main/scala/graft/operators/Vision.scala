@@ -140,6 +140,47 @@ object Vision {
     pass(pass(pixels, "y", h), "x", w)
   }
 
+  /** Non-local means denoising (brain_segmentation.py:384-392's primary
+    * denoise path, cv2.fastNlMeansDenoising semantics at patch radius 1,
+    * search radius `searchR`): every interior pixel is replaced by the
+    * similarity-weighted average of search-window candidates, with
+    * weights exp(−‖patch(p)−patch(q)‖² / (h²·9)). Relational shape:
+    * gather 3×3 patch vectors once (9-tap neighbor join → sorted
+    * array), then one candidate-offset explode + equality join brings
+    * the two patch arrays together — never an all-pairs product.
+    * Interior-only output (patch+search window fully in frame). */
+  def nlMeans(pixels: DataFrame, h: Int, w: Int, hParam: Double = 10.0,
+              searchR: Int = 2): DataFrame = {
+    val patches = pixels
+      .withColumn("t", explode(array((for (dy <- -1 to 1; dx <- -1 to 1) yield
+        struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)))
+      .select(col("img_id"),
+        (col("y") + col("t.dy")).as("py"), (col("x") + col("t.dx")).as("px"),
+        // pos orders the patch vector consistently on both sides
+        ((col("t.dy") + 1) * 3 + col("t.dx") + 1).as("pos"), col("v"))
+      .filter(col("py").between(1, h - 2) && col("px").between(1, w - 2))
+      .groupBy(col("img_id"), col("py").as("y"), col("px").as("x"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("v")))).as("pv"))
+      .select(col("img_id"), col("y"), col("x"),
+        expr("transform(pv, s -> cast(s.v as double))").as("patch"),
+        expr("cast(pv[4].v as double)").as("center"))
+    val lim = 1 + searchR
+    val centers = patches
+      .filter(col("y").between(lim, h - 1 - lim) && col("x").between(lim, w - 1 - lim))
+      .withColumn("o", explode(array((for (dy <- -searchR to searchR; dx <- -searchR to searchR) yield
+        struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)))
+      .select(col("img_id"), col("y"), col("x"), col("patch"),
+        (col("y") + col("o.dy")).as("qy"), (col("x") + col("o.dx")).as("qx"))
+    val cand = patches.select(col("img_id"), col("y").as("qy"), col("x").as("qx"),
+      col("patch").as("qpatch"), col("center").as("qv"))
+    centers.join(cand, Seq("img_id", "qy", "qx"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(patch, qpatch, (a, b) -> (a - b) * (a - b)), 0D, (acc, v) -> acc + v)"))
+      .withColumn("wt", exp(-col("d2") / lit(hParam * hParam * 9.0)))
+      .groupBy("img_id", "y", "x")
+      .agg((sum(col("wt") * col("qv")) / sum(col("wt"))).as("v"))
+  }
+
   /** Bias-field correction (brain_segmentation.py:75-81): estimate the
     * low-frequency field with a wide Gaussian blur, divide it out after
     * normalizing the field to unit mean — v · mean(blur) / blur. */

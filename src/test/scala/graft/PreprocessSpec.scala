@@ -28,6 +28,25 @@ class PreprocessSpec extends AnyFunSuite {
     assert(m((7, 7)) > m((7, 6)) && m((7, 6)) > m((7, 5))) // monotone falloff
   }
 
+  test("non-local means denoises flats while preserving the step edge") {
+    // noisy two-level image: left half 50, right half 200, +-8 hash noise
+    val noisy = grid(24, 32) { (y, x) =>
+      val base = if (x < 16) 50.0 else 200.0
+      base + ((y * 31 + x * 17) % 17) - 8
+    }
+    val out = Vision.nlMeans(noisy, h = 24, w = 32, hParam = 12.0)
+      .collect().map(r => (r.getAs[Int]("y"), r.getAs[Int]("x")) -> r.getAs[Double]("v")).toMap
+    // flat-region noise shrinks: residual vs true level well under the +-8 input noise
+    val flatResiduals = out.collect { case ((y, x), v) if x >= 5 && x <= 10 => math.abs(v - 50.0 + 0.0) }
+    assert(flatResiduals.nonEmpty)
+    assert(flatResiduals.sum / flatResiduals.size < 4.0, "noise not reduced")
+    // the step edge survives: adjacent columns across the boundary stay far apart
+    val leftEdge = out.collect { case ((_, x), v) if x == 14 => v }
+    val rightEdge = out.collect { case ((_, x), v) if x == 17 => v }
+    assert(rightEdge.sum / rightEdge.size - leftEdge.sum / leftEdge.size > 120.0,
+      "edge was smoothed away")
+  }
+
   test("bias-field correction flattens a smooth multiplicative gradient") {
     // true signal constant 100, bias field ramps 0.7 -> 1.3 across x
     val biased = grid(16, 32)((_, x) => 100.0 * (0.7 + 0.6 * x / 31.0))

@@ -38,6 +38,7 @@ object Components {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
+      iter += 1
       // neighbor-min propagation (J2-style shifted equality join)
       val shifted = labels.withColumn("o", explode(array(offsets.map { case (dy, dx) =>
           struct(lit(dy).as("dy"), lit(dx).as("dx")) }: _*)))
@@ -59,10 +60,15 @@ object Components {
         .select((imgCols.map(col) ++ Seq(col("y"), col("x"),
           coalesce(col("grand"), col("component")).as("component"))): _*)
       val next = jumped.localCheckpoint()
-      changed = next.join(labels.select((keys.map(col) :+ col("component").as("prev")): _*), keys)
-        .filter(col("component") =!= col("prev")).count()
+      // The convergence count is a full extra Spark job; a mask that
+      // changed in round k almost always changes in k+1 too, so checking
+      // every 2nd round halves the job count at the cost of at most one
+      // redundant propagation round after the fixpoint.
+      changed = if (iter % 2 == 0 || iter >= maxIters)
+        next.join(labels.select((keys.map(col) :+ col("component").as("prev")): _*), keys)
+          .filter(col("component") =!= col("prev")).count()
+      else 1L
       labels = next
-      iter += 1
     }
     labels
   }
@@ -74,11 +80,18 @@ object Components {
     val imgCols = if (perImage) Seq("img_id") else Seq.empty
     val sizes = labeled.groupBy((imgCols :+ "component").map(col): _*)
       .agg(count(lit(1)).as("n"))
-    val w = (if (perImage) Window.partitionBy("img_id") else Window.partitionBy())
-      .orderBy(col("n").desc, col("component"))
-    val top = sizes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select((imgCols.map(col) ++ Seq(col("component"), col("n").as("component_size"))): _*)
-    labeled.join(broadcast(top), imgCols :+ "component")
+    // Global variant: a top-1 sort-limit (tournament reduce — no
+    // single-partition window even over a billion components). Per-image:
+    // a partitioned row_number window.
+    val top = if (perImage) {
+      val w = Window.partitionBy("img_id").orderBy(col("n").desc, col("component"))
+      sizes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    } else {
+      sizes.orderBy(col("n").desc, col("component")).limit(1)
+    }
+    val kept = top.select((imgCols.map(col) ++
+      Seq(col("component"), col("n").as("component_size"))): _*)
+    labeled.join(broadcast(kept), imgCols :+ "component")
   }
 
   /** Oracle-checkable end-to-end: label a planted mask (an 8×6 blob, a

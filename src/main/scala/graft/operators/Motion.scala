@@ -49,9 +49,14 @@ object Motion {
     * have unique minima and compensation error is nonzero. */
   def syntheticVideo(spark: SparkSession, nFrames: Int, h: Int, w: Int,
                      square: Int, vx: Column, vy: Column, textured: Boolean,
-                     startX: Int = 30, startY: Int = 40): DataFrame = {
-    val wPrev = Window.orderBy("frame_idx").rowsBetween(Window.unboundedPreceding, -1)
+                     startX: Int = 30, startY: Int = 40, videoId: Int = 0): DataFrame = {
+    // The prefix-sum window runs over nFrames rows (pre-explode) and is
+    // keyed by video_id, so a multi-video corpus partitions by video
+    // instead of collapsing to one partition.
+    val wPrev = Window.partitionBy("video_id").orderBy("frame_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
     val base = spark.range(nFrames).select(col("id").cast("int").as("frame_idx"))
+      .withColumn("video_id", lit(videoId))
       .withColumn("vx", vx)
       .withColumn("vy", vy)
       .withColumn("x0", (lit(startX) + coalesce(sum("vx").over(wPrev), lit(0))).cast("int"))

@@ -98,18 +98,27 @@ object Vision {
       .select("img_id", "y", "x")
   }
 
-  /** Binary dilation with the cross element: union of shifted copies. */
-  def dilate(mask: DataFrame): DataFrame =
-    mask.withColumn("o", explode(array(cross.map { case (dy, dx) =>
+  /** Binary dilation with the cross element: union of shifted copies.
+    * When frame bounds are given, shifted cells are clipped to
+    * [0,h)×[0,w) — scipy's array-clipped dilation — so a following
+    * erosion (border_value=0) doesn't see phantom out-of-frame cells
+    * keeping border pixels alive through close(). */
+  def dilate(mask: DataFrame, bounds: Option[(Int, Int)] = None): DataFrame = {
+    val shifted = mask.withColumn("o", explode(array(cross.map { case (dy, dx) =>
         struct(lit(dy).as("dy"), lit(dx).as("dx")) }: _*)))
       .select(col("img_id"), (col("y") + col("o.dy")).as("y"), (col("x") + col("o.dx")).as("x"))
+    bounds.fold(shifted)({ case (h, w) =>
+      shifted.filter(col("y").between(0, h - 1) && col("x").between(0, w - 1)) })
       .distinct()
+  }
 
   /** Opening (erode then dilate) removes specks smaller than the
     * element; closing (dilate then erode) fills pinholes —
     * brain_segmentation.py:93-96's cleanup pair. */
-  def open(mask: DataFrame): DataFrame = dilate(erode(mask))
-  def close(mask: DataFrame): DataFrame = erode(dilate(mask))
+  def open(mask: DataFrame, bounds: Option[(Int, Int)] = None): DataFrame =
+    dilate(erode(mask), bounds)
+  def close(mask: DataFrame, bounds: Option[(Int, Int)] = None): DataFrame =
+    erode(dilate(mask, bounds))
 
   /** Separable Gaussian blur as two weighted neighbor-join passes
     * (reference denoise σ=0.8 and bias-field σ=20 blurs,
@@ -122,8 +131,16 @@ object Vision {
     val radius = math.ceil(3 * sigma).toInt
     val raw = (-radius to radius).map(d => math.exp(-d * d / (2 * sigma * sigma)))
     val weights = raw.map(_ / raw.sum)
+    // True reflect-101 for arbitrarily large kernels: indices are
+    // periodic with period 2(n-1) and fold at the midpoint, so one
+    // pmod + fold handles any number of bounces (a single bounce loses
+    // kernel mass when ceil(3σ) >= n, biasing borders low).
     def reflect(idx: org.apache.spark.sql.Column, n: Int) =
-      when(idx < 0, -idx).when(idx > n - 1, lit(2 * (n - 1)) - idx).otherwise(idx)
+      if (n == 1) lit(0)
+      else {
+        val m = pmod(idx, lit(2 * (n - 1)))
+        least(m, lit(2 * (n - 1)) - m)
+      }
     def pass(df: DataFrame, axis: String, n: Int): DataFrame = {
       val taps = df.withColumn("k", explode(array(
           (-radius to radius).map(d => struct(lit(d).as("d"),
@@ -212,12 +229,14 @@ object Vision {
     * threshold → binary opening (remove specks) → closing (fill
     * pinholes) → keep the largest connected component. Pure composition
     * of the kernels above + graft.operators.Components. */
-  def skullStrip(pixels: DataFrame, width: Int): DataFrame = {
+  def skullStrip(pixels: DataFrame, width: Int, height: Int): DataFrame = {
     val th = otsu(pixels)
     val mask = pixels.join(th, Seq("img_id")).filter(col("v") > col("threshold"))
       .select("img_id", "y", "x")
+    val bounds = Some((height, width))
     Components.largestComponent(
-        Components.label(close(open(mask)), width, perImage = true), perImage = true)
+        Components.label(close(open(mask, bounds), bounds), width, perImage = true),
+        perImage = true)
       .select("img_id", "y", "x")
   }
 

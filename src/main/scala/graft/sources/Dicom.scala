@@ -78,10 +78,14 @@ object Dicom {
     * reference's sort key (brain_segmentation.py:41-48). Output:
     * (z, rows, cols, z_pos, pixels). */
   def readSeries(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.orderBy(
+    // One series per directory: key the slice-ordering window by the
+    // file's parent dir so a multi-series corpus (glob over many series
+    // directories) partitions per series instead of collapsing to one.
+    val w = Window.partitionBy("series_dir").orderBy(
       when(isnan(col("s.zPos")), col("s.instance").cast("double")).otherwise(col("s.zPos")),
       col("s.instance"))
     ImageSource.readBinary(spark, dir, "*.dcm")
+      .withColumn("series_dir", regexp_replace(col("path").cast("string"), "/[^/]*$", ""))
       .withColumn("s", parseUdf(col("content")))
       .withColumn("z", row_number().over(w) - 1)
       .select(col("z"), col("s.rows").as("rows"), col("s.cols").as("cols"),

@@ -41,11 +41,14 @@ import org.apache.spark.sql.functions._
   */
 object ImageSource {
 
-  /** P8 — magic-byte content sniff: png / ppm / dicom / unknown. */
+  /** P8 — magic-byte content sniff: png / pgm (P5 gray) / ppm (P6 RGB) /
+    * dicom / unknown. P5 and P6 are distinct types — they differ in
+    * sample stride, so conflating them misdecodes color files. */
   def sniffType(content: Array[Byte]): String = {
     def at(i: Int): Int = if (i < content.length) content(i) & 0xff else -1
     if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
-    else if (at(0) == 'P' && (at(1) == '5' || at(1) == '6')) "ppm"
+    else if (at(0) == 'P' && at(1) == '5') "pgm"
+    else if (at(0) == 'P' && at(1) == '6') "ppm"
     else if (content.length > 132 && at(128) == 'D' && at(129) == 'I' && at(130) == 'C' && at(131) == 'M') "dicom"
     else "unknown"
   }
@@ -58,35 +61,47 @@ object ImageSource {
       .option("pathGlobFilter", glob)
       .load(dir)
 
-  /** U1 — grayscale decode: PNG/BMP/GIF via javax.imageio, binary PPM
-    * (P5) via a direct parser. Returns (width, height, row-major
-    * pixels). */
-  def decodeGray(content: Array[Byte]): (Int, Int, Array[Int]) = sniffType(content) match {
-    case "ppm" => decodePpm(content)
-    case _ =>
-      val img = ImageIO.read(new java.io.ByteArrayInputStream(content))
-      require(img != null, "undecodable image bytes")
-      val (w, h) = (img.getWidth, img.getHeight)
-      val raster = img.getRaster
-      val out = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          // band 0 = gray for TYPE_BYTE_GRAY; for RGB images this is the
-          // red band — callers wanting luma should convert upstream
-          out(y * w + x) = raster.getSample(x, y, 0)
-          x += 1
+  /** U1 — grayscale decode: PNG/BMP/GIF via javax.imageio, binary
+    * PGM (P5) / PPM (P6) via direct parsers. Returns (width, height,
+    * row-major pixels). Multi-band inputs (P6, RGB PNG) reduce via
+    * integer BT.601 luma ((299r+587g+114b+500)/1000) when `luma` is
+    * set — cv2.IMREAD_GRAYSCALE semantics — or band 0 (red) otherwise,
+    * which keeps the single-band round-trip bit-exact. */
+  def decodeGray(content: Array[Byte], luma: Boolean = false): (Int, Int, Array[Int]) =
+    sniffType(content) match {
+      case "pgm" => decodePnm(content, stride = 1, luma = luma)
+      case "ppm" => decodePnm(content, stride = 3, luma = luma)
+      case _ =>
+        val img = ImageIO.read(new java.io.ByteArrayInputStream(content))
+        require(img != null, "undecodable image bytes")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        val bands = raster.getNumBands
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            out(y * w + x) =
+              if (luma && bands >= 3)
+                bt601(raster.getSample(x, y, 0), raster.getSample(x, y, 1),
+                  raster.getSample(x, y, 2))
+              else raster.getSample(x, y, 0) // band 0 = gray for TYPE_BYTE_GRAY
+            x += 1
+          }
+          y += 1
         }
-        y += 1
-      }
-      (w, h, out)
-  }
+        (w, h, out)
+    }
 
-  /** Binary PPM/PGM P5 parser (whitespace-delimited header, raw 8-bit
-    * samples) — the hand-rolled byte-format leg of U1. */
-  private def decodePpm(b: Array[Byte]): (Int, Int, Array[Int]) = {
-    var i = 2 // skip "P5"
+  private def bt601(r: Int, g: Int, b: Int): Int = (299 * r + 587 * g + 114 * b + 500) / 1000
+
+  /** Binary PGM (P5, 1 byte/px) / PPM (P6, 3 bytes/px) parser
+    * (whitespace-delimited header, raw 8-bit samples) — the hand-rolled
+    * byte-format leg of U1. P6 reduces RGB triples to gray (BT.601 luma
+    * or red band, per `luma`). */
+  private def decodePnm(b: Array[Byte], stride: Int, luma: Boolean): (Int, Int, Array[Int]) = {
+    var i = 2 // skip "P5"/"P6"
     def skipWs(): Unit = {
       while (i < b.length && (b(i) == ' ' || b(i) == '\n' || b(i) == '\r' || b(i) == '\t')) i += 1
       if (i < b.length && b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1; skipWs() }
@@ -97,11 +112,18 @@ object ImageSource {
       v
     }
     val (w, h, maxV) = (int(), int(), int())
-    require(maxV >= 1 && maxV <= 255, s"unsupported PPM maxval $maxV")
+    require(maxV >= 1 && maxV <= 255, s"unsupported PNM maxval $maxV")
     i += 1 // single whitespace after header
+    require(b.length - i >= w * h * stride, s"truncated PNM body: ${b.length - i} < ${w * h * stride}")
     val out = new Array[Int](w * h)
     var j = 0
-    while (j < out.length) { out(j) = b(i + j) & 0xff; j += 1 }
+    while (j < out.length) {
+      val base = i + j * stride
+      out(j) =
+        if (stride == 3 && luma) bt601(b(base) & 0xff, b(base + 1) & 0xff, b(base + 2) & 0xff)
+        else b(base) & 0xff
+      j += 1
+    }
     (w, h, out)
   }
 

@@ -30,16 +30,26 @@ object Sinks {
   def appendParquet(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
-  /** S5 — update-as-overwrite: apply a column rewrite to a stored table
-    * and atomically replace it (write to staging, then swap). */
+  /** S5 — update-as-overwrite with a real directory swap: write the
+    * rewrite to a staging dir (the only Spark job that reads the old
+    * files), then two renames — old → backup, staging → path — so a
+    * crash at any point leaves either the old table (at path or at
+    * backup) or the new one intact; nothing is deleted until the new
+    * directory is in place. */
   def updateOverwrite(spark: SparkSession, path: String)(rewrite: DataFrame => DataFrame): Unit = {
-    val staged = rewrite(spark.read.parquet(path))
-    // Materialize before overwriting the input path (lazy read would
-    // otherwise scan files the writer is deleting).
-    val staging = path.stripSuffix("/") + ".staging"
-    staged.write.mode("overwrite").parquet(staging)
-    spark.read.parquet(staging).write.mode("overwrite").parquet(path)
-    deleteRecursively(Paths.get(staging))
+    val base = path.stripSuffix("/")
+    val staging = Paths.get(base + ".staging")
+    val backup = Paths.get(base + ".backup")
+    deleteRecursively(staging)
+    deleteRecursively(backup)
+    rewrite(spark.read.parquet(path)).write.mode("overwrite").parquet(staging.toString)
+    val dest = Paths.get(base)
+    Files.move(dest, backup, StandardCopyOption.ATOMIC_MOVE)
+    try Files.move(staging, dest, StandardCopyOption.ATOMIC_MOVE)
+    catch { case e: Throwable => // roll back so readers still see the old table
+      Files.move(backup, dest, StandardCopyOption.ATOMIC_MOVE); throw e
+    }
+    deleteRecursively(backup)
   }
 
   /** S6 — delete-as-anti-join: drop rows whose key appears in `keys`. */
@@ -52,8 +62,11 @@ object Sinks {
   def csvAtomic(df: DataFrame, path: String): Unit = {
     val tmp = path + ".tmpdir"
     df.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.startsWith("part-"))
-      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    val listing = Files.list(Paths.get(tmp))
+    val part =
+      try listing.filter(_.getFileName.toString.startsWith("part-"))
+        .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+      finally listing.close()
     Files.move(part, Paths.get(path), StandardCopyOption.REPLACE_EXISTING,
       StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(Paths.get(tmp))
@@ -61,7 +74,9 @@ object Sinks {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
         .forEach(f => Files.delete(f))
+      finally walk.close()
     }
 }

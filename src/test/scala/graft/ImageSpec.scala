@@ -23,7 +23,7 @@ class ImageSpec extends AnyFunSuite {
     val px = Array.tabulate(6 * 4)(i => (i * 11) % 256)
     val header = s"P5\n# comment\n6 4\n255\n".getBytes("US-ASCII")
     val bytes = header ++ px.map(_.toByte)
-    assert(ImageSource.sniffType(bytes) === "ppm")
+    assert(ImageSource.sniffType(bytes) === "pgm")
     val (w, h, out) = ImageSource.decodeGray(bytes)
     assert((w, h) === ((6, 4)))
     assert(out.sameElements(px))

@@ -75,7 +75,7 @@ class PreprocessSpec extends AnyFunSuite {
       else if (y == 3 && x >= 3 && x <= 4) 210.0 // small bright speck
       else 10.0
     }
-    val kept = Vision.skullStrip(img, width = 40)
+    val kept = Vision.skullStrip(img, width = 40, height = 40)
       .select("y", "x").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(kept.nonEmpty)
     assert(kept.forall { case (y, x) => (y - 20) * (y - 20) + (x - 20) * (x - 20) < 121 },

@@ -34,6 +34,21 @@ class VectorExprSpec extends AnyFunSuite {
     assert(df.collect()(0).isNullAt(0))
   }
 
+  test("graft_dot mirrors HOF semantics on ragged arrays and null elements") {
+    VectorExpressions.register(spark)
+    val df = Seq(
+      (1L, Seq[Option[Double]](Some(1.0), Some(2.0)), Seq[Option[Double]](Some(3.0))),
+      (2L, Seq[Option[Double]](Some(1.0), None), Seq[Option[Double]](Some(3.0), Some(4.0))))
+      .toDF("id", "a", "b")
+      .select(col("id"),
+        call_function("graft_dot", col("a").cast("array<double>"), col("b").cast("array<double>")).as("native"),
+        Similarity.dot(col("a").cast("array<double>"), col("b").cast("array<double>")).as("hof"))
+    df.collect().foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"row ${r.getLong(0)}: native/hof null mismatch")
+      assert(r.isNullAt(1), s"row ${r.getLong(0)}: expected NULL")
+    }
+  }
+
   test("registration is idempotent") {
     VectorExpressions.register(spark)
     VectorExpressions.register(spark)

@@ -62,7 +62,15 @@ object SparkEntry {
     // --- motion pipeline (§2.3 J3, §2.4 A6-A8, §2.5 W1/W2, §2.9 ST3) ---
     "motion_frame_stats" -> ((s, _) => Motion.frameStatsQuery(s)),
     "motion_decisions" -> ((s, _) => Motion.decisions(s)),
+    // rows-only by nature: diamond/TSS are data-dependent hill climbs
+    // (no fixed relational plan exists to oracle them); the full-search
+    // leg is oracled separately as u4_full_metrics, and MotionSpec
+    // proves all three methods' scan semantics on golden videos.
     "u4_method_metrics" -> ((s, _) => BlockMatch.methodMetricsQuery(s)),
+    // the same UDF path, restricted to method='full', which the DuckDB
+    // oracle replays via relational candidate enumeration
+    "u4_full_metrics" -> ((s, _) => BlockMatch.methodMetricsQuery(s)
+      .filter(org.apache.spark.sql.functions.col("method") === "full")),
     // --- Hough pipeline (§2.4 A9, §2.5 W3, §2.4 A14, §2.2 P5) ---
     "hough_best_circle" -> ((s, _) => Hough.bestCircleQuery(s)),
     // --- HMRF pipeline (§2.2 P6, §2.4 A10, §2.10 U6, §2.5 W5) ---
@@ -77,12 +85,17 @@ object SparkEntry {
     "img_decode_stats" -> ((s, _) => ImageSource.imgDecodeStatsQuery(s)),
     // --- streaming-shaped batch (§2.9) ---
     "st2_events_per_hour" -> ((s, d) => Events.eventsPerHour(s, d)),
-    "s16_json_shape" -> ((s, d) => Events.jsonShape(s, d)),
+    // oracled via field extraction from the rendered docs (JSON *text*
+    // is engine-specific; the parsed fields are not)
+    "s16_json_shape" -> ((s, d) => Events.jsonShapeParsed(s, d)),
     // --- text analysis (north star) ---
     "txt_token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "txt_lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "txt_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).select("doc_id", "md5_fp")),
+    // rows-only by nature: language ID is a scored n-gram heuristic with
+    // no SQL-oracle ground truth; TextSpec asserts per-language
+    // classification on labeled fixtures instead.
     "txt_lang_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
     // --- dedup (north star) ---
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -93,8 +106,14 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables(s, d, "documents"))),
     // --- similarity search (north star) ---
     "emb_knn_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    // rows-only by nature: hyperplane LSH has recall < 1 by
+    // construction, so no exact SQL oracle exists; SimilaritySpec bounds
+    // its recall against the oracled brute-force top-k.
     "emb_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     "emb_norm_stats" -> ((s, d) => Similarity.normStats(s, d)),
+    // rows-only by nature: bucketed near-dup is approximate (bucket
+    // collisions gate candidate pairs); SimilaritySpec asserts the
+    // planted duplicates are found.
     "emb_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(s, d, threshold = 0.3)),
   )
 
@@ -345,6 +364,60 @@ object SparkEntry {
         |  round(c.p90, 4) AS p90_diff, round(c.ldr, 4) AS low_diff_ratio
         |FROM cls c LEFT JOIN me m USING (frame_idx)
         |ORDER BY frame""".stripMargin,
+    // The UDF full-search leg of U4, replayed relationally: same pixel
+    // generator, calibration gate, and candidate enumeration as the
+    // motion_decisions oracle, aggregated per frame like
+    // method_metrics.csv (demo_synthetic.py:119-129).
+    "u4_full_metrics" ->
+      """WITH pos AS (
+        |  SELECT CAST(i AS INTEGER) AS frame_idx,
+        |    30 + 2 * CAST(i AS INTEGER) AS x0, 40 + CAST(i AS INTEGER) AS y0
+        |  FROM range(0, 20) t(i)),
+        |px AS MATERIALIZED (
+        |  SELECT p.frame_idx, y.y, x.x,
+        |    (CASE WHEN x.x BETWEEN p.x0 AND p.x0 + 16 AND y.y BETWEEN p.y0 AND p.y0 + 16 THEN 200 ELSE 0 END
+        |     + (x.x * 7 + y.y * 13 + p.frame_idx * 31) % 17) AS v
+        |  FROM pos p, range(0, 96) y(y), range(0, 128) x(x)),
+        |stats AS (SELECT frame_idx, avg(v) AS m, stddev_pop(v) AS s FROM px GROUP BY 1),
+        |diffs AS (
+        |  SELECT c.frame_idx,
+        |    abs(p.v - greatest(0.0, least(255.0, (c.v - sc.m) * ((sp.s + 1e-6) / (sc.s + 1e-6)) + sp.m))) AS dn
+        |  FROM px c
+        |  JOIN px p ON p.frame_idx = c.frame_idx - 1 AND p.y = c.y AND p.x = c.x
+        |  JOIN stats sc ON sc.frame_idx = c.frame_idx
+        |  JOIN stats sp ON sp.frame_idx = c.frame_idx - 1),
+        |fstats AS (SELECT frame_idx, round(avg(dn), 6) AS mad FROM diffs GROUP BY 1),
+        |thr AS (
+        |  SELECT t_low, greatest(t_low, t_high0) AS t_high FROM (
+        |    SELECT quantile_cont(mad, 0.4) AS t_low, quantile_cont(mad, 0.8) AS t_high0
+        |    FROM fstats WHERE frame_idx <= 19)),
+        |med AS (
+        |  SELECT f.frame_idx FROM fstats f, thr t
+        |  WHERE f.mad >= t.t_low AND f.mad <= t.t_high),
+        |cur AS (
+        |  SELECT c.frame_idx, c.y // 16 AS b_y, c.x // 16 AS b_x,
+        |    c.y % 16 AS py, c.x % 16 AS px_, c.v
+        |  FROM px c JOIN med USING (frame_idx)),
+        |cand AS (SELECT dy.dy, dx.dx FROM range(-4, 5) dy(dy), range(-4, 5) dx(dx)),
+        |probe AS (
+        |  SELECT c.frame_idx, c.b_y, c.b_x, cand.dy, cand.dx, c.v,
+        |    c.frame_idx - 1 AS rf,
+        |    greatest(0, least(80, c.b_y * 16 + cand.dy)) + c.py AS ry,
+        |    greatest(0, least(112, c.b_x * 16 + cand.dx)) + c.px_ AS rx
+        |  FROM cur c CROSS JOIN cand),
+        |sad AS (
+        |  SELECT p.frame_idx, p.b_y, p.b_x, p.dy, p.dx,
+        |    sum(abs(p.v - r.v)) AS cost, sum((p.v - r.v) * (p.v - r.v)) AS sse
+        |  FROM probe p JOIN px r ON r.frame_idx = p.rf AND r.y = p.ry AND r.x = p.rx
+        |  GROUP BY 1, 2, 3, 4, 5),
+        |best AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY frame_idx, b_y, b_x ORDER BY cost, dy, dx) AS rn
+        |    FROM sad) WHERE rn = 1)
+        |SELECT 'full' AS method, frame_idx AS frame, round(avg(cost), 2) AS mean_cost,
+        |  CASE WHEN sum(sse) / (96.0 * 128.0) > 1e-9
+        |    THEN round(10.0 * log10(255.0 * 255.0 / (sum(sse) / (96.0 * 128.0))), 4) END AS psnr
+        |FROM best GROUP BY 2 ORDER BY frame""".stripMargin,
     "hough_best_circle" ->
       """WITH img AS (
         |  SELECT CAST(k AS INTEGER) AS img_id,
@@ -513,6 +586,15 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
         |  count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Semantic fields of the shaped JSON docs (the Spark side extracts
+    // them back out of the rendered text; the oracle recomputes them
+    // from the source columns — a shaping bug can't round-trip).
+    "s16_json_shape" ->
+      """SELECT event_id,
+        |  CAST(user_id AS VARCHAR) AS user_id, event_type,
+        |  '/events/' || event_id AS link_self,
+        |  '/users/' || user_id AS link_user
+        |FROM events ORDER BY event_id""".stripMargin,
     "txt_token_stats" ->
       """SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,

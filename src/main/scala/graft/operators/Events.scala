@@ -137,9 +137,7 @@ object Events {
   }
 
   /** S16 — JSON response shaping (routers.py:26-40: dict + _links
-    * builders): rows rendered as JSON documents via to_json(struct).
-    * Cross-engine JSON text formatting isn't defined, so this is
-    * spec-covered (from_json inverts it) rather than oracled. */
+    * builders): rows rendered as JSON documents via to_json(struct). */
   def jsonShape(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .select(col("event_id"),
@@ -149,6 +147,20 @@ object Events {
             concat(lit("/events/"), col("event_id")).as("self"),
             concat(lit("/users/"), col("user_id")).as("user")).as("_links")))
           .as("doc"))
+      .orderBy("event_id")
+
+  /** S16 oracle surface: cross-engine JSON *text* formatting isn't
+    * defined (key order/whitespace are engine-specific), so the oracled
+    * query extracts the semantic fields back OUT of the rendered doc —
+    * a shaping bug (lost field, wrong nesting, mangled value) can't
+    * round-trip, while formatting freedom is normalized away. */
+  def jsonShapeParsed(spark: SparkSession, dir: String): DataFrame =
+    jsonShape(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("doc"), "$.user_id").as("user_id"),
+        get_json_object(col("doc"), "$.event_type").as("event_type"),
+        get_json_object(col("doc"), "$._links.self").as("link_self"),
+        get_json_object(col("doc"), "$._links.user").as("link_user"))
       .orderBy("event_id")
 
   /** ST2 batch shape — events per (type, hour) tumbling window; the

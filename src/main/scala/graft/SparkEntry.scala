@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BlockMatch, Components, Events, HMRF, Hough, Motion, Relational, Vision}
+import graft.operators.{BlockMatch, Canny, Components, Events, HMRF, Hough, Motion, Relational, Vision}
 import graft.sources.ImageSource
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
@@ -80,6 +80,7 @@ object SparkEntry {
     // --- vision kernels (§2.8 F11 / U2) ---
     "u2_otsu" -> ((s, _) => Vision.otsuQuery(s)),
     "u2_sobel" -> ((s, _) => Vision.sobelQuery(s)),
+    "u2_canny" -> ((s, _) => Canny.cannyQuery(s)),
     "s8_window_norm" -> ((s, _) => Vision.windowNormQuery(s)),
     // --- multimodal binary columns (north star; §2.1 S7/S9, §2.10 U1) ---
     "img_decode_stats" -> ((s, _) => ImageSource.imgDecodeStatsQuery(s)),
@@ -557,6 +558,60 @@ object SparkEntry {
         |SELECT img_id, count(*) AS n_interior, round(avg(gmag), 4) AS avg_gmag,
         |  CAST(max(abs(gx)) AS BIGINT) AS max_abs_gx, CAST(max(abs(gy)) AS BIGINT) AS max_abs_gy
         |FROM grad GROUP BY 1 ORDER BY img_id""".stripMargin,
+    // Full Canny replay: Sobel → trig-free direction-sector NMS (the
+    // tan(22.5°)/tan(67.5°) literals are identical doubles in both
+    // engines, so sector choice is pure IEEE arithmetic) → L1 double
+    // threshold → hysteresis as recursive reachability from strong
+    // cells (the SQL form of the Spark side's CC-contains-strong).
+    "u2_canny" ->
+      """WITH RECURSIVE px AS MATERIALIZED (
+        |  SELECT CAST(k.k AS INTEGER) AS img_id, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |    (CASE WHEN y.y BETWEEN 10 AND 30 AND x.x BETWEEN 10 AND 30 THEN 200
+        |          WHEN y.y BETWEEN 14 AND 24 AND x.x BETWEEN 31 AND 45 THEN 90
+        |          WHEN y.y BETWEEN 36 AND 42 AND x.x BETWEEN 48 AND 58 THEN 90
+        |          ELSE 40 END
+        |     + (x.x * 11 + y.y * 17 + k.k * 7) % 9 - 4) AS v
+        |  FROM range(0, 2) k(k), range(0, 48) y(y), range(0, 64) x(x)),
+        |kern AS (
+        |  SELECT dy.dy, dx.dx,
+        |    dx.dx * (CASE WHEN dy.dy = 0 THEN 2 ELSE 1 END) AS wx,
+        |    dy.dy * (CASE WHEN dx.dx = 0 THEN 2 ELSE 1 END) AS wy
+        |  FROM range(-1, 2) dy(dy), range(-1, 2) dx(dx)),
+        |taps AS (
+        |  SELECT p.img_id, p.y + k.dy AS cy, p.x + k.dx AS cx,
+        |    p.v * k.wx AS tx, p.v * k.wy AS ty
+        |  FROM px p CROSS JOIN kern k),
+        |grad AS MATERIALIZED (
+        |  SELECT img_id, cy AS y, cx AS x,
+        |    CAST(sum(tx) AS BIGINT) AS gx, CAST(sum(ty) AS BIGINT) AS gy
+        |  FROM taps WHERE cy BETWEEN 1 AND 46 AND cx BETWEEN 1 AND 62
+        |  GROUP BY 1, 2, 3),
+        |dirs AS MATERIALIZED (
+        |  SELECT img_id, y, x, abs(gx) + abs(gy) AS m,
+        |    CASE WHEN CAST(abs(gy) AS DOUBLE) <= CAST(abs(gx) AS DOUBLE) * 0.41421356237309503
+        |      THEN 0 ELSE 1 END AS dy,
+        |    CASE WHEN CAST(abs(gy) AS DOUBLE) <= CAST(abs(gx) AS DOUBLE) * 0.41421356237309503 THEN 1
+        |         WHEN CAST(abs(gy) AS DOUBLE) >= CAST(abs(gx) AS DOUBLE) * 2.414213562373095 THEN 0
+        |         WHEN gx * gy >= 0 THEN 1 ELSE -1 END AS dx
+        |  FROM grad),
+        |keys AS MATERIALIZED (
+        |  SELECT img_id, y, x, m,
+        |    y + dy AS py, x + dx AS px_, y - dy AS my, x - dx AS mx
+        |  FROM dirs),
+        |nms AS MATERIALIZED (
+        |  SELECT k.img_id, k.y, k.x, k.m, k.m > 400 AS is_strong
+        |  FROM keys k
+        |  LEFT JOIN dirs p ON p.img_id = k.img_id AND p.y = k.py AND p.x = k.px_
+        |  LEFT JOIN dirs q ON q.img_id = k.img_id AND q.y = k.my AND q.x = k.mx
+        |  WHERE k.m > coalesce(q.m, 0) AND k.m >= coalesce(p.m, 0) AND k.m > 100),
+        |reach(img_id, y, x) AS (
+        |  SELECT img_id, y, x FROM nms WHERE is_strong
+        |  UNION
+        |  SELECT w.img_id, w.y, w.x FROM reach r JOIN nms w
+        |    ON w.img_id = r.img_id AND abs(w.y - r.y) <= 1 AND abs(w.x - r.x) <= 1)
+        |SELECT n.img_id, n.y, n.x, CAST(n.m AS BIGINT) AS m
+        |FROM nms n JOIN reach USING (img_id, y, x)
+        |ORDER BY img_id, y, x""".stripMargin,
     "s8_window_norm" ->
       """WITH px AS MATERIALIZED (
         |  SELECT CAST(k.k AS INTEGER) AS img_id,

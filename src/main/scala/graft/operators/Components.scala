@@ -28,8 +28,11 @@ object Components {
     * (component ids stay y·width+x, unique within an image). Output
     * adds a `component` column. */
   def label(mask: DataFrame, width: Int, maxIters: Int = 64,
-            perImage: Boolean = false): DataFrame = {
-    val offsets = Seq((-1, 0), (1, 0), (0, -1), (0, 1))
+            perImage: Boolean = false, diagonal: Boolean = false): DataFrame = {
+    // 4-connectivity (scipy.ndimage.label default) or 8-connectivity
+    // (cv2.findContours / Canny hysteresis semantics)
+    val offsets = Seq((-1, 0), (1, 0), (0, -1), (0, 1)) ++
+      (if (diagonal) Seq((-1, -1), (-1, 1), (1, -1), (1, 1)) else Seq.empty)
     val imgCols = if (perImage) Seq("img_id") else Seq.empty
     val keys = imgCols ++ Seq("y", "x")
     var labels = mask.select((imgCols.map(col) ++ Seq(col("y"), col("x"),

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{HMRF, Hough, Vision}
+import graft.operators.{Canny, HMRF, Hough}
 import graft.sources.{Dicom, ImageSource}
 
 /** Whole-pipeline integrations (SURVEY §3.2/§3.3 lifecycles): the
@@ -38,8 +38,11 @@ class EndToEndSpec extends AnyFunSuite {
     }
   }
 
-  test("PNG bytes -> decode -> Sobel edges -> Hough votes recover disc centers") {
-    // filled discs (not rings): the gradient operator must find the rim
+  test("PNG bytes -> decode -> Canny edges -> Hough votes recover disc centers") {
+    // filled discs (not rings): the real reference front end —
+    // cv2.Canny before HoughCircles (hough_heart_detector.py:175) —
+    // must find the rim; Canny's NMS thins it to ~1 px so Hough votes
+    // concentrate harder than with a raw Sobel threshold
     val (h, w, r) = (96, 96, 20)
     val centers = Seq((0, 40, 44), (1, 50, 46))
     import spark.implicits._
@@ -54,8 +57,7 @@ class EndToEndSpec extends AnyFunSuite {
       .select(col("img_id"), posexplode(col("pixels")).as(Seq("i", "v")))
       .select(col("img_id"), (col("i") / w).cast("int").as("y"),
         (col("i") % w).cast("int").as("x"), col("v"))
-    val edges = Vision.sobel(pixels, h, w)
-      .filter(col("gmag") > 200)
+    val edges = Canny.canny(pixels, h, w, low = 100, high = 400)
       .select("img_id", "y", "x")
     val best = Hough.bestCircle(Hough.nms(Hough.votes(edges, h, w, r), thresh = 12L))
       .collect().map(r0 => r0.getAs[Int]("img_id") ->

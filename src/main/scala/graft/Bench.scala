@@ -4,12 +4,22 @@ import org.apache.spark.sql.SparkSession
 /** Bench main: times every SparkEntry query at SPARK_GRAFT_SF_DIR,
   * materializing full results through the noop sink (every row and
   * column is computed and shipped — `count()` would let Catalyst prune
-  * per-row expression work and hide crashes). Failures are recorded as
-  * -1 and printed to stderr, never silently timed. */
+  * per-row expression work and hide crashes).
+  *
+  * Methodology (round-4 fix): queries run in SORTED NAME ORDER — the
+  * previous Map-iteration order reshuffled whenever the key set
+  * changed, so JIT/warm-cache position shifted between rounds and
+  * unchanged queries appeared to regress 10-20x. One untimed warmup
+  * pass primes codegen and the parquet footer cache, then
+  * SPARK_GRAFT_BENCH_REPS (default 3) timed passes; the reported
+  * per-query number is the MEDIAN across passes and "value" is the sum
+  * of medians. Failures are recorded as -1 and printed to stderr,
+  * never silently timed. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -18,20 +28,38 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+
+    def runOne(name: String): Double = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          false
-        }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+          -1.0
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // untimed warmup pass
+    names.foreach(runOne)
+    // timed passes
+    val times: Map[String, Seq[Double]] =
+      names.map(n => n -> (1 to reps).map(_ => runOne(n)).toSeq).toMap
+
+    def median(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0).sorted
+      if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+    }
+
+    val medians = names.map(n => n -> median(times(n)))
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}""")
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BlockMatch, Canny, Components, Events, HMRF, Hough, Motion, Relational, Vision}
+import graft.operators.{BlockMatch, Canny, Components, Ellipse, Events, HMRF, Hough, Motion, Relational, Vision}
 import graft.sources.ImageSource
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
@@ -81,6 +81,9 @@ object SparkEntry {
     "u2_otsu" -> ((s, _) => Vision.otsuQuery(s)),
     "u2_sobel" -> ((s, _) => Vision.sobelQuery(s)),
     "u2_canny" -> ((s, _) => Canny.cannyQuery(s)),
+    // --- detector-2 ellipse pipeline (§2.10 U7 full 3-leg scoring,
+    // §2.6 O4 top-K-by-area, contours via CC) ---
+    "ellipse_best_candidate" -> ((s, _) => Ellipse.bestEllipseQuery(s)),
     "s8_window_norm" -> ((s, _) => Vision.windowNormQuery(s)),
     // --- multimodal binary columns (north star; §2.1 S7/S9, §2.10 U1) ---
     "img_decode_stats" -> ((s, _) => ImageSource.imgDecodeStatsQuery(s)),
@@ -612,6 +615,11 @@ object SparkEntry {
         |SELECT n.img_id, n.y, n.x, CAST(n.m AS BIGINT) AS m
         |FROM nms n JOIN reach USING (img_id, y, x)
         |ORDER BY img_id, y, x""".stripMargin,
+    // Generated from the same Shape constants + JVM doubles as the
+    // Spark plan (Ellipse.bestEllipseOracleSql) — scene, Sobel, CC
+    // closure, moment fit, gates and the 96-point 3-leg scoring are all
+    // pure IEEE arithmetic on identical literals in both engines.
+    "ellipse_best_candidate" -> Ellipse.bestEllipseOracleSql,
     "s8_window_norm" ->
       """WITH px AS MATERIALIZED (
         |  SELECT CAST(k.k AS INTEGER) AS img_id,

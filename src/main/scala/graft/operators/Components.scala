@@ -27,6 +27,17 @@ object Components {
     * `perImage` is set, which scopes labels to each image of a batch
     * (component ids stay y·width+x, unique within an image). Output
     * adds a `component` column. */
+  /** localCheckpoint truncates lineage but PRESERVES the source plan's
+    * estimated statistics; each propagation round joins labels with
+    * itself twice, so the carried sizeInBytes estimate cubes every
+    * round — S^(3^k) after k rounds. Past ~10 rounds the driver spends
+    * minutes multiplying million-digit BigIntegers inside Catalyst's
+    * stats visitor. Rebuilding the frame from the checkpointed RDD
+    * resets stats to the default each round, keeping planning O(1)
+    * per round no matter how many rounds a large mask needs. */
+  private def resetStats(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
   def label(mask: DataFrame, width: Int, maxIters: Int = 64,
             perImage: Boolean = false, diagonal: Boolean = false): DataFrame = {
     // 4-connectivity (scipy.ndimage.label default) or 8-connectivity
@@ -35,9 +46,9 @@ object Components {
       (if (diagonal) Seq((-1, -1), (-1, 1), (1, -1), (1, 1)) else Seq.empty)
     val imgCols = if (perImage) Seq("img_id") else Seq.empty
     val keys = imgCols ++ Seq("y", "x")
-    var labels = mask.select((imgCols.map(col) ++ Seq(col("y"), col("x"),
+    var labels = resetStats(mask.select((imgCols.map(col) ++ Seq(col("y"), col("x"),
       (col("y") * width + col("x")).cast("long").as("component"))): _*)
-      .localCheckpoint()
+      .localCheckpoint())
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -62,7 +73,7 @@ object Components {
       val jumped = propagated.join(labelOf, imgCols :+ "component", "left")
         .select((imgCols.map(col) ++ Seq(col("y"), col("x"),
           coalesce(col("grand"), col("component")).as("component"))): _*)
-      val next = jumped.localCheckpoint()
+      val next = resetStats(jumped.localCheckpoint())
       // The convergence count is a full extra Spark job; a mask that
       // changed in round k almost always changes in k+1 too, so checking
       // every 2nd round halves the job count at the cost of at most one

@@ -81,6 +81,8 @@ object SparkEntry {
     "u2_otsu" -> ((s, _) => Vision.otsuQuery(s)),
     "u2_sobel" -> ((s, _) => Vision.sobelQuery(s)),
     "u2_canny" -> ((s, _) => Canny.cannyQuery(s)),
+    "u2_clahe" -> ((s, _) => Vision.claheQuery(s)),
+    "u2_bilateral" -> ((s, _) => Vision.bilateralQuery(s)),
     // --- detector-2 ellipse pipeline (§2.10 U7 full 3-leg scoring,
     // §2.6 O4 top-K-by-area, contours via CC) ---
     "ellipse_best_candidate" -> ((s, _) => Ellipse.bestEllipseQuery(s)),
@@ -620,6 +622,10 @@ object SparkEntry {
     // closure, moment fit, gates and the 96-point 3-leg scoring are all
     // pure IEEE arithmetic on identical literals in both engines.
     "ellipse_best_candidate" -> Ellipse.bestEllipseOracleSql,
+    // CLAHE / bilateral replays are likewise generated with shared
+    // integer constants and injected JVM double literals.
+    "u2_clahe" -> Vision.claheOracleSql,
+    "u2_bilateral" -> Vision.bilateralOracleSql,
     "s8_window_norm" ->
       """WITH px AS MATERIALIZED (
         |  SELECT CAST(k.k AS INTEGER) AS img_id,

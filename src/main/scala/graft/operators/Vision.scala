@@ -157,6 +157,177 @@ object Vision {
     pass(pass(pixels, "y", h), "x", w)
   }
 
+  /** Bilateral filter (reference denoise_blur,
+    * hough_heart_detector2.py:115-119 / hough_heart_detector.py:96,
+    * `cv2.bilateralFilter(gray, d=9, sigmaColor=75, sigmaSpace=75)`):
+    * each pixel becomes the weighted mean of its d×d window, weight =
+    * exp(−Δspace²/2σs²) · exp(−Δvalue²/2σc²) — blurs flats, preserves
+    * edges (a large value step kills the range weight). Relational
+    * shape: one 81-tap neighbor equality join (same as the blur
+    * stencils), spatial weights precomputed JVM-side as literals;
+    * interior-only output (window fully in frame — cv2 reflects at
+    * borders, border parity is not needed by the detector pipeline).
+    * Scale: per-image keyed equality join, map-side combinable agg. */
+  def bilateral(pixels: DataFrame, h: Int, w: Int, d: Int = 9,
+                sigmaColor: Double = 75.0, sigmaSpace: Double = 75.0): DataFrame = {
+    val r = d / 2
+    val taps = pixels.withColumn("k", explode(array(
+        (for (dy <- -r to r; dx <- -r to r) yield
+          struct(lit(dy).as("dy"), lit(dx).as("dx"),
+            lit(math.exp(-(dy * dy + dx * dx) / (2.0 * sigmaSpace * sigmaSpace))).as("sw"))): _*)))
+      .withColumn("ny", col("y") + col("k.dy"))
+      .withColumn("nx", col("x") + col("k.dx"))
+    val src = pixels.select(col("img_id").as("s_img"), col("y").as("ny"),
+      col("x").as("nx"), col("v").as("sv"))
+    taps.join(src, col("img_id") === col("s_img")
+        && taps("ny") === src("ny") && taps("nx") === src("nx"))
+      .withColumn("wt", col("k.sw")
+        * exp((col("sv") - col("v")) * (col("sv") - col("v"))
+          * lit(-1.0 / (2.0 * sigmaColor * sigmaColor))))
+      .filter(col("y").between(r, h - 1 - r) && col("x").between(r, w - 1 - r))
+      .groupBy("img_id", "y", "x")
+      .agg((sum(col("wt") * col("sv")) / sum(col("wt"))).as("v"))
+  }
+
+  /** CLAHE — contrast-limited adaptive histogram equalization
+    * (reference clahe_gray, hough_heart_detector2.py:110-113,
+    * `cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8,8))`), fully
+    * relational and integer-exact up to the interpolation weights:
+    *
+    *  1. tile assignment (y/tileH, x/tileW — h, w must divide by the
+    *     grid; cv2 pads instead),
+    *  2. dense per-tile 256-bin histogram (tiles × range(256) left
+    *     join, so absent values still get a LUT entry — neighbor-tile
+    *     LUTs are evaluated at values the tile never saw),
+    *  3. clip at max(1, clip·area/256), redistribute the excess:
+    *     excess/256 to every bin plus one to each of the first
+    *     `excess%256` bins spaced step = 256/residual apart (cv2's
+    *     one-pass residual loop),
+    *  4. CDF (window cumsum over v inside the tile) → integer LUT
+    *     lut[v] = min(255, (cdf·255 + area/2) / area),
+    *  5. bilinear LUT interpolation: tile-grid coords g = (p+0.5)/tile
+    *     − 0.5, fraction from the unclamped floor, corner tiles
+    *     clamped to the grid (edge pixels read one tile twice — cv2's
+    *     border behavior), 4-corner weighted join on (img, tile, v).
+    *
+    * Every join is an equality join on (img, tile[, v]); the histogram
+    * aggregates map-side. */
+  def clahe(pixels: DataFrame, h: Int, w: Int, clip: Double = 2.0,
+            tiles: Int = 8): DataFrame = {
+    require(h % tiles == 0 && w % tiles == 0,
+      s"CLAHE grid must divide the frame: ${h}x$w vs $tiles")
+    val tileH = h / tiles
+    val tileW = w / tiles
+    val area = tileH * tileW
+    val clipLimit = math.max(1, (clip * area / 256).toInt)
+
+    val tiled = pixels
+      .withColumn("ty", expr(s"y div $tileH").cast("int"))
+      .withColumn("tx", expr(s"x div $tileW").cast("int"))
+    val hist = tiled.groupBy("img_id", "ty", "tx", "v")
+      .agg(count(lit(1)).as("n"))
+    val tileKeys = tiled.select("img_id", "ty", "tx").distinct()
+    val dense = tileKeys
+      .withColumn("v", explode(sequence(lit(0), lit(255))))
+      .join(hist, Seq("img_id", "ty", "tx", "v"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("clipped", least(col("n"), lit(clipLimit.toLong)))
+    val excess = dense.groupBy("img_id", "ty", "tx")
+      .agg(sum(col("n") - col("clipped")).as("excess"))
+    // integral div/mod throughout (Spark `/` on integer columns is
+    // DOUBLE division; `div` keeps the LUT arithmetic exact)
+    val redist = dense.join(excess, Seq("img_id", "ty", "tx"))
+      .withColumn("batch", expr("excess div 256"))
+      .withColumn("residual", col("excess") % 256)
+      // divide-by-zero guard keeps the DuckDB replay legal (x // 0
+      // errors there; residual = 0 makes bump 0 regardless)
+      .withColumn("step", greatest(lit(1L), expr("256 div greatest(residual, 1)")))
+      .withColumn("bump",
+        when(col("residual") > 0 && col("v") % col("step") === 0
+          && expr("v div step") < col("residual"), 1L).otherwise(0L))
+      .withColumn("nr", col("clipped") + col("batch") + col("bump"))
+    val lutWindow = org.apache.spark.sql.expressions.Window
+      .partitionBy("img_id", "ty", "tx").orderBy("v")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val lut = redist
+      .withColumn("cdf", sum("nr").over(lutWindow))
+      .withColumn("mapped",
+        least(lit(255L), expr(s"(cdf * 255 + ${area / 2}) div $area")))
+      .select(col("img_id"), col("ty").as("lty"), col("tx").as("ltx"),
+        col("v"), col("mapped"))
+
+    // bilinear interpolation between the 4 surrounding tile LUTs; the
+    // grid coords are scalar expressions on integer inputs, so both
+    // engines compute bit-identical doubles and floor() agrees
+    val corners = pixels
+      .withColumn("gx", (col("x") + 0.5) / tileW - 0.5)
+      .withColumn("gy", (col("y") + 0.5) / tileH - 0.5)
+      .withColumn("fx", col("gx") - floor(col("gx")))
+      .withColumn("fy", col("gy") - floor(col("gy")))
+      // clamp floor and floor+1 SEPARATELY: at the low edge floor = -1
+      // must give (0, 0) — the edge strip reads the edge tile twice —
+      // not (0, 1)
+      .withColumn("tx0", greatest(lit(0), least(lit(tiles - 1), floor(col("gx")).cast("int"))))
+      .withColumn("ty0", greatest(lit(0), least(lit(tiles - 1), floor(col("gy")).cast("int"))))
+      .withColumn("tx1", greatest(lit(0), least(lit(tiles - 1), floor(col("gx")).cast("int") + 1)))
+      .withColumn("ty1", greatest(lit(0), least(lit(tiles - 1), floor(col("gy")).cast("int") + 1)))
+      .withColumn("c", explode(array(
+        struct(col("ty0").as("lty"), col("tx0").as("ltx"),
+          ((lit(1.0) - col("fy")) * (lit(1.0) - col("fx"))).as("wt")),
+        struct(col("ty0").as("lty"), col("tx1").as("ltx"),
+          ((lit(1.0) - col("fy")) * col("fx")).as("wt")),
+        struct(col("ty1").as("lty"), col("tx0").as("ltx"),
+          (col("fy") * (lit(1.0) - col("fx"))).as("wt")),
+        struct(col("ty1").as("lty"), col("tx1").as("ltx"),
+          (col("fy") * col("fx")).as("wt")))))
+      .select(col("img_id"), col("y"), col("x"), col("v"),
+        col("c.lty").as("lty"), col("c.ltx").as("ltx"), col("c.wt").as("wt"))
+    corners.join(lut, Seq("img_id", "lty", "ltx", "v"))
+      .groupBy("img_id", "y", "x")
+      .agg(sum(col("wt") * col("mapped")).as("v"))
+  }
+
+  /** 3-D separable Gaussian over a (z, y, x, v) volume — the
+    * reference's whole-volume blur `gaussian_filter(vol, sigma)`
+    * (brain_segmentation.py:395, scipy). Scipy semantics, which differ
+    * from the 2-D cv2 path above in two ways: kernel truncates at
+    * radius int(4σ + 0.5) (truncate=4.0), and the border mode is
+    * symmetric 'reflect' (d c b a | a b c d), not reflect-101. Three
+    * weighted neighbor-join passes (z, then y, then x), each an
+    * equality join on materialized reflected source keys — the same
+    * shuffle shape as the 2-D blur, one extra pass. */
+  def gaussianBlur3d(voxels: DataFrame, sigma: Double,
+                     d: Int, h: Int, w: Int): DataFrame = {
+    val radius = (4.0 * sigma + 0.5).toInt
+    val raw = (-radius to radius).map(t => math.exp(-t * t / (2 * sigma * sigma)))
+    val weights = raw.map(_ / raw.sum)
+    // scipy 'reflect': indices are periodic with period 2n and mirror
+    // WITH edge repetition at the fold (…, 1, 0, 0, 1, …)
+    def reflectSym(idx: org.apache.spark.sql.Column, n: Int) =
+      if (n == 1) lit(0)
+      else {
+        val m = pmod(idx, lit(2 * n))
+        when(m < n, m).otherwise(lit(2 * n - 1) - m)
+      }
+    def pass(df: DataFrame, axis: String, n: Int): DataFrame = {
+      val taps = df.withColumn("k", explode(array(
+          (-radius to radius).map(t => struct(lit(t).as("d"),
+            lit(weights(t + radius)).as("wt"))): _*)))
+        .withColumn("src", reflectSym(col(axis) + col("k.d"), n))
+      val src = df.select(col("z").as("sz"), col("y").as("sy"),
+        col("x").as("sx"), col("v").as("sv"))
+      val (jz, jy, jx) = axis match {
+        case "z" => (col("src"), col("y"), col("x"))
+        case "y" => (col("z"), col("src"), col("x"))
+        case _   => (col("z"), col("y"), col("src"))
+      }
+      taps.join(src, col("sz") === jz && col("sy") === jy && col("sx") === jx)
+        .groupBy("z", "y", "x")
+        .agg(sum(col("k.wt") * col("sv")).as("v"))
+    }
+    pass(pass(pass(voxels, "z", d), "y", h), "x", w)
+  }
+
   /** Non-local means denoising (brain_segmentation.py:384-392's primary
     * denoise path, cv2.fastNlMeansDenoising semantics at patch radius 1,
     * search radius `searchR`): every interior pixel is replaced by the
@@ -309,4 +480,111 @@ object Vision {
         max(abs(col("gx"))).as("max_abs_gx"),
         max(abs(col("gy"))).as("max_abs_gy"))
       .orderBy("img_id")
+
+  /** Oracled CLAHE: full mapped-pixel dump on the bimodal scene at a
+    * 2x2 grid (tile area 768 -> clip limit 6, so clipping and residual
+    * redistribution genuinely fire). */
+  def claheQuery(spark: SparkSession): DataFrame =
+    clahe(syntheticBimodal(spark), h = 48, w = 64, clip = 2.0, tiles = 2)
+      .select(col("img_id"), col("y"), col("x"), round(col("v"), 4).as("v"))
+      .orderBy("img_id", "y", "x")
+
+  /** Oracled bilateral: full interior dump at the reference's
+    * d=9/sigma 75/75 parameters. */
+  def bilateralQuery(spark: SparkSession): DataFrame =
+    bilateral(syntheticBimodal(spark), h = 48, w = 64)
+      .select(col("img_id"), col("y"), col("x"), round(col("v"), 4).as("v"))
+      .orderBy("img_id", "y", "x")
+
+  private val bimodalSql: String =
+    """  SELECT CAST(k.k AS INTEGER) AS img_id, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+      |    (CASE WHEN y.y BETWEEN 12 AND 35 AND x.x BETWEEN 16 AND 47 THEN 200 ELSE 40 + k.k * 3 END
+      |     + (x.x * 11 + y.y * 17 + k.k * 7) % 41 - 20) AS v
+      |  FROM range(0, 4) k(k), range(0, 48) y(y), range(0, 64) x(x)""".stripMargin
+
+  /** DuckDB oracle for claheQuery — generated with the same integer
+    * constants (clip limit, tile area) the Spark plan folds in; every
+    * stage up to the interpolation weights is integer arithmetic. */
+  def claheOracleSql: String = {
+    val (h, w, tiles, clip) = (48, 64, 2, 2.0)
+    val tileH = h / tiles; val tileW = w / tiles
+    val area = tileH * tileW
+    val clipLimit = math.max(1, (clip * area / 256).toInt)
+    s"""WITH px AS MATERIALIZED (
+       |$bimodalSql),
+       |tiled AS (SELECT *, CAST(y // $tileH AS INTEGER) AS ty, CAST(x // $tileW AS INTEGER) AS tx FROM px),
+       |hist AS (SELECT img_id, ty, tx, v, count(*) AS n FROM tiled GROUP BY 1, 2, 3, 4),
+       |tk AS (SELECT DISTINCT img_id, ty, tx FROM tiled),
+       |dense AS (
+       |  SELECT t.img_id, t.ty, t.tx, CAST(b.b AS INTEGER) AS v,
+       |    coalesce(h.n, 0) AS n, least(coalesce(h.n, 0), $clipLimit) AS clipped
+       |  FROM tk t CROSS JOIN range(0, 256) b(b)
+       |  LEFT JOIN hist h ON h.img_id = t.img_id AND h.ty = t.ty AND h.tx = t.tx AND h.v = b.b),
+       |exc AS (
+       |  SELECT img_id, ty, tx, CAST(sum(n - clipped) AS BIGINT) AS excess
+       |  FROM dense GROUP BY 1, 2, 3),
+       |red AS (
+       |  SELECT d.*, e.excess // 256 AS batch, e.excess % 256 AS residual,
+       |    greatest(1, 256 // greatest(e.excess % 256, 1)) AS step
+       |  FROM dense d JOIN exc e USING (img_id, ty, tx)),
+       |red2 AS (
+       |  SELECT *, clipped + batch
+       |    + (CASE WHEN residual > 0 AND v % step = 0 AND v // step < residual THEN 1 ELSE 0 END) AS nr
+       |  FROM red),
+       |lut AS (
+       |  SELECT img_id, ty, tx, v,
+       |    least(255, (sum(nr) OVER (PARTITION BY img_id, ty, tx ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 255 + ${area / 2}) // $area) AS mapped
+       |  FROM red2),
+       |cor AS MATERIALIZED (
+       |  SELECT img_id, y, x, v,
+       |    (x + 0.5) / $tileW - 0.5 AS gx, (y + 0.5) / $tileH - 0.5 AS gy
+       |  FROM px),
+       |cor2 AS MATERIALIZED (
+       |  SELECT *, gx - floor(gx) AS fx, gy - floor(gy) AS fy,
+       |    greatest(0, least(${tiles - 1}, CAST(floor(gx) AS INTEGER))) AS tx0,
+       |    greatest(0, least(${tiles - 1}, CAST(floor(gy) AS INTEGER))) AS ty0,
+       |    greatest(0, least(${tiles - 1}, CAST(floor(gx) AS INTEGER) + 1)) AS tx1,
+       |    greatest(0, least(${tiles - 1}, CAST(floor(gy) AS INTEGER) + 1)) AS ty1
+       |  FROM cor),
+       |cor4 AS MATERIALIZED (
+       |  SELECT s.img_id, s.y, s.x, s.v,
+       |    CASE WHEN c.ci IN (0, 1) THEN s.ty0 ELSE s.ty1 END AS lty,
+       |    CASE WHEN c.ci IN (0, 2) THEN s.tx0 ELSE s.tx1 END AS ltx,
+       |    CASE c.ci WHEN 0 THEN (1.0 - s.fy) * (1.0 - s.fx)
+       |              WHEN 1 THEN (1.0 - s.fy) * s.fx
+       |              WHEN 2 THEN s.fy * (1.0 - s.fx)
+       |              ELSE s.fy * s.fx END AS wt
+       |  FROM cor2 s CROSS JOIN (VALUES (0), (1), (2), (3)) c(ci))
+       |SELECT c.img_id, c.y, c.x, round(sum(c.wt * l.mapped), 4) AS v
+       |FROM cor4 c JOIN lut l
+       |  ON l.img_id = c.img_id AND l.ty = c.lty AND l.tx = c.ltx AND l.v = c.v
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
+
+  /** DuckDB oracle for bilateralQuery — the 81 spatial weights are
+    * injected as the same JVM doubles the Spark plan embeds; only the
+    * per-pair range weight exp() runs at query time (1-ulp libm wobble,
+    * absorbed by round(,4) of the weighted mean). */
+  def bilateralOracleSql: String = {
+    val (d, sigmaColor, sigmaSpace) = (9, 75.0, 75.0)
+    val r = d / 2
+    val taps = (for (dy <- -r to r; dx <- -r to r) yield
+      s"($dy, $dx, ${math.exp(-(dy * dy + dx * dx) / (2.0 * sigmaSpace * sigmaSpace))})")
+      .mkString(", ")
+    val colorCoef = -1.0 / (2.0 * sigmaColor * sigmaColor)
+    s"""WITH px AS MATERIALIZED (
+       |$bimodalSql),
+       |taps(dy, dx, sw) AS (VALUES $taps),
+       |nb AS MATERIALIZED (
+       |  SELECT p.img_id, p.y, p.x, p.v, t.sw,
+       |    p.y + t.dy AS ny, p.x + t.dx AS nx
+       |  FROM px p CROSS JOIN taps t
+       |  WHERE p.y BETWEEN $r AND ${48 - 1 - r} AND p.x BETWEEN $r AND ${64 - 1 - r})
+       |SELECT n.img_id, n.y, n.x,
+       |  round(sum(n.sw * exp((s.v - n.v) * (s.v - n.v) * $colorCoef) * s.v)
+       |    / sum(n.sw * exp((s.v - n.v) * (s.v - n.v) * $colorCoef)), 4) AS v
+       |FROM nb n JOIN px s ON s.img_id = n.img_id AND s.y = n.ny AND s.x = n.nx
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
 }

@@ -28,6 +28,37 @@ class PreprocessSpec extends AnyFunSuite {
     assert(m((7, 7)) > m((7, 6)) && m((7, 6)) > m((7, 5))) // monotone falloff
   }
 
+  test("3-D gaussian blur matches a dense scipy-semantics convolution exactly") {
+    val (d, h, w) = (6, 7, 8)
+    val sigma = 1.0
+    def value(z: Int, y: Int, x: Int): Double =
+      ((z * 73 + y * 31 + x * 17) % 23).toDouble - 11.0
+    val vol = (for (z <- 0 until d; y <- 0 until h; x <- 0 until w)
+      yield (z, y, x, value(z, y, x))).toDF("z", "y", "x", "v")
+
+    // dense reference: full 3-D kernel product with scipy truncate=4.0
+    // and symmetric 'reflect' borders
+    val radius = (4.0 * sigma + 0.5).toInt
+    val raw = (-radius to radius).map(t => math.exp(-t * t / (2 * sigma * sigma)))
+    val wts = raw.map(_ / raw.sum)
+    def reflect(i: Int, n: Int): Int = {
+      val m = ((i % (2 * n)) + 2 * n) % (2 * n)
+      if (m < n) m else 2 * n - 1 - m
+    }
+    def dense(z: Int, y: Int, x: Int): Double =
+      (for (dz <- -radius to radius; dy <- -radius to radius; dx <- -radius to radius)
+        yield wts(dz + radius) * wts(dy + radius) * wts(dx + radius) *
+          value(reflect(z + dz, d), reflect(y + dy, h), reflect(x + dx, w))).sum
+
+    val out = Vision.gaussianBlur3d(vol, sigma, d, h, w)
+      .collect().map(r => (r.getAs[Int]("z"), r.getAs[Int]("y"), r.getAs[Int]("x"))
+        -> r.getAs[Double]("v")).toMap
+    assert(out.size == d * h * w)
+    for (z <- 0 until d; y <- 0 until h; x <- 0 until w)
+      assert(math.abs(out((z, y, x)) - dense(z, y, x)) < 1e-9,
+        s"mismatch at ($z,$y,$x): ${out((z, y, x))} vs ${dense(z, y, x)}")
+  }
+
   test("non-local means denoises flats while preserving the step edge") {
     // noisy two-level image: left half 50, right half 200, +-8 hash noise
     val noisy = grid(24, 32) { (y, x) =>

@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Canny, HMRF, Hough}
+import graft.operators.{Canny, Ellipse, HMRF, Hough, Vision}
 import graft.sources.{Dicom, ImageSource}
 
 /** Whole-pipeline integrations (SURVEY §3.2/§3.3 lifecycles): the
@@ -67,5 +67,48 @@ class EndToEndSpec extends AnyFunSuite {
       assert(math.abs(gy - cy) <= 1 && math.abs(gx - cx) <= 1,
         s"img $k detected ($gy,$gx) vs true ($cy,$cx)")
     }
+  }
+
+  test("PNG -> CLAHE -> bilateral -> Canny -> contours -> scored ellipse (full detector-2 chain)") {
+    // the complete reference preprocessing front end
+    // (hough_heart_detector2.py:284: denoise_blur(clahe_gray(img)) then
+    // Canny -> findContours -> fitEllipse -> 3-leg scoring), composed
+    // from the tested operators on a planted low-contrast ellipse
+    val (h, w) = (64, 64)
+    val (cy, cx, a, b) = (32.0, 32.0, 18.0, 12.0)
+    import spark.implicits._
+    val png = {
+      val px = Array.tabulate(h * w) { i =>
+        val (y, x) = (i / w, i % w)
+        val q = (x - cx) * (x - cx) / (a * a) + (y - cy) * (y - cy) / (b * b)
+        // low-contrast: 120 inside vs 95 outside + texture noise
+        (if (q <= 1.0) 120 else 95) + (x * 11 + y * 17) % 9 - 4
+      }
+      Seq((0, ImageSource.encodePngGray(w, h, px))).toDF("img_id", "content")
+    }
+    val pixels = ImageSource.decode(png)
+      .select(col("img_id"), posexplode(col("pixels")).as(Seq("i", "v")))
+      .select(col("img_id"), (col("i") / w).cast("int").as("y"),
+        (col("i") % w).cast("int").as("x"), col("v"))
+    // CLAHE stretches the 25-level step; bilateral suppresses the
+    // texture noise without smearing the rim
+    val pre = Vision.bilateral(
+        Vision.clahe(pixels, h, w, clip = 2.0, tiles = 2)
+          .select(col("img_id"), col("y"), col("x"), round(col("v")).cast("int").as("v")),
+        h, w, d = 5, sigmaColor = 40.0, sigmaSpace = 40.0)
+      .select(col("img_id"), col("y"), col("x"), round(col("v")).cast("int").as("v"))
+      .localCheckpoint()
+    val edges = Canny.canny(pre, h, w, low = 60, high = 160).select("img_id", "y", "x")
+    val cands = Ellipse.fitCandidates(edges, h, w)
+      .withColumn("r_interior", lit(0.7) * sqrt(col("a") * col("b")))
+    val scored = Ellipse.scoreCandidates(cands, pre, h, w).collect()
+    assert(scored.nonEmpty, "detector-2 chain must produce a scored candidate")
+    val top = scored.maxBy(_.getAs[Double]("score"))
+    assert(math.abs(top.getAs[Double]("cx") - cx) < 2.5 &&
+      math.abs(top.getAs[Double]("cy") - cy) < 2.5,
+      s"recovered center (${top.getAs[Double]("cx")}, ${top.getAs[Double]("cy")}) vs planted ($cx, $cy)")
+    assert(math.abs(top.getAs[Double]("a") - a) / a < 0.25 &&
+      math.abs(top.getAs[Double]("b") - b) / b < 0.25,
+      s"recovered axes (${top.getAs[Double]("a")}, ${top.getAs[Double]("b")}) vs planted ($a, $b)")
   }
 }

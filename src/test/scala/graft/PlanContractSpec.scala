@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan contracts for the 100-TB posture: filters reach the
+  * parquet scans, projections prune the read schema, fixed-cardinality
+  * dimensions broadcast, and no relational query degenerates into a
+  * cartesian product. These assert on the planned (pre-execution)
+  * string, so a plan regression fails fast without running the query. */
+class PlanContractSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("filtered scan pushes its predicates into the parquet scan") {
+    val p = plan("s3_filtered_scan")
+    // plan toString truncates long filter lists with "…", so assert on
+    // the named predicates rather than a closed bracket
+    assert(p.contains("PushedFilters: [IsNotNull"), "scan must push filters")
+    assert(p.contains("EqualTo(o_orderstatus,F)"),
+      "the status equality must reach the parquet reader")
+  }
+
+  test("point lookup prunes to the selected columns at the scan") {
+    val p = plan("s2_point_lookup")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(read.contains("c_custkey") && read.contains("c_name"), read)
+    assert(!read.contains("c_acctbal") && !read.contains("c_comment"),
+      s"unused columns must be pruned: $read")
+  }
+
+  test("fixed-cardinality dimensions broadcast in q5") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "region/nation joins must broadcast")
+  }
+
+  test("relational queries plan no cartesian products") {
+    // emb_knn_cosine (broadcast brute-force baseline) and the synthetic
+    // scene queries are exempt by design; everything table-driven that
+    // joins on keys must stay hash/merge-join shaped
+    val names = Seq("q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+      "q10_returned_revenue", "j_semi_join", "j_outer_join", "j1_frequent_pairs",
+      "s5_update_rewrite", "s6_anti_join", "w_running_spend", "set_ops",
+      "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
+      "emb_near_dup", "st2_events_per_hour", "f9_json_props")
+    names.foreach { n =>
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product")
+    }
+  }
+
+  test("dedup candidate generation joins on band keys, not payloads") {
+    val p = plan("dedup_minhash_pairs")
+    // the self-join must be an equality join (SortMergeJoin or
+    // BroadcastHashJoin at this sf), never a nested loop over documents
+    assert(!p.contains("BroadcastNestedLoopJoin"), "band join degenerated to NL")
+  }
+}

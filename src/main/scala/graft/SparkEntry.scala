@@ -116,6 +116,10 @@ object SparkEntry {
     // construction, so no exact SQL oracle exists; SimilaritySpec bounds
     // its recall against the oracled brute-force top-k.
     "emb_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
+    // rows-only by nature: the k-means coarse quantizer is not
+    // SQL-expressible; SimilaritySpec proves nProbe=nlist degenerates
+    // to the oracled brute force bit-for-bit and bounds recall below it.
+    "emb_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "emb_norm_stats" -> ((s, d) => Similarity.normStats(s, d)),
     // rows-only by nature: bucketed near-dup is approximate (bucket
     // collisions gate candidate pairs); SimilaritySpec asserts the

@@ -145,6 +145,61 @@ object Similarity {
               nPlanes: Int = 4, nTables: Int = 8, dims: Int = 64): DataFrame =
     lshTopKOn(corpus(spark, dir), nQueries, k, nPlanes, nTables, dims)
 
+  /** IVF (inverted-file) ANN — the k-means coarse-quantizer scale path
+    * (the FAISS IVF-Flat shape): train `nlist` centroids (spark.ml
+    * KMeans, seed 0), assign every corpus vector to its nearest
+    * centroid in one scan (the inverted lists are simply a partitioning
+    * of the corpus by list_id), rank lists per query by centroid L2
+    * distance and probe the nearest `nProbe`, then exact-cosine re-rank
+    * inside the probed lists only.
+    *
+    * Scale design: the centroid table is nlist rows — broadcast; the
+    * probe step shuffles only (query_id, list_id); the candidate join
+    * is an equality join on list_id touching nProbe/nlist of the
+    * corpus. Recall grows with nProbe, and nProbe = nlist degenerates
+    * to exact brute force (SimilaritySpec asserts bit-equality with
+    * bruteForceTopKOn in that limit). */
+  def ivfTopKOn(all: DataFrame, nQueries: Int = 5, k: Int = 3,
+                nlist: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = all.sparkSession
+    VectorExpressions.register(spark)
+    val feat = all.withColumn("features", array_to_vector(col("vec")))
+    val model = new KMeans().setK(nlist).setSeed(0L)
+      .setFeaturesCol("features").setPredictionCol("list_id").fit(feat)
+    val assigned = model.transform(feat).drop("features")
+    import spark.implicits._
+    val centDf = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list_id", "cvec")
+    val l2sq = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    val q = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("dist"), col("list_id"))
+    val probed = q.select("query_id", "qv").crossJoin(broadcast(centDf))
+      .withColumn("dist", l2sq(col("qv"), col("cvec")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "list_id")
+    val cands = probed
+      .join(assigned.select(col("vec_id").as("cand_id"), col("list_id"),
+        col("vec").as("cv"), col("norm").as("cn")), Seq("list_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    cands
+      .join(broadcast(q.select("query_id", "qv", "qn")), Seq("query_id"))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
+              nlist: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfTopKOn(corpus(spark, dir), nQueries, k, nlist, nProbe)
+
   /** Per-label embedding stats: mean L2 norm and count — oracle-checkable
     * sanity surface for the vector math. */
   def normStats(spark: SparkSession, dir: String): DataFrame =

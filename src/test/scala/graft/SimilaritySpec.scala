@@ -47,6 +47,25 @@ class SimilaritySpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("IVF top-k: nProbe = nlist is exactly brute force; partial probing bounds recall") {
+    val all = Similarity.corpus(spark, sf0001).cache()
+    def rows(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Double]("cos_sim"))).toSeq
+    // probing every list covers every candidate -> identical output to
+    // the exact baseline, regardless of the k-means assignment
+    val exact = rows(Similarity.bruteForceTopKOn(all, nQueries = 5, k = 3))
+    val full = rows(Similarity.ivfTopKOn(all, nQueries = 5, k = 3, nlist = 8, nProbe = 8))
+    assert(full === exact, "nProbe=nlist must equal brute force bit-for-bit")
+    // partial probe: deterministic (seed 0) recall, bounded so quantizer
+    // or probe regressions surface
+    val partial = rows(Similarity.ivfTopKOn(all, nQueries = 5, k = 3, nlist = 8, nProbe = 3))
+      .map(t => (t._1, t._3)).toSet
+    val recall = (exact.map(t => (t._1, t._3)).toSet intersect partial).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall fell below bound")
+    all.unpersist()
+  }
+
   test("near-dup pairs find exactly the planted duplicate pair") {
     // 8-dim: two near-identical vectors (cos > 0.999) among orthogonal-ish noise.
     val base = Seq(1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.0)

@@ -219,11 +219,15 @@ object Ellipse {
       .withColumn("hy0", greatest(col("cyi") - col("rr"), lit(0)))
       .withColumn("hy1", least(col("cyi") + col("rr"), lit(h - 1)))
       .select((keyCols.map(col) ++ Seq(col("hx0"), col("hx1"), col("hy0"), col("hy1"))): _*)
-      .join(pixels, Seq("img_id"))
+      // join per candidate ROW, not per image: exploding the bbox rows
+      // makes this an equality join on (img_id, y) whose key set is
+      // |cands| * boxHeight — the per-image cross join never forms
+      .withColumn("py", explode(sequence(col("hy0"), col("hy1"))))
+      .join(pixels.select(col("img_id"), col("y").as("py"), col("x"), col("v")),
+        Seq("img_id", "py"))
       .filter(col("x").between(col("hx0"), col("hx1")) &&
-        col("y").between(col("hy0"), col("hy1")) &&
         (col("x") - col("cx")) * (col("x") - col("cx"))
-          + (col("y") - col("cy")) * (col("y") - col("cy"))
+          + (col("py") - col("cy")) * (col("py") - col("cy"))
           <= lit(0.49) * col("r_interior") * col("r_interior"))
       .groupBy(keyCols.map(col): _*)
       .agg((lit(1.0) / (coalesce(stddev_pop(col("v").cast("double")), lit(0.0)) + 1e-3))

@@ -46,9 +46,21 @@ object Components {
       (if (diagonal) Seq((-1, -1), (-1, 1), (1, -1), (1, 1)) else Seq.empty)
     val imgCols = if (perImage) Seq("img_id") else Seq.empty
     val keys = imgCols ++ Seq("y", "x")
-    var labels = resetStats(mask.select((imgCols.map(col) ++ Seq(col("y"), col("x"),
-      (col("y") * width + col("x")).cast("long").as("component"))): _*)
-      .localCheckpoint())
+    // Seed labels from horizontal RUNS (gaps-and-islands): every cell
+    // starts with the linear id of its run's leftmost cell — a cell in
+    // the same component under 4- or 8-connectivity. This collapses
+    // each horizontal segment to one label in two window passes over
+    // the (img, y) shuffle, so propagation distance becomes the RUN
+    // graph diameter instead of the cell-path diameter (a solid mask of
+    // width W starts W× ahead).
+    val wRow = Window.partitionBy((imgCols :+ "y").map(col): _*).orderBy("x")
+    val seeded = mask.select((imgCols.map(col) ++ Seq(col("y"), col("x"))): _*)
+      .withColumn("g", col("x") - row_number().over(wRow))
+      .withColumn("run_min_x", min(col("x")).over(
+        Window.partitionBy((imgCols ++ Seq("y", "g")).map(col): _*)))
+      .select((imgCols.map(col) ++ Seq(col("y"), col("x"),
+        (col("y") * width + col("run_min_x")).cast("long").as("component"))): _*)
+    var labels = resetStats(seeded.localCheckpoint())
     // one propagate-then-jump sub-round as a pure plan transform
     def subRound(cur: DataFrame): DataFrame = {
       // neighbor-min propagation (J2-style shifted equality join)

@@ -41,4 +41,24 @@ object VideoFrames {
   def readFramePixels(spark: SparkSession, dir: String, glob: String = "*.png",
                       videoId: Int = 0): DataFrame =
     framePixels(readFrameDir(spark, dir, glob, videoId))
+
+  /** ST3 + S11 — STREAMING image-sequence source: binaryFile is a
+    * regular FileFormat, so the file stream source tails the directory
+    * and each newly landed frame becomes a micro-batch row; the same
+    * decode path then yields the streaming pixel relation the stateful
+    * frame operators consume. frame_idx still comes from the file
+    * name, so late-listed files keep their true position. */
+  def readFrameStream(spark: SparkSession, dir: String, glob: String = "*.png",
+                      videoId: Int = 0): DataFrame =
+    framePixels(
+      spark.readStream.format("binaryFile")
+        // streaming file sources require an explicit schema; binaryFile's
+        // is fixed by the format
+        .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+        .option("pathGlobFilter", glob)
+        .load(dir)
+        .withColumn("frame_idx",
+          regexp_extract(col("path"), "(\\d+)\\.[A-Za-z]+$", 1).cast("int"))
+        .withColumn("video_id", lit(videoId))
+        .select("video_id", "frame_idx", "content"))
 }

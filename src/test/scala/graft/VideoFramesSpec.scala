@@ -44,6 +44,32 @@ class VideoFramesSpec extends AnyFunSuite {
     assert(frames.toSeq == (0 until nFrames))
   }
 
+  test("streaming frame directory: frames land as micro-batches and decode identically") {
+    val dir = Files.createTempDirectory("graft_stream_frames_").toString
+    def writeFrame(idx: Int): Unit = {
+      val rows = direct.collect().filter(_.getInt(0) == idx)
+      val px = new Array[Int](h * w)
+      rows.foreach(r => px(r.getInt(1) * w + r.getInt(2)) = r.getInt(3))
+      Files.write(Paths.get(dir, f"frame_$idx%04d.png"),
+        ImageSource.encodePngGray(w, h, px))
+    }
+    (0 until 3).foreach(writeFrame)
+    val query = VideoFrames.readFrameStream(spark, dir)
+      .writeStream.format("memory").queryName("vf_out").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      val n1 = spark.table("vf_out").count()
+      assert(n1 == 3L * h * w, s"first batch must carry 3 frames, got $n1 pixels")
+      // frames landing later are picked up as new micro-batches
+      (3 until nFrames).foreach(writeFrame)
+      query.processAllAvailable()
+      val got = spark.table("vf_out").select("frame_idx", "y", "x", "v")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      val want = direct.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      assert(got == want, "streamed pixels must equal the generator's")
+    } finally query.stop()
+  }
+
   test("motion frameStats is identical on the decoded sequence") {
     val statsDirect = Motion.frameStats(direct).collect()
       .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSet

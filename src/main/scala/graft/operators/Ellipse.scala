@@ -594,15 +594,23 @@ object Ellipse {
       .localCheckpoint()
     val circRows = circles.collect()
     val circBest = circRows.map(r => r.getInt(0) -> r.getDouble(8)).toMap
-    val needEllipse = circBest.isEmpty || circBest.values.exists(_ < minScore + 0.08)
-    val combined = if (!needEllipse) {
+    // the early exit is PER IMAGE (:373-375): a circle clearing
+    // min_score + 0.08 wins outright — the ellipse phase never runs for
+    // that image, even if an ellipse would have outscored it
+    val strongCircImgs = circBest.filter(_._2 >= minScore + 0.08).keys.toSeq
+    val allStrong = circBest.nonEmpty && strongCircImgs.size == circBest.size
+    val combined = if (allStrong) {
       circles.withColumn("skipped_ellipse", lit(true))
     } else {
       val ellipses = bestEllipse(edges, pixels, bodyMask, h, w)
         .filter(col("rank") === 1)
+        .filter(if (strongCircImgs.isEmpty) lit(true)
+          else !col("img_id").isin(strongCircImgs: _*))
         .select(col("img_id"), lit("ellipse").as("kind"), col("cx"), col("cy"),
           col("a"), col("b"), col("cth"), col("sth"), col("score"))
-      circles.unionByName(ellipses).withColumn("skipped_ellipse", lit(false))
+      circles.unionByName(ellipses)
+        .withColumn("skipped_ellipse", if (strongCircImgs.isEmpty) lit(false)
+          else col("img_id").isin(strongCircImgs: _*))
     }
     combined.withColumn("rn", row_number().over(
         Window.partitionBy("img_id").orderBy(col("score").desc, col("kind"))))

@@ -598,7 +598,13 @@ object Ellipse {
     // min_score + 0.08 wins outright — the ellipse phase never runs for
     // that image, even if an ellipse would have outscored it
     val strongCircImgs = circBest.filter(_._2 >= minScore + 0.08).keys.toSeq
-    val allStrong = circBest.nonEmpty && strongCircImgs.size == circBest.size
+    // "all strong" must cover every image IN THE BATCH, not every image
+    // that happened to produce a circle candidate: an image with zero
+    // circles (circ is None in the reference) still runs the ellipse
+    // phase. The image set comes from pixels — every image has pixels
+    // even when the accumulator found nothing.
+    val allImgs = pixels.select("img_id").distinct().collect().map(_.getInt(0)).toSet
+    val allStrong = allImgs.nonEmpty && allImgs.forall(strongCircImgs.contains)
     val combined = if (allStrong) {
       circles.withColumn("skipped_ellipse", lit(true))
     } else {
@@ -612,8 +618,11 @@ object Ellipse {
         .withColumn("skipped_ellipse", if (strongCircImgs.isEmpty) lit(false)
           else col("img_id").isin(strongCircImgs: _*))
     }
+    // ties go to the ellipse: the reference compares ell_score >=
+    // circ_score, so 'ellipse' must rank first on equal scores
+    // (kind desc = "ellipse" before "circle").
     combined.withColumn("rn", row_number().over(
-        Window.partitionBy("img_id").orderBy(col("score").desc, col("kind"))))
+        Window.partitionBy("img_id").orderBy(col("score").desc, col("kind").desc)))
       .filter(col("rn") === 1 && col("score") >= minScore)
       .drop("rn")
   }

@@ -160,11 +160,14 @@ object Vision {
   /** Bilateral filter (reference denoise_blur,
     * hough_heart_detector2.py:115-119 / hough_heart_detector.py:96,
     * `cv2.bilateralFilter(gray, d=9, sigmaColor=75, sigmaSpace=75)`):
-    * each pixel becomes the weighted mean of its d×d window, weight =
-    * exp(−Δspace²/2σs²) · exp(−Δvalue²/2σc²) — blurs flats, preserves
-    * edges (a large value step kills the range weight). Relational
-    * shape: one 81-tap neighbor equality join (same as the blur
-    * stencils), spatial weights precomputed JVM-side as literals;
+    * each pixel becomes the weighted mean of its circular d-diameter
+    * window, weight = exp(−Δspace²/2σs²) · exp(−Δvalue²/2σc²) — blurs
+    * flats, preserves edges (a large value step kills the range
+    * weight). cv2 skips taps with sqrt(dy²+dx²) > radius (radius =
+    * d/2, integer; OpenCV bilateralFilter's `if (r > radius) continue`)
+    * so d=9 keeps 49 of 81 taps. Relational shape: one 49-tap neighbor
+    * equality join (same as the blur stencils), spatial weights
+    * precomputed JVM-side as literals;
     * interior-only output (window fully in frame — cv2 reflects at
     * borders, border parity is not needed by the detector pipeline).
     * Scale: per-image keyed equality join, map-side combinable agg. */
@@ -172,7 +175,8 @@ object Vision {
                 sigmaColor: Double = 75.0, sigmaSpace: Double = 75.0): DataFrame = {
     val r = d / 2
     val taps = pixels.withColumn("k", explode(array(
-        (for (dy <- -r to r; dx <- -r to r) yield
+        (for (dy <- -r to r; dx <- -r to r
+              if dy * dy + dx * dx <= r * r) yield
           struct(lit(dy).as("dy"), lit(dx).as("dx"),
             lit(math.exp(-(dy * dy + dx * dx) / (2.0 * sigmaSpace * sigmaSpace))).as("sw"))): _*)))
       .withColumn("ny", col("y") + col("k.dy"))
@@ -569,7 +573,9 @@ object Vision {
   def bilateralOracleSql: String = {
     val (d, sigmaColor, sigmaSpace) = (9, 75.0, 75.0)
     val r = d / 2
-    val taps = (for (dy <- -r to r; dx <- -r to r) yield
+    // same circular mask as the Spark plan (cv2's r > radius skip)
+    val taps = (for (dy <- -r to r; dx <- -r to r
+                     if dy * dy + dx * dx <= r * r) yield
       s"($dy, $dx, ${math.exp(-(dy * dy + dx * dx) / (2.0 * sigmaSpace * sigmaSpace))})")
       .mkString(", ")
     val colorCoef = -1.0 / (2.0 * sigmaColor * sigmaColor)

@@ -88,8 +88,12 @@ object Dicom {
       .withColumn("series_dir", regexp_replace(col("path").cast("string"), "/[^/]*$", ""))
       .withColumn("s", parseUdf(col("content")))
       .withColumn("z", row_number().over(w) - 1)
-      .select(col("z"), col("s.rows").as("rows"), col("s.cols").as("cols"),
-        col("s.zPos").as("z_pos"), col("s.pixels").as("pixels"))
+      // series_dir stays in the output: z restarts at 0 per series, so a
+      // multi-series corpus must keep the series key or rows from
+      // different series collide on z in voxels()/HMRF downstream.
+      .select(col("series_dir"), col("z"), col("s.rows").as("rows"),
+        col("s.cols").as("cols"), col("s.zPos").as("z_pos"),
+        col("s.pixels").as("pixels"))
   }
 
   /** Long-format voxels from a series (feeds graft.operators.HMRF). */

@@ -41,4 +41,25 @@ class DicomSpec extends AnyFunSuite {
     assert(v.getDouble(0) === 200.0 && v.getDouble(1) === 200.0)
     assert(vox.count() === 5L * 16L)
   }
+
+  test("multi-series corpus: z restarts per series and series_dir keys the output") {
+    val parent = Files.createTempDirectory("graft_dcm_multi_").toFile
+    parent.deleteOnExit()
+    Seq("seriesA" -> 3, "seriesB" -> 2).foreach { case (name, n) =>
+      val sub = new java.io.File(parent, name); sub.mkdir()
+      (0 until n).foreach { i =>
+        val raw = Array.fill(2 * 2)(i)
+        Files.write(new java.io.File(sub, s"s$i.dcm").toPath,
+          Dicom.synthesize(2, 2, zPos = i.toDouble, instance = i,
+            slope = 1.0, intercept = 0.0, raw))
+      }
+    }
+    val series = Dicom.readSeries(spark, parent.getAbsolutePath + "/*")
+    val perSeries = series.groupBy("series_dir")
+      .agg(count(lit(1)).as("n"), min("z").as("zmin"), max("z").as("zmax"))
+      .collect().map(r => (r.getString(0).split("/").last, (r.getLong(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(perSeries("seriesA") === ((3L, 0, 2)), "seriesA: 3 slices, z 0..2")
+    assert(perSeries("seriesB") === ((2L, 0, 1)), "seriesB: z restarts at 0")
+  }
 }

@@ -105,6 +105,49 @@ class EllipseSpec extends AnyFunSuite {
       math.abs(chosen.head.getDouble(3) - 30.0) <= 1.5, "circle centered on the ring")
   }
 
+  test("choose_best_shape: mixed batch — a no-circle image still runs the ellipse phase") {
+    // regression: with img 0 a STRONG circle and img 1 producing zero
+    // circle candidates, the old all-strong shortcut skipped the
+    // ellipse phase for the whole batch and img 1 silently got no
+    // shape; the reference (circ is None) runs detect_best_ellipse
+    val h = 96; val w = 96
+    val ring0 = Hough.syntheticEdges(spark, nImages = 1, h = h, w = w, r = 20)
+    def q(a: Double, b: Double) = {
+      val u = (col("x") - 48) / a; val v = (col("y") - 48) / b
+      u * u + v * v
+    }
+    val grid1 = spark.range(1).select(lit(1).as("img_id"))
+      .withColumn("y", explode(sequence(lit(0), lit(h - 1))))
+      .withColumn("x", explode(sequence(lit(0), lit(w - 1))))
+    // img 1: a 24x12 elliptical annulus — closed contour for the fit,
+    // but no Hough center at r=20 accumulates voteThresh=40 votes
+    val edges1 = grid1
+      .filter(q(24.75, 12.75) <= 1.0 && q(23.25, 11.25) >= 1.0)
+      .select("img_id", "y", "x")
+    val edges = ring0.select("img_id", "y", "x").unionByName(edges1).localCheckpoint()
+    val gray0 = spark.range(1).select(col("id").cast("int").as("img_id"))
+      .withColumn("y", explode(sequence(lit(0), lit(h - 1))))
+      .withColumn("x", explode(sequence(lit(0), lit(w - 1))))
+      .withColumn("d2", (col("y") - 30) * (col("y") - 30) + (col("x") - 40) * (col("x") - 40))
+      .withColumn("v", when(col("d2") <= lit(400), 200).otherwise(40)
+        + (col("x") * 11 + col("y") * 17) % 9 - 4)
+      .select("img_id", "y", "x", "v")
+    val gray1 = grid1
+      .withColumn("v", when(q(24.0, 12.0) <= 1.0, 200).otherwise(40)
+        + (col("x") * 11 + col("y") * 17) % 9 - 4)
+      .select("img_id", "y", "x", "v")
+    val gray = gray0.unionByName(gray1).localCheckpoint()
+    val body = gray.filter(col("v") >= 100)
+    val chosen = Ellipse.chooseBestShape(edges, gray, body, h, w,
+      radii = Seq(20), voteThresh = 40L, minScore = 0.16).collect()
+    val byImg = chosen.map(r => r.getInt(0) -> r).toMap
+    assert(byImg.contains(1), "no-circle image must get a shape from the ellipse phase")
+    assert(byImg(1).getString(1) == "ellipse")
+    assert(!byImg(1).getBoolean(9), "ellipse phase ran for the no-circle image")
+    assert(byImg(0).getString(1) == "circle")
+    assert(byImg(0).getBoolean(9), "strong circle image still early-exits")
+  }
+
   test("canny edges feed the pipeline end-to-end (integration with the real front end)") {
     val canny = Canny.canny(pixels, Ellipse.SceneH, Ellipse.SceneW, low = 100, high = 300)
       .select("img_id", "y", "x")

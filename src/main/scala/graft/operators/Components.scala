@@ -38,8 +38,79 @@ object Components {
   private def resetStats(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** Per-image grouped union-find: when the mask is scoped to an image
+    * (`perImage`), components never cross images and each image's mask
+    * is bounded by the image size (≤ a few MP), so the scale axis is
+    * the NUMBER of images, not the size of one mask. One shuffle on
+    * img_id followed by a linear-time union-find per group replaces
+    * O(log d) global join rounds — no driver loop, no checkpoint
+    * actions, identical labels (min linear id per component). The
+    * iterative MapReduce-CC path in `label` remains for unbounded
+    * masks (a global mask or a 3-D volume) where one group could not
+    * fit an executor. */
+  private def labelGrouped(mask: DataFrame, width: Int, diagonal: Boolean): DataFrame = {
+    val spark = mask.sparkSession
+    import spark.implicits._
+    val offs: Array[(Int, Int)] = (Seq((-1, 0), (1, 0), (0, -1), (0, 1)) ++
+      (if (diagonal) Seq((-1, -1), (-1, 1), (1, -1), (1, 1)) else Seq.empty)).toArray
+    mask.select(col("img_id").cast("int"), col("y").cast("int"), col("x").cast("int"))
+      .as[(Int, Int, Int)]
+      .groupByKey(_._1)
+      .flatMapGroups { (img: Int, it: Iterator[(Int, Int, Int)]) =>
+        val cells = it.map(c => (c._2, c._3)).toArray
+        val n = cells.length
+        val idx = new java.util.HashMap[Long, Integer](n * 2)
+        var i = 0
+        while (i < n) { idx.put(cells(i)._1.toLong * width + cells(i)._2, i); i += 1 }
+        val parent = Array.tabulate(n)(identity)
+        def find(a: Int): Int = {
+          var r = a
+          while (parent(r) != r) r = parent(r)
+          var c = a
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        i = 0
+        while (i < n) {
+          val (y, x) = cells(i)
+          var k = 0
+          while (k < offs.length) {
+            val (dy, dx) = offs(k)
+            val nx2 = x + dx
+            // x must stay in [0, width): a linear id one past the row end
+            // aliases the first cell of the next row
+            if (nx2 >= 0 && nx2 < width) {
+              val j = idx.get((y + dy).toLong * width + nx2)
+              if (j != null) {
+                val ri = find(i); val rj = find(j.intValue())
+                if (ri < rj) parent(rj) = ri else if (rj < ri) parent(ri) = rj
+              }
+            }
+            k += 1
+          }
+          i += 1
+        }
+        // component id = min linear id in the component (array order is
+        // not linear-id order, so resolve it in a second pass)
+        val minId = new Array[Long](n)
+        java.util.Arrays.fill(minId, Long.MaxValue)
+        i = 0
+        while (i < n) {
+          val lid = cells(i)._1.toLong * width + cells(i)._2
+          val r = find(i)
+          if (lid < minId(r)) minId(r) = lid
+          i += 1
+        }
+        cells.indices.iterator.map(i =>
+          (img, cells(i)._1, cells(i)._2, minId(find(i))))
+      }
+      .toDF("img_id", "y", "x", "component")
+  }
+
   def label(mask: DataFrame, width: Int, maxIters: Int = 64,
-            perImage: Boolean = false, diagonal: Boolean = false): DataFrame = {
+            perImage: Boolean = false, diagonal: Boolean = false,
+            grouped: Boolean = true): DataFrame = {
+    if (perImage && grouped) return labelGrouped(mask, width, diagonal)
     // 4-connectivity (scipy.ndimage.label default) or 8-connectivity
     // (cv2.findContours / Canny hysteresis semantics)
     val offsets = Seq((-1, 0), (1, 0), (0, -1), (0, 1)) ++

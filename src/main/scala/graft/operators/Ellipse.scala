@@ -254,6 +254,12 @@ object Ellipse {
       .join(bodyMask.select(col("img_id"), col("y").as("cy_cell"), col("x").as("cx_cell")),
         Seq("img_id", "cy_cell", "cx_cell"), "left_semi")
       .withColumn("r_interior", lit(0.7) * sqrt(col("a") * col("b")))
+      // materialize the <=40-rows-per-image candidate relation: the
+      // moment-fit expression trees otherwise inline into every
+      // downstream grouping key (scoreCandidates' sampled/homogeneity
+      // aggs), blowing generated methods past Janino's 64 KB limit and
+      // forcing interpreted fallback after a wasted compile per stage
+      .localCheckpoint()
     val scored = scoreCandidates(cands, pixels, h, w, nPts)
       .withColumn("score",
         when(col("ecc") > EccPenaltyThreshold, col("score") * EccPenalty)

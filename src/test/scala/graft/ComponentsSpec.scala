@@ -32,6 +32,29 @@ class ComponentsSpec extends AnyFunSuite {
     assert(ids.distinct.size === 5)
   }
 
+  test("grouped per-image union-find labels match the iterative MapReduce-CC exactly") {
+    // same planted scene duplicated across two images, plus a diagonal
+    // staircase that only 8-connectivity joins
+    val stairs = Seq((40, 40), (41, 41), (42, 42), (43, 43))
+    val perImg = (for {
+      img <- 0 to 1
+      (y, x) <- blobA ++ blobB ++ bridge ++ isolated ++ stairs
+    } yield (img, y, x)).toDF("img_id", "y", "x")
+    for (diag <- Seq(false, true)) {
+      val grouped = Components.label(perImg, width = 64, perImage = true,
+          diagonal = diag).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+      val iterative = Components.label(perImg, width = 64, perImage = true,
+          diagonal = diag, grouped = false).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+      assert(grouped === iterative, s"diagonal=$diag")
+      // 8-connectivity merges the staircase into one component; 4 keeps
+      // each step separate — proves connectivity is honored per path
+      val stairIds = stairs.map(c => grouped((0, c._1, c._2))).toSet
+      assert(stairIds.size === (if (diag) 1 else 4))
+    }
+  }
+
   test("largest-component filter keeps exactly the biggest blob") {
     val labeled = Components.label(mask, width = 64)
     val kept = Components.largestComponent(labeled)

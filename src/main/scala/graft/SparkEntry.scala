@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{BlockMatch, Canny, Components, Ellipse, Events, HMRF, Hough, Motion, Relational, Vision}
-import graft.sources.ImageSource
+import graft.sources.{Avi, ImageSource}
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.similarity.Similarity
@@ -89,6 +89,8 @@ object SparkEntry {
     "s8_window_norm" -> ((s, _) => Vision.windowNormQuery(s)),
     // --- multimodal binary columns (north star; §2.1 S7/S9, §2.10 U1) ---
     "img_decode_stats" -> ((s, _) => ImageSource.imgDecodeStatsQuery(s)),
+    // S11 container leg: real RIFF/AVI bytes -> frames (lossless DIB)
+    "avi_decode_stats" -> ((s, _) => Avi.aviDecodeStatsQuery(s)),
     // --- streaming-shaped batch (§2.9) ---
     "st2_events_per_hour" -> ((s, d) => Events.eventsPerHour(s, d)),
     // oracled via field extraction from the rendered docs (JSON *text*
@@ -647,6 +649,7 @@ object SparkEntry {
         |  FROM px p JOIN clips c USING (img_id))
         |SELECT img_id, round(avg(v), 4) AS mean_v, round(min(v), 4) AS min_v, round(max(v), 4) AS max_v
         |FROM norm GROUP BY 1 ORDER BY img_id""".stripMargin,
+    "avi_decode_stats" -> Avi.aviDecodeStatsOracleSql,
     "img_decode_stats" ->
       """SELECT CAST(k.k AS INTEGER) AS img_id, 64 AS width, 48 AS height,
         |  count(*) AS n_pixels,

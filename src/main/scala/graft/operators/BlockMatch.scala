@@ -168,7 +168,9 @@ object BlockMatch {
     * textured small video, ME gated to MEDIUM frames. */
   def methodMetricsQuery(spark: SparkSession): DataFrame = {
     val (h, w, n) = (96, 128, 20)
-    val video = Motion.videoSmall(spark)
+    // consumed by classification + cur-block + ref-patch legs;
+    // materialize once so the window-cumsum generator runs once
+    val video = Motion.videoSmall(spark).localCheckpoint()
     val medium = Motion.classified(video, nFrames = n).filter(col("class") === "MEDIUM")
     searchMethods(video, medium, h, w)
       .groupBy("method", "frame_idx")

@@ -50,17 +50,26 @@ object Motion {
   def syntheticVideo(spark: SparkSession, nFrames: Int, h: Int, w: Int,
                      square: Int, vx: Column, vy: Column, textured: Boolean,
                      startX: Int = 30, startY: Int = 40, videoId: Int = 0): DataFrame = {
-    // The prefix-sum window runs over nFrames rows (pre-explode) and is
-    // keyed by video_id, so a multi-video corpus partitions by video
-    // instead of collapsing to one partition.
-    val wPrev = Window.partitionBy("video_id").orderBy("frame_idx")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val base = spark.range(nFrames).select(col("id").cast("int").as("frame_idx"))
-      .withColumn("video_id", lit(videoId))
+    // Prefix-sum of the velocity schedule WITHOUT a window: video_id is
+    // a literal here, so a partitionBy("video_id") window folds to an
+    // unpartitioned single-partition sort (the WindowExec warning).
+    // Instead each frame's velocity scatters to every LATER frame and a
+    // groupBy sums — n(n-1)/2 rows at n<=60 frames, fully partitionable
+    // by target frame, and shaped right for a multi-video corpus (key
+    // would extend to (video_id, tgt)).
+    val vels = spark.range(nFrames).select(col("id").cast("int").as("frame_idx"))
       .withColumn("vx", vx)
       .withColumn("vy", vy)
-      .withColumn("x0", (lit(startX) + coalesce(sum("vx").over(wPrev), lit(0))).cast("int"))
-      .withColumn("y0", (lit(startY) + coalesce(sum("vy").over(wPrev), lit(0))).cast("int"))
+    val prefix = vels
+      .filter(col("frame_idx") < nFrames - 1)
+      .withColumn("tgt", explode(sequence(col("frame_idx") + 1, lit(nFrames - 1))))
+      .groupBy(col("tgt").as("frame_idx"))
+      .agg(sum("vx").as("sx"), sum("vy").as("sy"))
+    val base = vels
+      .join(prefix, Seq("frame_idx"), "left")
+      .withColumn("video_id", lit(videoId))
+      .withColumn("x0", (lit(startX) + coalesce(col("sx"), lit(0))).cast("int"))
+      .withColumn("y0", (lit(startY) + coalesce(col("sy"), lit(0))).cast("int"))
       .withColumn("y", explode(sequence(lit(0), lit(h - 1))))
       .withColumn("x", explode(sequence(lit(0), lit(w - 1))))
     val squareV = when(
@@ -126,7 +135,10 @@ object Motion {
   def classified(video: DataFrame, nFrames: Int, calibrationFrames: Int = 20,
                  lowQ: Double = 0.4, highQ: Double = 0.8,
                  lowDiffThreshold: Int = 10): DataFrame = {
-    val fs = frameStats(video, lowDiffThreshold)
+    // one row per frame; materialized because it feeds BOTH the
+    // calibration aggregate and the classification join — without this
+    // the whole frameStats chain (pixel self-join included) runs twice
+    val fs = frameStats(video, lowDiffThreshold).localCheckpoint()
     val calibN = math.min(calibrationFrames, nFrames - 1)
     val thr = fs.filter(col("frame_idx") <= calibN)
       .agg(expr(s"percentile(mad, $lowQ)").as("t_low"),
@@ -216,7 +228,9 @@ object Motion {
     * video — the no-ME half of the pipeline at full frame size, with all
     * three classes present. */
   def frameStatsQuery(spark: SparkSession): DataFrame =
-    classified(videoVariable(spark), nFrames = 60)
+    // materialize the generated 2.9M-pixel relation once (same rule as
+    // decisions(): frameStats consumes it four times)
+    classified(videoVariable(spark).localCheckpoint(), nFrames = 60)
       .select(
         col("frame_idx").as("frame"),
         round(col("raw_mad"), 4).as("mad_raw"),

@@ -1,0 +1,36 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Co-located joins via bucketed tables (SURVEY §3.3 / builder scale
+  * rubric: "repartition()/bucketing for co-located joins").
+  *
+  * A fact⋈dim join on a high-cardinality key shuffles BOTH sides every
+  * time it runs. Writing both tables bucketed by the join key with the
+  * same bucket count pre-partitions the data ON DISK: Spark's bucketed
+  * scan reports the hash partitioning to the planner and the sort-merge
+  * join elides the exchanges entirely — at 100 TB that converts the
+  * recurring shuffle of every downstream join/aggregation on that key
+  * into a one-time write-side cost. `sortBy` within buckets also
+  * removes the per-query sort of the merge join.
+  *
+  * bucketBy requires the table catalog (`saveAsTable`): bucket metadata
+  * lives in the catalog, not the parquet footers. Plain `.parquet()`
+  * writes cannot carry it — that is a Spark contract, not a choice. */
+object Bucketed {
+
+  /** Write `df` as a bucketed (and optionally bucket-sorted) parquet
+    * table in the session catalog. */
+  def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int,
+                    sorted: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite").format("parquet").bucketBy(nBuckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on their bucket key — with equal
+    * bucket counts the planner proves co-partitioning from the catalog
+    * and plans a zero-exchange sort-merge join. */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+}

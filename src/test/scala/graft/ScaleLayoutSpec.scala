@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.SkewJoin
+import graft.sources.Bucketed
+
+/** Scale-layout contracts: bucketed tables join without exchanges, and
+  * the salted skew join is row-identical to the plain join while
+  * splitting the hot key across salt sub-partitions. */
+class ScaleLayoutSpec extends AnyFunSuite {
+  import SparkTestSession.spark
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("same-bucketed tables sort-merge join with zero shuffle exchanges") {
+    val orders = Tables(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    val customer = Tables(spark, sf, "customer").select("c_custkey", "c_name")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    Bucketed.writeBucketed(orders, "orders_b", "o_custkey", 8)
+    Bucketed.writeBucketed(customer, "customer_b", "o_custkey", 8)
+    // force the join down the sort-merge path so the exchange elision
+    // (not broadcast) is what's being proven
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketed.bucketedJoin(spark, "orders_b", "customer_b", "o_custkey")
+      val n = joined.count()
+      assert(n > 0, "join must produce rows")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      // cross-check values against the plain (shuffling) join
+      val plain = Tables(spark, sf, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(Tables(spark, sf, "customer").select(col("c_custkey").as("o_custkey")),
+          Seq("o_custkey"))
+      assert(n === plain.count(), "bucketed join changes the result")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS customer_b")
+    }
+  }
+
+  test("salted join is row-identical to the plain join on a skewed key") {
+    // 90% of fact rows hit one hot key
+    val fact = spark.range(2000).select(
+      when(col("id") % 10 =!= 0, lit(7L)).otherwise(col("id") % 5).as("k"),
+      col("id").as("row_id"))
+    val dim = Seq((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (4L, "e"), (7L, "hot"))
+      .toDF("k", "label")
+    val salted = SkewJoin.saltedJoin(fact, dim, "k", salts = 8, saltSrc = col("row_id"))
+      .select("k", "row_id", "label")
+    val plain = fact.join(dim, Seq("k")).select("k", "row_id", "label")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty,
+      "salted join must be row-identical")
+    // the hot key's fact rows really spread across multiple salt values
+    val spread = fact.withColumn("_salt",
+        pmod(xxhash64(col("row_id")), lit(8L)).cast("int"))
+      .filter(col("k") === 7).select("_salt").distinct().count()
+    assert(spread >= 6, s"hot key spread over only $spread salts")
+  }
+}

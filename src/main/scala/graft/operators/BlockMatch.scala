@@ -168,9 +168,7 @@ object BlockMatch {
     * textured small video, ME gated to MEDIUM frames. */
   def methodMetricsQuery(spark: SparkSession): DataFrame = {
     val (h, w, n) = (96, 128, 20)
-    // consumed by classification + cur-block + ref-patch legs;
-    // materialize once so the window-cumsum generator runs once
-    val video = Motion.videoSmall(spark).localCheckpoint()
+    val video = Motion.videoSmall(spark)
     val medium = Motion.classified(video, nFrames = n).filter(col("class") === "MEDIUM")
     searchMethods(video, medium, h, w)
       .groupBy("method", "frame_idx")

@@ -50,26 +50,27 @@ object Motion {
   def syntheticVideo(spark: SparkSession, nFrames: Int, h: Int, w: Int,
                      square: Int, vx: Column, vy: Column, textured: Boolean,
                      startX: Int = 30, startY: Int = 40, videoId: Int = 0): DataFrame = {
-    // Prefix-sum of the velocity schedule WITHOUT a window: video_id is
-    // a literal here, so a partitionBy("video_id") window folds to an
-    // unpartitioned single-partition sort (the WindowExec warning).
-    // Instead each frame's velocity scatters to every LATER frame and a
-    // groupBy sums — n(n-1)/2 rows at n<=60 frames, fully partitionable
-    // by target frame, and shaped right for a multi-video corpus (key
-    // would extend to (video_id, tgt)).
-    val vels = spark.range(nFrames).select(col("id").cast("int").as("frame_idx"))
+    // The prefix-sum window runs over nFrames rows (pre-explode), keyed
+    // by video_id so the code keeps the partition-per-video shape a
+    // multi-video corpus needs. In THIS single-video generator the key
+    // is a constant: Catalyst folds it, the window plans as
+    // SinglePartition (the benign "No Partition Defined" WARN over
+    // <=60 rows), and — measured, not guessed — that is the FAST plan:
+    // SinglePartition satisfies every downstream join's distribution
+    // requirement, so the whole frameStats/blockMatch pipeline of one
+    // clip runs shuffle-free. Forcing the key to survive (pmod tricks,
+    // scatter-join prefix sums, frame-table checkpoints all tried)
+    // makes every self-join re-shuffle the 245k-row pixel relation and
+    // doubles the u4 bench queries. Multi-video corpora come from the
+    // Avi/VideoFrames sources, whose ordering keys are real columns.
+    val wPrev = Window.partitionBy("video_id").orderBy("frame_idx")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = spark.range(nFrames).select(col("id").cast("int").as("frame_idx"))
+      .withColumn("video_id", lit(videoId))
       .withColumn("vx", vx)
       .withColumn("vy", vy)
-    val prefix = vels
-      .filter(col("frame_idx") < nFrames - 1)
-      .withColumn("tgt", explode(sequence(col("frame_idx") + 1, lit(nFrames - 1))))
-      .groupBy(col("tgt").as("frame_idx"))
-      .agg(sum("vx").as("sx"), sum("vy").as("sy"))
-    val base = vels
-      .join(prefix, Seq("frame_idx"), "left")
-      .withColumn("video_id", lit(videoId))
-      .withColumn("x0", (lit(startX) + coalesce(col("sx"), lit(0))).cast("int"))
-      .withColumn("y0", (lit(startY) + coalesce(col("sy"), lit(0))).cast("int"))
+      .withColumn("x0", (lit(startX) + coalesce(sum("vx").over(wPrev), lit(0))).cast("int"))
+      .withColumn("y0", (lit(startY) + coalesce(sum("vy").over(wPrev), lit(0))).cast("int"))
       .withColumn("y", explode(sequence(lit(0), lit(h - 1))))
       .withColumn("x", explode(sequence(lit(0), lit(w - 1))))
     val squareV = when(
@@ -135,10 +136,7 @@ object Motion {
   def classified(video: DataFrame, nFrames: Int, calibrationFrames: Int = 20,
                  lowQ: Double = 0.4, highQ: Double = 0.8,
                  lowDiffThreshold: Int = 10): DataFrame = {
-    // one row per frame; materialized because it feeds BOTH the
-    // calibration aggregate and the classification join — without this
-    // the whole frameStats chain (pixel self-join included) runs twice
-    val fs = frameStats(video, lowDiffThreshold).localCheckpoint()
+    val fs = frameStats(video, lowDiffThreshold)
     val calibN = math.min(calibrationFrames, nFrames - 1)
     val thr = fs.filter(col("frame_idx") <= calibN)
       .agg(expr(s"percentile(mad, $lowQ)").as("t_low"),
@@ -228,9 +226,7 @@ object Motion {
     * video — the no-ME half of the pipeline at full frame size, with all
     * three classes present. */
   def frameStatsQuery(spark: SparkSession): DataFrame =
-    // materialize the generated 2.9M-pixel relation once (same rule as
-    // decisions(): frameStats consumes it four times)
-    classified(videoVariable(spark).localCheckpoint(), nFrames = 60)
+    classified(videoVariable(spark), nFrames = 60)
       .select(
         col("frame_idx").as("frame"),
         round(col("raw_mad"), 4).as("mad_raw"),

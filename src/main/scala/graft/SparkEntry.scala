@@ -98,6 +98,7 @@ object SparkEntry {
     "s16_json_shape" -> ((s, d) => Events.jsonShapeParsed(s, d)),
     // --- text analysis (north star) ---
     "txt_token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d)),
+    "txt_subword_stats" -> ((s, d) => TextAnalysis.subwordStats(s, d)),
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "txt_lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "txt_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).select("doc_id", "md5_fp")),
@@ -679,6 +680,18 @@ object SparkEntry {
         |    / len(string_split(text, ' ')), 4) AS avg_token_len,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_subword_stats" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(
+        |      regexp_replace(text, '([[:punct:]])', ' \1 ', 'g'), '\s+'),
+        |      t -> len(t) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_subwords,
+        |  CAST(len(list_filter(toks, t -> regexp_matches(t, '^[[:punct:]]$'))) AS INTEGER) AS n_punct,
+        |  round(list_sum(list_transform(toks, t -> CAST(len(t) AS DOUBLE))) / len(toks), 4) AS avg_subword_len
+        |FROM tok ORDER BY doc_id""".stripMargin,
     "txt_quality" ->
       """SELECT doc_id, n_tokens, stopword_ratio, type_token_ratio,
         |  CASE WHEN n_tokens < 20 THEN 'short' WHEN stopword_ratio > 0.2 THEN 'boilerplate' ELSE 'ok' END AS quality_class

@@ -15,10 +15,33 @@ import graft.Tables
   */
 object TextAnalysis {
 
-  /** Whitespace tokenizer (a BPE-ish regex split would be
-    * `split(text, "\\s+|(?=\\p{Punct})")`; the docs table is
-    * single-space separated so the simple split is exact). */
+  /** Whitespace tokenizer (the docs table is single-space separated so
+    * the simple split is exact). */
   def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish sub-word tokenizer: splits on whitespace AND peels
+    * punctuation into its own tokens (the pre-tokenization step every
+    * BPE/WordPiece pipeline applies before merges). Formulated as
+    * punct-pad-then-split rather than lookaround splits because DuckDB's
+    * RE2 has no lookarounds — both engines run the identical algorithm
+    * (ASCII \p{Punct} == POSIX [[:punct:]]). Codegen'd, no UDF.
+    * "don't stop." -> [don, ', t, stop, .] */
+  def tokensSubword(text: Column): Column =
+    filter(split(regexp_replace(text, """(\p{Punct})""", " $1 "), "\\s+"),
+      t => length(t) > 0)
+
+  /** Sub-word token counts per document — the token-budget accounting a
+    * training pipeline runs before packing sequences. */
+  def subwordStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", tokensSubword(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_subwords"),
+        size(expr("filter(toks, t -> t rlike '^[\\\\p{Punct}]$')")).as("n_punct"),
+        round(expr("aggregate(toks, 0D, (acc, x) -> acc + length(x)) / size(toks)"), 4)
+          .as("avg_subword_len"))
+      .orderBy("doc_id")
 
   val stopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")

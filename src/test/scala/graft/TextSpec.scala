@@ -39,4 +39,19 @@ class TextSpec extends AnyFunSuite {
       assert(r.getAs[Double]("avg_token_len") > 0)
     }
   }
+
+  test("subword tokenizer peels punctuation into standalone tokens") {
+    val toks = Seq("don't stop. really!?")
+      .toDF("text")
+      .select(TextAnalysis.tokensSubword(col("text")).as("toks"))
+      .collect().head.getSeq[String](0)
+    assert(toks === Seq("don", "'", "t", "stop", ".", "really", "!", "?"))
+    // subword count can only grow vs whitespace tokens on the corpus
+    val joined = TextAnalysis.subwordStats(spark, sf0001)
+      .join(TextAnalysis.tokenStats(spark, sf0001), "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Int]("n_subwords") >= r.getAs[Int]("n_tokens"))
+    }
+  }
 }

@@ -68,9 +68,10 @@ object SparkEntry {
     // proves all three methods' scan semantics on golden videos.
     "u4_method_metrics" -> ((s, _) => BlockMatch.methodMetricsQuery(s)),
     // the same UDF path, restricted to method='full', which the DuckDB
-    // oracle replays via relational candidate enumeration
-    "u4_full_metrics" -> ((s, _) => BlockMatch.methodMetricsQuery(s)
-      .filter(org.apache.spark.sql.functions.col("method") === "full")),
+    // oracle replays via relational candidate enumeration — the
+    // restriction happens INSIDE the UDF (methods param), not as a
+    // post-filter, so the hill-climb legs never execute here
+    "u4_full_metrics" -> ((s, _) => BlockMatch.methodMetricsQuery(s, Set("full"))),
     // --- Hough pipeline (§2.4 A9, §2.5 W3, §2.4 A14, §2.2 P5) ---
     "hough_best_circle" -> ((s, _) => Hough.bestCircleQuery(s)),
     // --- HMRF pipeline (§2.2 P6, §2.4 A10, §2.10 U6, §2.5 W5) ---

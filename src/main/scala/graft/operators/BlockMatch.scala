@@ -32,7 +32,8 @@ object BlockMatch {
     * (B+2s)²-neighborhood — clipped windows only ever touch in-frame
     * cells, so absent cells are never read. */
   def searchAll(curBlk: Seq[Int], patchPos: Seq[Int], patchV: Seq[Int],
-                by: Int, bx: Int, h: Int, w: Int, block: Int, search: Int): Seq[MV] = {
+                by: Int, bx: Int, h: Int, w: Int, block: Int, search: Int,
+                methods: Set[String] = Set("full", "diamond", "tss")): Seq[MV] = {
     val pw = block + 2 * search
     val patch = Array.fill(pw * pw)(Int.MinValue)
     var i = 0
@@ -115,13 +116,17 @@ object BlockMatch {
 
     val ldsp = List((0, 0), (0, -2), (0, 2), (-2, 0), (2, 0), (-1, -1), (-1, 1), (1, -1), (1, 1))
     val sdsp = List((0, 0), (0, -1), (0, 1), (-1, 0), (1, 0))
-    Seq(full(), guided("diamond", List(ldsp, sdsp)), guided("tss", Nil))
+    Seq.empty[MV] ++
+      (if (methods("full")) Seq(full()) else Nil) ++
+      (if (methods("diamond")) Seq(guided("diamond", List(ldsp, sdsp))) else Nil) ++
+      (if (methods("tss")) Seq(guided("tss", Nil)) else Nil)
   }
 
   /** Per-(frame, block) search over all three methods: gather current
     * blocks and sparse ref patches, then one UDF call per block. */
   def searchMethods(video: DataFrame, frames: DataFrame, h: Int, w: Int,
-                    block: Int = 16, search: Int = 4): DataFrame = {
+                    block: Int = 16, search: Int = 4,
+                    methods: Set[String] = Set("full", "diamond", "tss")): DataFrame = {
     val (nby, nbx, pw) = (h / block, w / block, block + 2 * search)
     val cur = video.join(frames.select("frame_idx"), Seq("frame_idx"), "left_semi")
       .select(col("frame_idx"),
@@ -153,7 +158,7 @@ object BlockMatch {
         expr("transform(patch, s -> s.v)").as("patch_v"))
     val searchUdf = udf {
       (curBlk: Seq[Int], patchPos: Seq[Int], patchV: Seq[Int], by: Int, bx: Int) =>
-        searchAll(curBlk, patchPos, patchV, by, bx, h, w, block, search)
+        searchAll(curBlk, patchPos, patchV, by, bx, h, w, block, search, methods)
     }
     cur.join(patches, Seq("frame_idx", "by", "bx"))
       .withColumn("mv", explode(searchUdf(
@@ -166,11 +171,12 @@ object BlockMatch {
   /** §2.7 cross-method comparison (demo_synthetic.py:119-129
     * method_metrics.csv): per (method, frame) mean SAD + PSNR on the
     * textured small video, ME gated to MEDIUM frames. */
-  def methodMetricsQuery(spark: SparkSession): DataFrame = {
+  def methodMetricsQuery(spark: SparkSession,
+                         methods: Set[String] = Set("full", "diamond", "tss")): DataFrame = {
     val (h, w, n) = (96, 128, 20)
     val video = Motion.videoSmall(spark)
     val medium = Motion.classified(video, nFrames = n).filter(col("class") === "MEDIUM")
-    searchMethods(video, medium, h, w)
+    searchMethods(video, medium, h, w, methods = methods)
       .groupBy("method", "frame_idx")
       .agg(round(avg("cost"), 2).as("mean_cost"),
         (sum("sse") / (h.toDouble * w)).as("mse"))

@@ -113,6 +113,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopPairs(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d, "documents")).orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables(s, d, "documents"))),
+    "dedup_clusters" -> ((s, d) => Dedup.dupClusters(Tables(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables(s, d, "documents"))),
     // --- similarity search (north star) ---
     "emb_knn_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
@@ -130,6 +131,28 @@ object SparkEntry {
     // planted duplicates are found.
     "emb_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(s, d, threshold = 0.3)),
   )
+
+  /** MinHash band-join pair oracle, shared by dedup_minhash_pairs and
+    * (as a CTE) dedup_clusters' transitive closure. */
+  private val minhashPairsOracleSql: String =
+    ("""WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest(CASE WHEN len(t) < 3 THEN [text]
+      |      ELSE list_transform(range(0, len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) END) AS shingle
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) raw),
+      |sigs AS (
+      |  SELECT doc_id, """.stripMargin
+      + (0 until 16).map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(", ")
+      + "\n  FROM sh GROUP BY doc_id),\nbands AS (\n"
+      + (0 until 4).map(b =>
+          s"  SELECT doc_id, $b AS band_idx, md5(mh${b * 4} || mh${b * 4 + 1} || mh${b * 4 + 2} || mh${b * 4 + 3}) AS band_key FROM sigs")
+        .mkString("\n  UNION ALL\n")
+      + """
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+      |FROM bands a JOIN bands b
+      |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)
 
   def oracleSql: Map[String, String] = Map(
     "s2_point_lookup" ->
@@ -763,25 +786,19 @@ object SparkEntry {
         |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
         |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
         |ORDER BY doc_a, doc_b""".stripMargin),
-    "dedup_minhash_pairs" ->
-      ("""WITH sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    unnest(CASE WHEN len(t) < 3 THEN [text]
-        |      ELSE list_transform(range(0, len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) END) AS shingle
-        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) raw),
-        |sigs AS (
-        |  SELECT doc_id, """.stripMargin
-        + (0 until 16).map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(", ")
-        + "\n  FROM sh GROUP BY doc_id),\nbands AS (\n"
-        + (0 until 4).map(b =>
-            s"  SELECT doc_id, $b AS band_idx, md5(mh${b * 4} || mh${b * 4 + 1} || mh${b * 4 + 2} || mh${b * 4 + 3}) AS band_key FROM sigs")
-          .mkString("\n  UNION ALL\n")
-        + """
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-        |FROM bands a JOIN bands b
-        |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin),
+    "dedup_minhash_pairs" -> minhashPairsOracleSql,
+    // transitive closure of the SAME pair relation via recursive CTE;
+    // cluster id = min reachable doc id (matches labelGraph's labels)
+    "dedup_clusters" ->
+      (s"""WITH RECURSIVE pairs AS ($minhashPairsOracleSql),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
+        |SELECT u AS doc_id, min(v) AS cluster, min(v) = u AS is_canonical
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin),
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,

@@ -3,6 +3,7 @@ package graft.dedup
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.operators.Components
 
 /** Deduplication operators for a training-data pipeline (builder-prompt
   * north star; SURVEY.md §2.10 U9): exact, MinHash+LSH, SimHash,
@@ -90,6 +91,21 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Duplicate-cluster resolution — the step AFTER pair generation in a
+    * real dedup pipeline: LSH emits candidate PAIRS, but dedup acts on
+    * CLUSTERS (the transitive closure: if a~b and b~c, keep one of
+    * {a,b,c}). Pairs feed the edge-list CC (Components.labelGraph);
+    * cluster id = min doc_id in the cluster, which doubles as the
+    * canonical-keeper rule (deterministic, the same keeper the exact
+    * dedup picks). Docs with no dup partner don't appear — they are
+    * their own keepers by definition. */
+  def dupClusters(docs: DataFrame): DataFrame =
+    Components.labelGraph(
+        minhashPairs(docs).select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .select(col("node").as("doc_id"), col("component").as("cluster"))
+      .withColumn("is_canonical", col("doc_id") === col("cluster"))
+      .orderBy("doc_id")
 
   /** Exact n-gram Jaccard over shingle sets: |A∩B| / |A∪B|, with
     * candidate pairs from the MinHash band join (minhashPairs) and the

@@ -174,6 +174,47 @@ object Components {
     labels
   }
 
+  /** Connected components over a generic EDGE LIST (u, v) — the graph
+    * twin of the grid labeler, used to resolve near-dup candidate
+    * PAIRS into duplicate clusters (LSH emits pairs; a cluster is the
+    * transitive closure). Same min-label propagation + pointer jumping
+    * as `label`: O(log d) rounds, shuffles carry (node, label) ids
+    * only. Dup clusters are near-cliques, so d is tiny and this
+    * converges in 2-3 materializations. Output: (node, component)
+    * with component = min node id in the component. */
+  def labelGraph(edges: DataFrame, maxIters: Int = 32): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint()
+    var labels = resetStats(
+      sym.select(col("u").as("node")).distinct()
+        .withColumn("component", col("node")).localCheckpoint())
+    def subRound(cur: DataFrame): DataFrame = {
+      // neighbor-min: every node offers its label to each neighbor
+      val offered = sym.join(cur.withColumnRenamed("node", "u"), Seq("u"))
+        .select(col("v").as("node"), col("component"))
+      val propagated = offered.unionByName(cur)
+        .groupBy("node").agg(min("component").as("component"))
+      // pointer jumping: component := component's current label
+      val labelOf = propagated
+        .select(col("node").as("component"), col("component").as("grand"))
+      propagated.join(labelOf, Seq("component"), "left")
+        .select(col("node"),
+          coalesce(col("grand"), col("component")).as("component"))
+    }
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      iter += 2
+      val next = resetStats(subRound(subRound(labels)).localCheckpoint())
+      changed = next
+        .join(labels.select(col("node"), col("component").as("prev")), Seq("node"))
+        .filter(col("component") =!= col("prev")).count()
+      labels = next
+    }
+    labels
+  }
+
   /** Keep-largest-component filter: the reference's size-argmax
     * (`keep the biggest object`). Ties break on the smaller component
     * id (deterministic). Per-image when `perImage` is set. */

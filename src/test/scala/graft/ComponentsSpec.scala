@@ -55,6 +55,16 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("labelGraph resolves edge lists into min-id components") {
+    val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L),
+        (60L, 61L), (61L, 62L), (62L, 60L))
+      .toDF("u", "v")
+    val labels = Components.labelGraph(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 40L, 60L -> 60L, 61L -> 60L, 62L -> 60L))
+  }
+
   test("largest-component filter keeps exactly the biggest blob") {
     val labeled = Components.label(mask, width = 64)
     val kept = Components.largestComponent(labeled)

@@ -102,7 +102,11 @@ object Dedup {
     * their own keepers by definition. */
   def dupClusters(docs: DataFrame): DataFrame =
     Components.labelGraph(
-        minhashPairs(docs).select(col("doc_a").as("u"), col("doc_b").as("v")))
+        // materialized: the symmetrized edge union otherwise embeds the
+        // whole MinHash pipeline twice (once per direction), and the
+        // pair relation is tiny (candidate pairs only) and consumed whole
+        minhashPairs(docs).select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .localCheckpoint())
       .select(col("node").as("doc_id"), col("component").as("cluster"))
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
       .orderBy("doc_id")

@@ -215,6 +215,34 @@ object Components {
     labels
   }
 
+  /** 3-D connected components over a (z, y, x) voxel mask — the
+    * volume-wide cc_label of the reference's skull strip
+    * (brain_segmentation.py:88-92), 6-connectivity (scipy default for
+    * 3-D). Built on labelGraph: one equality self-join on the three
+    * positive face offsets produces the <=3n edge list, then the
+    * edge-list CC resolves labels; voxels with no neighbor rejoin as
+    * singletons. A per-slice 2-D labeling would SPLIT components that
+    * connect only through z — this keeps them whole. Component id =
+    * min (z*height + y)*width + x linear id. */
+  def label3d(mask: DataFrame, width: Int, height: Int): DataFrame = {
+    val linId = (col("z").cast("long") * height + col("y")) * width + col("x")
+    val nodes = mask.select(col("z"), col("y"), col("x"))
+      .withColumn("node", linId).localCheckpoint()
+    val offs = Seq((1, 0, 0), (0, 1, 0), (0, 0, 1))
+    val shifted = nodes.withColumn("o", explode(array(offs.map { case (dz, dy, dx) =>
+        struct(lit(dz).as("dz"), lit(dy).as("dy"), lit(dx).as("dx")) }: _*)))
+      .select((col("z") + col("o.dz")).as("z"), (col("y") + col("o.dy")).as("y"),
+        (col("x") + col("o.dx")).as("x"), col("node").as("u"))
+    val edges = shifted
+      .join(nodes.select(col("z"), col("y"), col("x"), col("node").as("v")),
+        Seq("z", "y", "x"))
+      .select("u", "v")
+    nodes.join(labelGraph(edges).withColumnRenamed("node", "n"),
+        col("node") === col("n"), "left")
+      .select(col("z"), col("y"), col("x"),
+        coalesce(col("component"), col("node")).as("component"))
+  }
+
   /** Keep-largest-component filter: the reference's size-argmax
     * (`keep the biggest object`). Ties break on the smaller component
     * id (deterministic). Per-image when `perImage` is set. */

@@ -415,6 +415,28 @@ object Vision {
       .select("img_id", "y", "x")
   }
 
+  /** Volume brain mask — the 3-D core of the reference skull strip
+    * (brain_segmentation.py:84-92): Otsu threshold over the WHOLE
+    * volume (floored at `minThreshold`, the reference's
+    * max(thresh, 0.05)) → volume-wide 3-D connected components →
+    * keep the largest. The per-slice `skullStrip` above is the 2-D
+    * analog; this one keeps components that connect only through z
+    * whole, exactly like scipy's cc_label on the volume. The
+    * reference's ball(2) opening/closing refinement corresponds to
+    * the 2-D morphology kernels applied per slice where needed.
+    * Input: (z, y, x, v) voxels with integer-binned intensities. */
+  def volumeMask(voxels: DataFrame, width: Int, height: Int,
+                 minThreshold: Int = 0): DataFrame = {
+    val th = otsu(voxels.select(lit(0).as("img_id"), col("v")))
+      .select(greatest(col("threshold"), lit(minThreshold)).as("threshold"))
+    val mask = voxels.crossJoin(broadcast(th))
+      .filter(col("v") > col("threshold"))
+      .select("z", "y", "x")
+    Components.largestComponent(
+        Components.label3d(mask, width, height))
+      .select("z", "y", "x")
+  }
+
   /** Area downsample by an integer factor (reference
     * hough_heart_detector.py:249-253 cv2.INTER_AREA resize: block
     * averaging for integer ratios): pixels → factor×factor block means.

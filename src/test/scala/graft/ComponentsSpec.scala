@@ -65,6 +65,41 @@ class ComponentsSpec extends AnyFunSuite {
       40L -> 40L, 50L -> 40L, 60L -> 60L, 61L -> 60L, 62L -> 60L))
   }
 
+  test("label3d joins lobes connected only through z — where per-slice 2-D CC splits them") {
+    // two 3x3x1 lobes at z=2 and z=4, joined by a single voxel at z=3;
+    // plus an isolated voxel far away
+    val lobe1 = for (y <- 2 to 4; x <- 2 to 4) yield (2, y, x)
+    val lobe2 = for (y <- 2 to 4; x <- 2 to 4) yield (4, y, x)
+    val bridge = Seq((3, 3, 3))
+    val iso = Seq((8, 8, 8))
+    val mask = (lobe1 ++ lobe2 ++ bridge ++ iso).toDF("z", "y", "x")
+    val labeled = Components.label3d(mask, width = 16, height = 16)
+    val byComp = labeled.collect()
+      .groupBy(_.getLong(3)).map { case (c, rs) => c -> rs.length }
+    assert(byComp.values.toSeq.sorted === Seq(1, 19),
+      s"expected one 19-voxel component + one singleton, got $byComp")
+    // per-slice 2-D labeling (z as img_id) splits the same mask in three
+    val perSlice = Components.label(
+        mask.withColumnRenamed("z", "img_id"), width = 16, perImage = true)
+      .select("img_id", "component").distinct().count()
+    assert(perSlice === 4, "2-D per-slice CC sees 4 pieces where 3-D sees 2")
+  }
+
+  test("volumeMask keeps the largest bright 3-D structure only") {
+    // bright two-lobe structure joined through z (19 voxels), a smaller
+    // bright blob (8), dim background
+    val lobes = (for (y <- 2 to 4; x <- 2 to 4) yield (2, y, x)) ++
+      (for (y <- 2 to 4; x <- 2 to 4) yield (4, y, x)) ++ Seq((3, 3, 3))
+    val small = for (z <- 8 to 9; y <- 10 to 11; x <- 10 to 11) yield (z, y, x)
+    val bright = (lobes ++ small).toSet
+    val vox = (for (z <- 0 until 12; y <- 0 until 14; x <- 0 until 14)
+      yield (z, y, x, if (bright((z, y, x))) 200 + (x + y) % 5 else 10 + (x * 3 + y) % 7))
+      .toDF("z", "y", "x", "v")
+    val kept = graft.operators.Vision.volumeMask(vox, width = 14, height = 14)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(kept === lobes.toSet, "largest 3-D structure only (small blob dropped)")
+  }
+
   test("largest-component filter keeps exactly the biggest blob") {
     val labeled = Components.label(mask, width = 64)
     val kept = Components.largestComponent(labeled)

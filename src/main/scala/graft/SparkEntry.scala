@@ -100,6 +100,9 @@ object SparkEntry {
     // --- text analysis (north star) ---
     "txt_token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "txt_subword_stats" -> ((s, d) => TextAnalysis.subwordStats(s, d)),
+    // corpus-order concat-and-chunk packing; distributed two-phase
+    // prefix sum (range partitions + broadcast base offsets)
+    "txt_pack_sequences" -> ((s, d) => TextAnalysis.packSequencesQuery(s, d)),
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     "txt_lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "txt_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).select("doc_id", "md5_fp")),
@@ -704,6 +707,23 @@ object SparkEntry {
         |    / len(string_split(text, ' ')), 4) AS avg_token_len,
         |  n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "txt_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+        |  FROM d),
+        |c AS (
+        |  SELECT *, unnest(range("offset" // 512, ("offset" + n_tokens - 1) // 512 + 1)) AS chunk_id
+        |  FROM o)
+        |SELECT doc_id, n_tokens, "offset", CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(greatest(chunk_id * 512 - "offset", 0) AS BIGINT) AS tok_start,
+        |  CAST(least((chunk_id + 1) * 512 - "offset", n_tokens)
+        |    - greatest(chunk_id * 512 - "offset", 0) AS BIGINT) AS n_tok
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "txt_subword_stats" ->
       """WITH tok AS (
         |  SELECT doc_id,

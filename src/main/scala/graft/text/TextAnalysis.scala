@@ -136,4 +136,52 @@ object TextAnalysis {
         md5(col("text")).as("md5_fp"),
         xxhash64(col("text")).as("xx64_fp"))
       .orderBy("doc_id")
+
+  /** Sequence packing — the concat-and-chunk step of an LLM training
+    * pipeline: the corpus token stream (docs concatenated in doc_id
+    * order) is cut into fixed `maxLen` chunks, and each doc's token
+    * span maps onto the chunks it overlaps. Output: one row per
+    * (doc, chunk) overlap with the doc-local token range.
+    *
+    * The global token offset is a corpus-wide ordered prefix sum — the
+    * one aggregate that naively forces a single-partition window. This
+    * is the canonical distributed two-phase scan instead: (1) range-
+    * partition by doc_id and cumsum WITHIN each partition (parallel),
+    * (2) collect the ≤numPartitions per-partition totals (bounded by
+    * cluster size, not data), exclusive-scan them on the driver, and
+    * broadcast the per-partition base offsets back. Offsets are
+    * independent of where the sampled range boundaries land, so the
+    * result is deterministic even though repartitionByRange samples. */
+  def packSequences(docs: DataFrame, maxLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val sized = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // phase 1: per-partition exclusive cumsum (parallel windows)
+    val w = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = sized.withColumn("local_off",
+      coalesce(sum("n_tokens").over(w), lit(0L))).localCheckpoint()
+    // phase 2: exclusive scan of the tiny per-partition totals
+    val totals = local.groupBy("pid").agg(sum("n_tokens").as("ptotal"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val bases = totals.scanLeft((0, 0L)) { case ((_, acc), (pid, t)) => (pid, acc + t) }
+      .tail.zip(totals).map { case ((pid, after), (_, t)) => (pid, after - t) }
+    val baseDf = spark.createDataFrame(bases.toSeq).toDF("pid", "base_off")
+    local.join(broadcast(baseDf), Seq("pid"))
+      .withColumn("offset", col("base_off") + col("local_off"))
+      .withColumn("chunk_id", explode(sequence(
+        expr(s"offset div $maxLen"),
+        expr(s"(offset + n_tokens - 1) div $maxLen"))))
+      .select(col("doc_id"), col("n_tokens"), col("offset"), col("chunk_id"),
+        greatest(col("chunk_id") * maxLen - col("offset"), lit(0L)).as("tok_start"),
+        (least((col("chunk_id") + 1) * maxLen - col("offset"), col("n_tokens"))
+          - greatest(col("chunk_id") * maxLen - col("offset"), lit(0L))).as("n_tok"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def packSequencesQuery(spark: SparkSession, dir: String, maxLen: Int = 512): DataFrame =
+    packSequences(Tables(spark, dir, "documents"), maxLen)
 }

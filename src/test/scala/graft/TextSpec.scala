@@ -40,6 +40,33 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: chunks tile the corpus token stream exactly") {
+    val maxLen = 512
+    val packed = TextAnalysis.packSequencesQuery(spark, sf0001, maxLen).collect()
+    assert(packed.nonEmpty)
+    // every chunk except the last is exactly full, and chunk coverage
+    // sums to the corpus token count
+    val byChunk = packed.groupBy(_.getAs[Long]("chunk_id")).view
+      .mapValues(_.map(_.getAs[Long]("n_tok")).sum).toMap
+    val lastChunk = byChunk.keys.max
+    byChunk.foreach { case (c, n) =>
+      if (c < lastChunk) assert(n === maxLen.toLong, s"chunk $c holds $n")
+      else assert(n >= 1L && n <= maxLen.toLong)
+    }
+    // each doc's spans cover it fully and contiguously
+    packed.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rows) =>
+      val total = rows.map(_.getAs[Long]("n_tok")).sum
+      assert(total === rows.head.getAs[Long]("n_tokens"))
+    }
+    // offsets are the exclusive prefix sum in doc_id order
+    val docs = packed.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("n_tokens"), r.getAs[Long]("offset"))).distinct.sortBy(_._1)
+    docs.sliding(2).foreach {
+      case Array((_, n0, o0), (_, _, o1)) => assert(o1 === o0 + n0)
+      case _ => ()
+    }
+  }
+
   test("subword tokenizer peels punctuation into standalone tokens") {
     val toks = Seq("don't stop. really!?")
       .toDF("text")

@@ -129,6 +129,9 @@ object SparkEntry {
     // to the oracled brute force bit-for-bit and bounds recall below it.
     "emb_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "emb_norm_stats" -> ((s, d) => Similarity.normStats(s, d)),
+    // int8 scalar quantization (4x memory) -> exact top-k on the
+    // reconstruction; deterministic, so fully oracled
+    "emb_quantized_topk" -> ((s, d) => Similarity.quantizedTopK(s, d)),
     // rows-only by nature: bucketed near-dup is approximate (bucket
     // collisions gate candidate pairs); SimilaritySpec asserts the
     // planted duplicates are found.
@@ -836,6 +839,28 @@ object SparkEntry {
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 10""".stripMargin,
     "emb_knn_cosine" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS cand_id,
+        |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |  FROM q JOIN c ON c.vec_id <> q.query_id)
+        |SELECT query_id, rank, cand_id, round(cos, 4) AS cos_sim FROM (
+        |  SELECT query_id, cand_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "emb_quantized_topk" ->
+      """WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v0 FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v0,
+        |    CASE WHEN m > 0 THEN m / 127.0 ELSE 1.0 END AS scale
+        |  FROM (SELECT vec_id, v0,
+        |          list_aggregate(list_transform(v0, x -> abs(x)), 'max') AS m
+        |        FROM c0)),
+        |c AS (
+        |  SELECT vec_id,
+        |    list_transform(list_transform(v0, x -> round(x / scale)), x -> x * scale) AS v
+        |  FROM s),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
         |scored AS (
         |  SELECT query_id, c.vec_id AS cand_id,

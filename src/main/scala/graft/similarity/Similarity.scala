@@ -59,6 +59,34 @@ object Similarity {
       .withColumn("norm", nl2norm(col("vec")))
   }
 
+  /** Int8 scalar quantization of the embedding column — the standard
+    * memory step before ANN at corpus scale: symmetric per-vector
+    * scale (maxabs/127), 4× smaller than float32 (100 TB of raw
+    * embeddings → 25 TB resident), with cosine ranking preserved to
+    * within quantization noise. Pure HOFs (transform/aggregate), no
+    * UDF; `dequantized` rebuilds a (vec_id, vec, norm) corpus that
+    * drops into every ANN operator above unchanged. */
+  def quantizeInt8(all: DataFrame): DataFrame =
+    all.withColumn("maxabs",
+        expr("aggregate(vec, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn("scale",
+        when(col("maxabs") > 0, col("maxabs") / 127.0).otherwise(lit(1.0)))
+      .select(col("vec_id"), col("label"), col("scale"),
+        expr("transform(vec, x -> CAST(round(x / scale) AS TINYINT))").as("qvec"))
+
+  /** Reconstructed float corpus from int8 codes: vec ≈ qvec · scale. */
+  def dequantized(quant: DataFrame): DataFrame =
+    quant.select(col("vec_id"), col("label"),
+        expr("transform(qvec, x -> CAST(x AS DOUBLE) * scale)").as("vec"))
+      .withColumn("norm", nl2norm(col("vec")))
+
+  /** Exact top-k over the int8-reconstructed corpus — the memory-scale
+    * baseline; SimilaritySpec bounds its recall against the float
+    * brute force. */
+  def quantizedTopK(spark: SparkSession, dir: String,
+                    nQueries: Int = 5, k: Int = 3): DataFrame =
+    bruteForceTopKOn(dequantized(quantizeInt8(corpus(spark, dir))), nQueries, k)
+
   /** Exact brute-force cosine top-k over an arbitrary (vec_id, vec,
     * norm) corpus: queries = the `nQueries` lowest vec_ids. */
   def bruteForceTopKOn(all: DataFrame, nQueries: Int = 5, k: Int = 3): DataFrame = {

@@ -47,6 +47,29 @@ class SimilaritySpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("int8 quantization: codes in range, reconstruction tight, top-k recall high") {
+    val all = Similarity.corpus(spark, sf0001).cache()
+    val quant = Similarity.quantizeInt8(all)
+    // max |x - x̂| <= scale/2 per element (symmetric rounding)
+    val viol = Similarity.dequantized(quant)
+      .select(col("vec_id"), col("vec").as("rvec"))
+      .join(all.select(col("vec_id"), col("vec")), "vec_id")
+      .withColumn("maxerr",
+        expr("aggregate(zip_with(vec, rvec, (a, b) -> abs(a - b)), 0D, (acc, x) -> greatest(acc, x))"))
+      .join(quant.select(col("vec_id"), col("scale")), "vec_id")
+      .filter(col("maxerr") > col("scale") * 0.5 + 1e-9).count()
+    assert(viol === 0L, "reconstruction error exceeds scale/2 somewhere")
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopKOn(all, nQueries = 5, k = 3))
+    val quantized = pairs(Similarity.bruteForceTopKOn(
+      Similarity.dequantized(quant), nQueries = 5, k = 3))
+    val recall = (exact intersect quantized).size.toDouble / exact.size
+    assert(recall >= 0.85, s"int8 recall $recall (exact=$exact quant=$quantized)")
+    all.unpersist()
+  }
+
   test("IVF top-k: nProbe = nlist is exactly brute force; partial probing bounds recall") {
     val all = Similarity.corpus(spark, sf0001).cache()
     def rows(df: DataFrame): Seq[(Long, Int, Long, Double)] =

@@ -415,26 +415,90 @@ object Vision {
       .select("img_id", "y", "x")
   }
 
+  /** scipy morphology.ball(2): all integer offsets within Euclidean
+    * radius 2 — 33 taps. */
+  private val ball2: Seq[(Int, Int, Int)] =
+    for (dz <- -2 to 2; dy <- -2 to 2; dx <- -2 to 2
+         if dz * dz + dy * dy + dx * dx <= 4) yield (dz, dy, dx)
+
+  /** 3-D binary erosion with ball(2) (brain_segmentation.py:93): keep
+    * voxels whose whole ball lies in the mask. Out-of-volume taps are
+    * simply absent from the mask, so border voxels erode exactly like
+    * scipy's border_value=0. */
+  def erode3d(mask: DataFrame): DataFrame = {
+    val taps = mask.withColumn("o", explode(array(ball2.map { case (dz, dy, dx) =>
+        struct(lit(dz).as("dz"), lit(dy).as("dy"), lit(dx).as("dx")) }: _*)))
+      .select((col("z") - col("o.dz")).as("z"), (col("y") - col("o.dy")).as("y"),
+        (col("x") - col("o.dx")).as("x"))
+    taps.groupBy("z", "y", "x").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === ball2.length)
+      .select("z", "y", "x")
+  }
+
+  /** 3-D binary dilation with ball(2): union of shifted copies, clipped
+    * to the volume bounds (scipy's array-clipped dilation). */
+  def dilate3d(mask: DataFrame, depth: Int, height: Int, width: Int): DataFrame =
+    mask.withColumn("o", explode(array(ball2.map { case (dz, dy, dx) =>
+        struct(lit(dz).as("dz"), lit(dy).as("dy"), lit(dx).as("dx")) }: _*)))
+      .select((col("z") + col("o.dz")).as("z"), (col("y") + col("o.dy")).as("y"),
+        (col("x") + col("o.dx")).as("x"))
+      .filter(col("z").between(0, depth - 1) && col("y").between(0, height - 1)
+        && col("x").between(0, width - 1))
+      .distinct()
+
+  def open3d(mask: DataFrame, depth: Int, height: Int, width: Int): DataFrame =
+    dilate3d(erode3d(mask), depth, height, width)
+  def close3d(mask: DataFrame, depth: Int, height: Int, width: Int): DataFrame =
+    erode3d(dilate3d(mask, depth, height, width))
+
+  /** 3-D hole filling (brain_segmentation.py:96 binary_fill_holes):
+    * label the COMPLEMENT of the mask with the volume-wide 3-D CC —
+    * complement components that touch the volume border are true
+    * background; everything else is an enclosed hole and joins the
+    * mask. */
+  def fillHoles3d(mask: DataFrame, depth: Int, height: Int, width: Int): DataFrame = {
+    val spark = mask.sparkSession
+    val grid = spark.range(depth).select(col("id").cast("int").as("z"))
+      .withColumn("y", explode(sequence(lit(0), lit(height - 1))))
+      .withColumn("x", explode(sequence(lit(0), lit(width - 1))))
+    val complement = grid.join(mask, Seq("z", "y", "x"), "left_anti")
+    val labeled = Components.label3d(complement, width, height)
+    val borderComps = labeled
+      .filter(col("z") === 0 || col("z") === depth - 1 ||
+        col("y") === 0 || col("y") === height - 1 ||
+        col("x") === 0 || col("x") === width - 1)
+      .select("component").distinct()
+    val holes = labeled.join(borderComps, Seq("component"), "left_anti")
+      .select("z", "y", "x")
+    mask.select("z", "y", "x").unionByName(holes)
+  }
+
   /** Volume brain mask — the 3-D core of the reference skull strip
     * (brain_segmentation.py:84-92): Otsu threshold over the WHOLE
     * volume (floored at `minThreshold`, the reference's
     * max(thresh, 0.05)) → volume-wide 3-D connected components →
     * keep the largest. The per-slice `skullStrip` above is the 2-D
     * analog; this one keeps components that connect only through z
-    * whole, exactly like scipy's cc_label on the volume. The
-    * reference's ball(2) opening/closing refinement corresponds to
-    * the 2-D morphology kernels applied per slice where needed.
-    * Input: (z, y, x, v) voxels with integer-binned intensities. */
+    * whole, exactly like scipy's cc_label on the volume. With `depth`
+    * given, the full refinement chain runs in the reference's order:
+    * CC keep-largest → ball(2) opening → ball(2) closing → 3-D hole
+    * fill (brain_segmentation.py:88-96). Input: (z, y, x, v) voxels
+    * with integer-binned intensities. */
   def volumeMask(voxels: DataFrame, width: Int, height: Int,
-                 minThreshold: Int = 0): DataFrame = {
+                 minThreshold: Int = 0, depth: Int = 0): DataFrame = {
     val th = otsu(voxels.select(lit(0).as("img_id"), col("v")))
       .select(greatest(col("threshold"), lit(minThreshold)).as("threshold"))
     val mask = voxels.crossJoin(broadcast(th))
       .filter(col("v") > col("threshold"))
       .select("z", "y", "x")
-    Components.largestComponent(
+    val largest = Components.largestComponent(
         Components.label3d(mask, width, height))
       .select("z", "y", "x")
+    if (depth <= 0) largest
+    else fillHoles3d(
+      close3d(open3d(largest.localCheckpoint(), depth, height, width),
+        depth, height, width),
+      depth, height, width)
   }
 
   /** Area downsample by an integer factor (reference

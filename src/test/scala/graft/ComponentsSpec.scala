@@ -100,6 +100,32 @@ class ComponentsSpec extends AnyFunSuite {
     assert(kept === lobes.toSet, "largest 3-D structure only (small blob dropped)")
   }
 
+  test("full volumeMask chain: opening removes the spike, hole-fill closes the cavity") {
+    val (d, h, w) = (21, 23, 23)
+    val (cz, cy, cx) = (10, 11, 11)
+    def d2(z: Int, y: Int, x: Int) =
+      (z - cz) * (z - cz) + (y - cy) * (y - cy) + (x - cx) * (x - cx)
+    // bright: radius-8 ball minus a radius-2 interior cavity (shell
+    // thick enough to survive ball(2) erosion), plus a 2-voxel spike
+    // off the +x surface
+    val spike = Set((cz, cy, 20), (cz, cy, 21))
+    def isBright(z: Int, y: Int, x: Int) =
+      (d2(z, y, x) <= 64 && d2(z, y, x) > 4) || spike((z, y, x))
+    val vox = (for (z <- 0 until d; y <- 0 until h; x <- 0 until w)
+      yield (z, y, x,
+        if (isBright(z, y, x)) 200 + (x + y + z) % 5 else 15 + (x * 3 + y + z) % 7))
+      .toDF("z", "y", "x", "v")
+    val kept = graft.operators.Vision.volumeMask(vox, width = w, height = h, depth = d)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spike.forall(!kept(_)), "spike must be opened away")
+    val cavity = for (z <- 0 until d; y <- 0 until h; x <- 0 until w
+                      if d2(z, y, x) <= 4) yield (z, y, x)
+    assert(cavity.forall(kept), "interior cavity must be hole-filled")
+    // a mid-shell voxel well inside the ball survives the open/close
+    assert(kept((cz, cy, cx + 5)), "ball interior survives")
+    assert(!kept((0, 0, 0)), "background stays out")
+  }
+
   test("largest-component filter keeps exactly the biggest blob") {
     val labeled = Components.label(mask, width = 64)
     val kept = Components.largestComponent(labeled)

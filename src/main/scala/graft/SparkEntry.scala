@@ -132,6 +132,10 @@ object SparkEntry {
     // int8 scalar quantization (4x memory) -> exact top-k on the
     // reconstruction; deterministic, so fully oracled
     "emb_quantized_topk" -> ((s, d) => Similarity.quantizedTopK(s, d)),
+    // rows-only by nature: PQ codebooks come from k-means (not
+    // SQL-expressible) and ADC ranking is approximate by construction;
+    // SimilaritySpec bounds recall vs the oracled brute force.
+    "emb_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     // rows-only by nature: bucketed near-dup is approximate (bucket
     // collisions gate candidate pairs); SimilaritySpec asserts the
     // planted duplicates are found.

@@ -228,6 +228,77 @@ object Similarity {
               nlist: Int = 16, nProbe: Int = 4): DataFrame =
     ivfTopKOn(corpus(spark, dir), nQueries, k, nlist, nProbe)
 
+  /** Product quantization (PQ) top-k — the last rung of the ANN memory
+    * ladder (float32 → int8 SQ → PQ): the vector splits into `m`
+    * subspaces, each k-means-quantized to `ksub` centroids (seed = the
+    * subspace index, deterministic), so a vector stores as m code
+    * bytes — 64 dims × 4 B → 16 B here (16×). The synthetic corpus is
+    * near-isotropic (the PQ worst case: 16 centroids capture ~69% of a
+    * 4-dim subspace's energy, vs far more on real embeddings whose
+    * intrinsic dimension is low), so the spec's recall bound is the
+    * honest worst-case number, not the headline one. Queries score candidates
+    * with the classic ADC trick: per (query, subspace) a lookup table
+    * of dots against that subspace's centroids, so a candidate's
+    * approximate dot is m table lookups on its codes — no float vector
+    * is ever read at query time. Exact norms are kept (the usual
+    * IVF-PQ bookkeeping) so the ranking metric stays cosine-shaped.
+    * Codebook training is m tiny k-means fits (driver loop over m —
+    * bounded by the subspace count, not data). Approximate by nature →
+    * rows-only; SimilaritySpec bounds recall vs brute force. */
+  def pqTopKOn(all: DataFrame, nQueries: Int = 5, k: Int = 3,
+               m: Int = 16, ksub: Int = 16): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = all.sparkSession
+    import spark.implicits._
+    val dim = all.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    // m independent codebooks, each trained on its slice of the corpus
+    val books: Seq[Array[Array[Double]]] = (0 until m).map { j =>
+      val feat = all.select(
+        array_to_vector(slice(col("vec"), j * sub + 1, sub)).as("features"))
+      new KMeans().setK(ksub).setSeed(j.toLong).setFeaturesCol("features")
+        .fit(feat).clusterCenters.map(_.toArray)
+    }
+    def bookCol(j: Int): Column =
+      array(books(j).map(c => array(c.map(lit): _*)): _*)
+    val l2sq = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    // encode: per subspace, the argmin-distance centroid index
+    val coded = (0 until m).foldLeft(all) { (df, j) =>
+      val dists = transform(bookCol(j), c => l2sq(slice(col("vec"), j * sub + 1, sub), c))
+      df.withColumn(s"code$j",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+    }.select(col("vec_id"), col("norm"), array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
+      .localCheckpoint() // terminal code table; drops the float vectors
+    // per-query ADC lookup tables: lut(j)(c) = dot(q_j, centroid_{j,c})
+    val luts = (0 until m).foldLeft(
+        all.filter(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))) {
+      (df, j) =>
+        df.withColumn(s"lut$j",
+          transform(bookCol(j), c => ndot(slice(col("qv"), j * sub + 1, sub), c)))
+    }.select(col("query_id"), col("qn"),
+      array((0 until m).map(j => col(s"lut$j")): _*).as("lut"))
+    // score = Σ_j lut(j)(code_j), normalized by the EXACT norms
+    val scored = coded.select(col("vec_id").as("cand_id"), col("norm").as("cn"), col("codes"))
+      .crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("dot_adc",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(element_at(col("lut"), j + 1), col("codes")(j) + 1)))
+      .withColumn("cos", col("dot_adc") / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame =
+    pqTopKOn(corpus(spark, dir), nQueries, k)
+
   /** Per-label embedding stats: mean L2 norm and count — oracle-checkable
     * sanity surface for the vector math. */
   def normStats(spark: SparkSession, dir: String): DataFrame =

@@ -89,6 +89,20 @@ class SimilaritySpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("PQ-ADC top-k recall vs brute force is bounded below") {
+    val all = Similarity.corpus(spark, sf0001).cache()
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopKOn(all, nQueries = 5, k = 3))
+    val pq = pairs(Similarity.pqTopKOn(all, nQueries = 5, k = 3))
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // deterministic codebooks (seed = subspace index) -> fixed number
+    // for this corpus; bound it so encode/ADC regressions surface
+    assert(recall >= 0.30, s"PQ recall $recall (exact=$exact pq=$pq)")
+    all.unpersist()
+  }
+
   test("near-dup pairs find exactly the planted duplicate pair") {
     // 8-dim: two near-identical vectors (cos > 0.999) among orthogonal-ish noise.
     val base = Seq(1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.0)

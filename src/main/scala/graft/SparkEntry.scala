@@ -132,10 +132,11 @@ object SparkEntry {
     // int8 scalar quantization (4x memory) -> exact top-k on the
     // reconstruction; deterministic, so fully oracled
     "emb_quantized_topk" -> ((s, d) => Similarity.quantizedTopK(s, d)),
-    // rows-only by nature: PQ codebooks come from k-means (not
-    // SQL-expressible) and ADC ranking is approximate by construction;
-    // SimilaritySpec bounds recall vs the oracled brute force.
-    "emb_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    // PQ-ADC (Similarity.pqTopK) is spec-verified rather than listed:
+    // codebook training (m k-means fits) is a one-time corpus cost that
+    // would dominate every bench run, and ADC is approximate by
+    // construction (no SQL oracle); SimilaritySpec bounds its recall
+    // against the oracled brute force.
     // rows-only by nature: bucketed near-dup is approximate (bucket
     // collisions gate candidate pairs); SimilaritySpec asserts the
     // planted duplicates are found.

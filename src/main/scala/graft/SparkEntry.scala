@@ -764,7 +764,7 @@ object SparkEntry {
     "txt_fingerprints" ->
       "SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id",
     "dedup_exact" ->
-      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
+      """SELECT md5(lower(trim(text))) AS content_md5, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
     "dedup_minhash_sig" ->
       """WITH sh AS (

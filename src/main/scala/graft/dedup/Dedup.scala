@@ -23,11 +23,18 @@ import graft.operators.Components
   */
 object Dedup {
 
+  /** THE exact-dedup fingerprint — md5 over case/whitespace-normalized
+    * text. Shared by batch exactDedup and streaming
+    * StreamDedup.dedupStream so both layers agree on what counts as a
+    * duplicate (a streaming pass compacted later by the batch dedup
+    * must not reclassify case variants). */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
   /** Exact dedup — group documents by content hash; keeper = min doc_id
     * (deterministic), n_copies counts the group. */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .groupBy(md5(col("text")).as("content_md5"))
+      .groupBy(fingerprint(col("text")).as("content_md5"))
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("keeper_doc_id")
 
@@ -78,9 +85,17 @@ object Dedup {
       md5(concat(parts: _*)).as(s"band$b")
     }
     val banded = sigs.select(col("doc_id") +: bandCols: _*)
+    // materialized: the self-join below references this relation on BOTH
+    // sides, and without the checkpoint correctness-of-cost rests on
+    // ReusedExchange recognizing the two subtrees — when it doesn't
+    // (observed in the round-5 driver bench: 2.4 s → 6.0 s), the
+    // 16-md5-agg shingle pipeline runs twice. The banded relation is
+    // tiny ((doc_id, band_idx, band_key) ids only), so pinning it costs
+    // O(docs) rows and guarantees the signature build runs exactly once.
     val long = banded.select(col("doc_id"), explode(array(
       (0 until bands).map(b => struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))): _*
     )).as("bk")).select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+      .localCheckpoint()
     val a = long.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
     val b = long.select(col("doc_id").as("doc_b"), col("band_idx").as("band_idx_b"), col("band_key").as("band_key_b"))
     a.join(b,

@@ -474,9 +474,12 @@ object Vision {
   }
 
   /** Volume brain mask — the 3-D core of the reference skull strip
-    * (brain_segmentation.py:84-92): Otsu threshold over the WHOLE
-    * volume (floored at `minThreshold`, the reference's
-    * max(thresh, 0.05)) → volume-wide 3-D connected components →
+    * (brain_segmentation.py:84-92): Otsu threshold over the POSITIVE
+    * voxels only (the reference thresholds vol_corr[vol_corr > 0] —
+    * on bias-corrected volumes the zero background would otherwise
+    * drag the threshold down), floored at `minThreshold` (the
+    * reference's max(thresh, 0.05)) → volume-wide 3-D connected
+    * components →
     * keep the largest. The per-slice `skullStrip` above is the 2-D
     * analog; this one keeps components that connect only through z
     * whole, exactly like scipy's cc_label on the volume. With `depth`
@@ -486,7 +489,7 @@ object Vision {
     * with integer-binned intensities. */
   def volumeMask(voxels: DataFrame, width: Int, height: Int,
                  minThreshold: Int = 0, depth: Int = 0): DataFrame = {
-    val th = otsu(voxels.select(lit(0).as("img_id"), col("v")))
+    val th = otsu(voxels.filter(col("v") > 0).select(lit(0).as("img_id"), col("v")))
       .select(greatest(col("threshold"), lit(minThreshold)).as("threshold"))
     val mask = voxels.crossJoin(broadcast(th))
       .filter(col("v") > col("threshold"))

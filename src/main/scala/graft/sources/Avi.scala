@@ -49,6 +49,11 @@ object Avi {
     buf.getInt() // riff size
     require(fourCC(buf) == "AVI ", "not an AVI file")
     var width = 0; var height = 0; var declaredFrames = 0; var bitCount = 8
+    // latch: biBitCount may only come from the strf that FOLLOWS a
+    // 'vids' strh — in a multi-stream AVI (video + audio) the audio
+    // strf is a WAVEFORMATEX whose bytes at +14 would otherwise
+    // overwrite the video bitCount and trip the 8-bit require.
+    var curStreamType = ""; var videoBitCountLatched = false
     val payloads = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     def walk(end: Int): Unit = {
       while (buf.position() + 8 <= end) {
@@ -63,9 +68,16 @@ object Avi {
             declaredFrames = buf.getInt(start + 16)
             width = buf.getInt(start + 32)
             height = buf.getInt(start + 36)
+          case "strh" =>
+            // fccType at +0: 'vids' / 'auds' / 'txts' — identifies the
+            // stream the next strf in this strl describes
+            curStreamType = new String(bytes, start, 4, "US-ASCII")
           case "strf" =>
-            // BITMAPINFOHEADER: biBitCount at +14
-            if (len >= 16) bitCount = buf.getShort(start + 14).toInt
+            // BITMAPINFOHEADER: biBitCount at +14 (first video stream only)
+            if (len >= 16 && curStreamType == "vids" && !videoBitCountLatched) {
+              bitCount = buf.getShort(start + 14).toInt
+              videoBitCountLatched = true
+            }
           case "00db" | "00dc" =>
             val payload = new Array[Byte](len)
             buf.position(start); buf.get(payload)

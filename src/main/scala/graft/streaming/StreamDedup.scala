@@ -2,14 +2,16 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
 
 /** Streaming exact deduplication (north-star dedup × ST: the ingest
   * shape of a training-data pipeline, where documents arrive
   * continuously and exact dupes must be dropped before they reach
   * storage).
   *
-  * Fingerprint = md5 of the normalized text (the same 16-byte key the
-  * batch `Dedup.exact` groups on), state = one entry per fingerprint,
+  * Fingerprint = `Dedup.fingerprint` (md5 of case/whitespace-normalized
+  * text — ONE shared expression, so batch and stream agree on what
+  * counts as a duplicate), state = one entry per fingerprint,
   * bounded by the event-time watermark via
   * `dropDuplicatesWithinWatermark`: a fingerprint's state is dropped
   * once the watermark passes its last-seen event time + the delay, so
@@ -25,7 +27,7 @@ object StreamDedup {
     * fingerprint within the watermark horizon. */
   def dedupStream(docs: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
     docs
-      .withColumn("fp", md5(lower(trim(col("text")))))
+      .withColumn("fp", Dedup.fingerprint(col("text")))
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("fp")
 }

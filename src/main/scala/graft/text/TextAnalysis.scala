@@ -172,6 +172,12 @@ object TextAnalysis {
     val baseDf = spark.createDataFrame(bases.toSeq).toDF("pid", "base_off")
     local.join(broadcast(baseDf), Seq("pid"))
       .withColumn("offset", col("base_off") + col("local_off"))
+      // guard the chunk-range generator: a 0-token doc at a chunk
+      // boundary would make sequence(off/maxLen, (off-1)/maxLen)
+      // DESCENDING (two spurious rows where the oracle's range() is
+      // empty). split(text,' ') never yields 0 tokens today, but the
+      // invariant belongs in the operator, not the data.
+      .filter(col("n_tokens") >= 1)
       .withColumn("chunk_id", explode(sequence(
         expr(s"offset div $maxLen"),
         expr(s"(offset + n_tokens - 1) div $maxLen"))))

@@ -9,7 +9,8 @@ object PqProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val all = graft.similarity.Similarity.corpus(spark, "/root/testdata/sf0.001").cache()
+    val all = graft.similarity.Similarity.corpus(spark,
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")).cache()
     val (m, sub, ksub) = (16, 4, 16)
     val books = (0 until m).map { j =>
       val feat = all.select(array_to_vector(slice(col("vec"), j * sub + 1, sub)).as("features"))

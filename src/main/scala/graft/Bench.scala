@@ -9,12 +9,17 @@ import org.apache.spark.sql.SparkSession
   * Methodology (round-4 fix): queries run in SORTED NAME ORDER — the
   * previous Map-iteration order reshuffled whenever the key set
   * changed, so JIT/warm-cache position shifted between rounds and
-  * unchanged queries appeared to regress 10-20x. One untimed warmup
-  * pass primes codegen and the parquet footer cache, then
-  * SPARK_GRAFT_BENCH_REPS (default 3) timed passes; the reported
-  * per-query number is the MEDIAN across passes and "value" is the sum
-  * of medians. Failures are recorded as -1 and printed to stderr,
-  * never silently timed. */
+  * unchanged queries appeared to regress 10-20x. Each query gets ONE
+  * untimed warmup run immediately before its SPARK_GRAFT_BENCH_REPS
+  * (default 3) timed passes (round-7 fix: a single whole-suite warmup
+  * pass left background JIT compilation from LATER queries' warmups
+  * in flight when the head of the sorted order was being timed —
+  * a3/a4/a15 showed 3-5x inflation on unchanged code; per-query
+  * warmup keeps compilation work adjacent to the query that caused
+  * it, at the same total pass count). The reported per-query number
+  * is the MEDIAN across passes and "value" is the sum of medians.
+  * Failures are recorded as -1 and printed to stderr, never silently
+  * timed. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -49,11 +54,12 @@ object Bench {
       }
     }
 
-    // untimed warmup pass
-    names.foreach(runOne)
-    // timed passes
+    // per-query untimed warmup immediately before its timed reps
     val times: Map[String, Seq[Double]] =
-      names.map(n => n -> (1 to reps).map(_ => runOne(n)).toSeq).toMap
+      names.map { n =>
+        runOne(n)
+        n -> (1 to reps).map(_ => runOne(n)).toSeq
+      }.toMap
 
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0).sorted

@@ -92,6 +92,9 @@ object SparkEntry {
     "img_decode_stats" -> ((s, _) => ImageSource.imgDecodeStatsQuery(s)),
     // S11 container leg: real RIFF/AVI bytes -> frames (lossless DIB)
     "avi_decode_stats" -> ((s, _) => Avi.aviDecodeStatsQuery(s)),
+    // MJPEG leg, oracled by driver-side same-decoder literal injection
+    // (see Avi.mjpegDecodeStatsOracleSql)
+    "avi_mjpeg_stats" -> ((s, _) => Avi.mjpegDecodeStatsQuery(s)),
     // --- streaming-shaped batch (§2.9) ---
     "st2_events_per_hour" -> ((s, d) => Events.eventsPerHour(s, d)),
     // oracled via field extraction from the rendered docs (JSON *text*
@@ -132,11 +135,12 @@ object SparkEntry {
     // int8 scalar quantization (4x memory) -> exact top-k on the
     // reconstruction; deterministic, so fully oracled
     "emb_quantized_topk" -> ((s, d) => Similarity.quantizedTopK(s, d)),
-    // PQ-ADC (Similarity.pqTopK) is spec-verified rather than listed:
-    // codebook training (m k-means fits) is a one-time corpus cost that
-    // would dominate every bench run, and ADC is approximate by
+    // rows-only by nature: PQ-ADC scoring is approximate by
     // construction (no SQL oracle); SimilaritySpec bounds its recall
-    // against the oracled brute force.
+    // against the oracled brute force. Codebooks are memoized per
+    // (dir, m, ksub) so repeated runs (bench reps, a serving loop)
+    // measure encode + ADC scoring, not m k-means re-fits.
+    "emb_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
     // rows-only by nature: bucketed near-dup is approximate (bucket
     // collisions gate candidate pairs); SimilaritySpec asserts the
     // planted duplicates are found.
@@ -686,6 +690,7 @@ object SparkEntry {
         |SELECT img_id, round(avg(v), 4) AS mean_v, round(min(v), 4) AS min_v, round(max(v), 4) AS max_v
         |FROM norm GROUP BY 1 ORDER BY img_id""".stripMargin,
     "avi_decode_stats" -> Avi.aviDecodeStatsOracleSql,
+    "avi_mjpeg_stats" -> Avi.mjpegDecodeStatsOracleSql,
     "img_decode_stats" ->
       """SELECT CAST(k.k AS INTEGER) AS img_id, 64 AS width, 48 AS height,
         |  count(*) AS n_pixels,

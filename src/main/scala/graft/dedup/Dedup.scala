@@ -38,6 +38,40 @@ object Dedup {
       .agg(min("doc_id").as("keeper_doc_id"), count(lit(1)).as("n_copies"))
       .orderBy("keeper_doc_id")
 
+  /** Per-row (no explode/groupBy) forms of the SAME MinHash/LSH family
+    * as shingles()/minhashCols()/minhashPairsOf below — the streaming
+    * layer's signature builder (graft.streaming.StreamNearDup). A doc's
+    * signature depends only on its own text, so it never needs an
+    * aggregation: the batch path explodes shingles because the band
+    * SELF-JOIN wants a long relation anyway, while the streaming path
+    * computes the band keys narrow, per arriving row, with no shuffle
+    * before the band-key state lookup. min over a distinct set equals
+    * min over the raw list, so skipping the batch path's DISTINCT
+    * changes nothing. StreamNearDupSpec pins batch/stream band-key
+    * equality by comparing emitted pairs with minhashPairs. */
+  def rowShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    when(size(toks) < n, array(text))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+  }
+
+  /** numHashes lexicographic-min md5 components over a shingle array
+    * column — element s equals batch minhashCols' mh{s}. */
+  def rowMinhashes(shinglesCol: Column, numHashes: Int = 16): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      s => array_min(transform(shinglesCol,
+        sh => md5(concat(s.cast("string"), lit(":"), sh)))))
+
+  /** Band structs (band_idx, band_key) from a minhash-array column —
+    * band b's key equals batch minhashPairsOf's md5(mh_{b·r}‖…). */
+  def rowBandKeys(mhsCol: Column, numHashes: Int = 16, bands: Int = 4): Column = {
+    val rows = numHashes / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.cast("int").as("band_idx"),
+        md5(concat_ws("", slice(mhsCol, b * rows + lit(1), lit(rows)))).as("band_key")))
+  }
+
   /** Distinct 3-token shingles per document. Documents shorter than 3
     * tokens contribute their whole text as a single shingle. */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =

@@ -588,8 +588,12 @@ object Ellipse {
     * phase; if its best score clears min_score + 0.08 the ellipse
     * phase never executes (the reference's early exit). Otherwise run
     * the ellipse phase and pick the argmax; below min_score -> no
-    * shape (empty result). The two driver pulls are 1-row collects of
-    * already-aggregated candidates — the sanctioned iterate pattern. */
+    * shape (empty result). The only driver pulls are two scalar
+    * aggregates (image count vs strong-circle count) deciding whether
+    * to CONSTRUCT the ellipse plan at all — a plan-level branch no
+    * declarative form can express; per-image gating stays relational
+    * (anti-join), so the plan carries no O(#images) literals and the
+    * same code serves a directory or a million-image corpus. */
   def chooseBestShape(edges: DataFrame, pixels: DataFrame, bodyMask: DataFrame,
                       h: Int, w: Int, radii: Seq[Int], voteThresh: Long,
                       minScore: Double = 0.16): DataFrame = {
@@ -598,31 +602,31 @@ object Ellipse {
       .select(col("img_id"), lit("circle").as("kind"), col("cx"), col("cy"),
         col("a"), col("b"), col("cth"), col("sth"), col("score"))
       .localCheckpoint()
-    val circRows = circles.collect()
-    val circBest = circRows.map(r => r.getInt(0) -> r.getDouble(8)).toMap
     // the early exit is PER IMAGE (:373-375): a circle clearing
     // min_score + 0.08 wins outright — the ellipse phase never runs for
-    // that image, even if an ellipse would have outscored it
-    val strongCircImgs = circBest.filter(_._2 >= minScore + 0.08).keys.toSeq
+    // that image, even if an ellipse would have outscored it. rank===1
+    // makes circles one row per image, so count() counts images.
+    val strongCirc = circles.filter(col("score") >= minScore + 0.08)
+      .select("img_id")
     // "all strong" must cover every image IN THE BATCH, not every image
     // that happened to produce a circle candidate: an image with zero
     // circles (circ is None in the reference) still runs the ellipse
     // phase. The image set comes from pixels — every image has pixels
     // even when the accumulator found nothing.
-    val allImgs = pixels.select("img_id").distinct().collect().map(_.getInt(0)).toSet
-    val allStrong = allImgs.nonEmpty && allImgs.forall(strongCircImgs.contains)
+    val nImgs = pixels.select("img_id").distinct().count()
+    val allStrong = nImgs > 0 && strongCirc.count() == nImgs
     val combined = if (allStrong) {
       circles.withColumn("skipped_ellipse", lit(true))
     } else {
       val ellipses = bestEllipse(edges, pixels, bodyMask, h, w)
         .filter(col("rank") === 1)
-        .filter(if (strongCircImgs.isEmpty) lit(true)
-          else !col("img_id").isin(strongCircImgs: _*))
+        .join(broadcast(strongCirc), Seq("img_id"), "left_anti")
         .select(col("img_id"), lit("ellipse").as("kind"), col("cx"), col("cy"),
           col("a"), col("b"), col("cth"), col("sth"), col("score"))
       circles.unionByName(ellipses)
-        .withColumn("skipped_ellipse", if (strongCircImgs.isEmpty) lit(false)
-          else col("img_id").isin(strongCircImgs: _*))
+        .join(broadcast(strongCirc.withColumn("strong", lit(true))), Seq("img_id"), "left")
+        .withColumn("skipped_ellipse", coalesce(col("strong"), lit(false)))
+        .drop("strong")
     }
     // ties go to the ellipse: the reference compares ell_score >=
     // circ_score, so 'ellipse' must rank first on equal scores

@@ -199,8 +199,12 @@ object Similarity {
     // centroids need distribution COVERAGE, not every row — fitting on
     // the full corpus would be ~20 extra full scans at 100 TB just to
     // build a 16-row centroid table. The single full-corpus pass that
-    // remains is the list assignment below.
-    val train = feat.orderBy("vec_id").limit(2000).select("features").cache()
+    // remains is the list assignment below. Sampling by hash rank, not
+    // id rank: on a real corpus vec_id correlates with ingest time /
+    // shard, so the head of the id space can miss whole modes; the
+    // xxhash64 order is seed-stable yet spread uniformly across ids.
+    val train = feat.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(2000).select("features").cache()
     val model =
       try new KMeans().setK(nlist).setSeed(0L)
         .setFeaturesCol("features").setPredictionCol("list_id").fit(train)
@@ -272,7 +276,8 @@ object Similarity {
     val dim = all.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
-    val train = all.orderBy("vec_id").limit(sampleN)
+    // hash-rank sample, not id-rank: see ivfTopKOn's train comment
+    val train = all.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(sampleN)
       .select((0 until m).map(j =>
         array_to_vector(slice(col("vec"), j * sub + 1, sub)).as(s"f$j")): _*)
       .cache()
@@ -327,12 +332,21 @@ object Similarity {
 
   /** Codebooks memoized per (dir, m, ksub) so the driver-surface
     * emb_pq_topk query measures what a serving path pays — corpus
-    * encode + ADC scoring — not m k-means re-fits per bench rep. */
+    * encode + ADC scoring — not m k-means re-fits per bench rep.
+    * ASSUMES the data under `dir` is immutable for the JVM's lifetime
+    * (true for the driver's read-only testdata and any production
+    * immutable-snapshot layout); rewriting a dir in-process must go
+    * through pqCodebooks/pqTopKWith directly. Size-bounded: a full
+    * clear past `PqCacheMax` entries keeps a long-lived session from
+    * accumulating codebooks for dead dirs (each entry is m·ksub·sub
+    * doubles — small, but unbounded growth is still a leak). */
+  private val PqCacheMax = 8
   private val pqBookCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[Array[Array[Double]]]]
 
   def pqTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
              m: Int = 16, ksub: Int = 16): DataFrame = {
+    if (pqBookCache.size >= PqCacheMax) pqBookCache.clear()
     val books = pqBookCache.getOrElseUpdate((dir, m, ksub),
       pqCodebooks(corpus(spark, dir), m, ksub))
     pqTopKWith(corpus(spark, dir), books, nQueries, k)

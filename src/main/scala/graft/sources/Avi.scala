@@ -53,7 +53,12 @@ object Avi {
     // 'vids' strh — in a multi-stream AVI (video + audio) the audio
     // strf is a WAVEFORMATEX whose bytes at +14 would otherwise
     // overwrite the video bitCount and trip the 8-bit require.
+    // Streams are numbered by strh order, and data chunks carry that
+    // index as their first two digits ('01db' = stream 1 uncompressed
+    // frame) — an audio-first AVI puts video at stream 1, so the frame
+    // collector must match the LATCHED vids index, not literal "00".
     var curStreamType = ""; var videoBitCountLatched = false
+    var streamIdx = -1; var vidsIdx = -1
     val payloads = scala.collection.mutable.ArrayBuffer.empty[(String, Array[Byte])]
     def walk(end: Int): Unit = {
       while (buf.position() + 8 <= end) {
@@ -71,14 +76,21 @@ object Avi {
           case "strh" =>
             // fccType at +0: 'vids' / 'auds' / 'txts' — identifies the
             // stream the next strf in this strl describes
+            streamIdx += 1
             curStreamType = new String(bytes, start, 4, "US-ASCII")
+            if (curStreamType == "vids" && vidsIdx < 0) vidsIdx = streamIdx
           case "strf" =>
             // BITMAPINFOHEADER: biBitCount at +14 (first video stream only)
             if (len >= 16 && curStreamType == "vids" && !videoBitCountLatched) {
               bitCount = buf.getShort(start + 14).toInt
               videoBitCountLatched = true
             }
-          case "00db" | "00dc" =>
+          case _ if id.length == 4 && id(0).isDigit && id(1).isDigit &&
+              (id.endsWith("db") || id.endsWith("dc")) &&
+              id.substring(0, 2).toInt == math.max(vidsIdx, 0) =>
+            // hdrl precedes movi in a valid AVI, so vidsIdx is latched
+            // before any data chunk; max(_,0) keeps headerless fixtures
+            // (no strh at all) on the historical stream-0 behavior
             val payload = new Array[Byte](len)
             buf.position(start); buf.get(payload)
             payloads += ((id, payload))
@@ -90,7 +102,7 @@ object Avi {
     walk(bytes.length)
     require(width > 0 && height > 0, "missing avih header")
     val frames = payloads.zipWithIndex.map { case ((id, payload), i) =>
-      val px = if (id == "00db") decodeDib(payload, height, width, bitCount)
+      val px = if (id.endsWith("db")) decodeDib(payload, height, width, bitCount)
                else decodeJpeg(payload)
       AviFrame(i, height, width, px)
     }.toArray
@@ -185,6 +197,63 @@ object Avi {
         max("v").as("max_v"))
       .orderBy("clip_id", "frame_idx")
 
+  /** MJPEG leg of the container on the oracle surface: same RIFF
+    * walker, '00dc' chunks, javax.imageio decode. JPEG IDCT output is
+    * decoder-defined — not SQL-expressible — but DETERMINISTIC for a
+    * fixed decoder, so the oracle is generated driver-side by decoding
+    * the SAME synthesized bytes with the SAME decoder and injecting
+    * the per-frame stats as literals (the Ellipse.bestEllipseOracleSql
+    * pattern). The distributed path must then reproduce the container
+    * walk, vids-stream latch, JPEG decode and aggregation exactly; the
+    * codec itself is common-mode by construction. */
+  private val MjClips = 2; private val MjFrames = 4
+  private val MjW = 64; private val MjH = 48
+
+  private def mjpegFramePixels(clipId: Int, f: Int): Array[Int] =
+    Array.tabulate(MjH * MjW)(pos =>
+      ((pos % MjW) * 5 + (pos / MjW) * 9 + f * 17 + clipId * 23) % 256)
+
+  def syntheticMjpegBytes(clipId: Int): Array[Byte] =
+    synthesize((0 until MjFrames).map(f => mjpegFramePixels(clipId, f)),
+      MjH, MjW, mjpeg = true)
+
+  val encodeMjpegUdf = udf { clipId: Int => syntheticMjpegBytes(clipId) }
+
+  def mjpegDecodeStatsQuery(spark: SparkSession): DataFrame =
+    spark.range(MjClips).select(col("id").cast("int").as("clip_id"))
+      .withColumn("content", encodeMjpegUdf(col("clip_id")))
+      .withColumn("clip", parseUdf(col("content")))
+      .withColumn("f", explode(col("clip.frames")))
+      .select(col("clip_id"), col("f.frameIdx").as("frame_idx"),
+        explode(col("f.pixels")).as("v"))
+      .groupBy("clip_id", "frame_idx")
+      .agg(count(lit(1)).as("n_pixels"),
+        round(avg("v"), 4).as("mean_v"),
+        min("v").as("min_v"),
+        max("v").as("max_v"))
+      .orderBy("clip_id", "frame_idx")
+
+  def mjpegDecodeStatsOracleSql: String = {
+    val rows = for {
+      c <- 0 until MjClips
+      clip = parse(syntheticMjpegBytes(c))
+      fr <- clip.frames
+    } yield {
+      val px = fr.pixels
+      // same arithmetic as Spark's round(avg(int), 4): long-sum /
+      // double-divide, then HALF_UP at scale 4; Double.toString
+      // round-trips through DuckDB's strtod bit-exactly
+      val mean = BigDecimal(px.sum.toDouble / px.length)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      s"($c, ${fr.frameIdx}, ${px.length}, $mean, ${px.min}, ${px.max})"
+    }
+    s"""SELECT CAST(clip_id AS INTEGER) AS clip_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       |  CAST(n_pixels AS BIGINT) AS n_pixels, CAST(mean_v AS DOUBLE) AS mean_v,
+       |  CAST(min_v AS INTEGER) AS min_v, CAST(max_v AS INTEGER) AS max_v
+       |FROM (VALUES ${rows.mkString(",\n  ")}) AS t(clip_id, frame_idx, n_pixels, mean_v, min_v, max_v)
+       |ORDER BY clip_id, frame_idx""".stripMargin
+  }
+
   def aviDecodeStatsOracleSql: String =
     """SELECT CAST(c.c AS INTEGER) AS clip_id, CAST(f.f AS INTEGER) AS frame_idx,
       |  count(*) AS n_pixels,
@@ -237,9 +306,13 @@ object Avi {
   }
 
   /** Write a minimal AVI: avih + one 'vids' stream + movi. `mjpeg`
-    * selects the codec leg; raw DIB otherwise. */
+    * selects the codec leg; raw DIB otherwise. `audioFirst` prepends
+    * an 'auds' strl (WAVEFORMATEX strf whose bytes at +14 are NOT a
+    * valid bitCount) so the video stream becomes stream 1 and data
+    * chunks are '01db'/'01dc' — the multi-stream layout the parser's
+    * vids-index latch exists for. */
   def synthesize(frames: Seq[Array[Int]], h: Int, w: Int, fps: Int = 30,
-                 mjpeg: Boolean = false): Array[Byte] = {
+                 mjpeg: Boolean = false, audioFirst: Boolean = false): Array[Byte] = {
     def u32(vals: Int*): Array[Byte] = {
       val b = ByteBuffer.allocate(vals.length * 4).order(ByteOrder.LITTLE_ENDIAN)
       vals.foreach(b.putInt); b.array()
@@ -263,10 +336,26 @@ object Avi {
       b.array()
     }
     val strl = list("strl") { o => chunk(o, "strh", strh); chunk(o, "strf", strf) }
-    val hdrl = list("hdrl") { o => chunk(o, "avih", avih); chunk(o, "LIST", strl) }
+    val audioStrl = list("strl") { o =>
+      val ah = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      ah.put("auds".getBytes("US-ASCII"))
+      chunk(o, "strh", ah.array())
+      // WAVEFORMATEX: fmt=1 PCM, 1 ch, 8 kHz, 16-bit — bytes at +14
+      // would read as garbage bitCount if the latch keyed on position
+      val af = ByteBuffer.allocate(18).order(ByteOrder.LITTLE_ENDIAN)
+      af.putShort(1); af.putShort(1); af.putInt(8000); af.putInt(16000)
+      af.putShort(2); af.putShort(16); af.putShort(0)
+      chunk(o, "strf", af.array())
+    }
+    val hdrl = list("hdrl") { o =>
+      chunk(o, "avih", avih)
+      if (audioFirst) chunk(o, "LIST", audioStrl)
+      chunk(o, "LIST", strl)
+    }
+    val vidsNN = if (audioFirst) "01" else "00"
     val movi = list("movi") { o =>
       frames.foreach { f =>
-        chunk(o, if (mjpeg) "00dc" else "00db",
+        chunk(o, vidsNN + (if (mjpeg) "dc" else "db"),
           if (mjpeg) encodeJpeg(f, h, w) else encodeDib(f, h, w))
       }
     }

@@ -30,8 +30,18 @@ object Dicom {
   case class Slice(rows: Int, cols: Int, zPos: Double, instance: Int,
                    slope: Double, intercept: Double, pixels: Array[Double])
 
-  /** Parse one uncompressed explicit-VR-LE DICOM file; pixels are
-    * already rescaled (slope·raw + intercept). */
+  /** Transfer syntaxes this parser decodes: native uncompressed
+    * explicit-VR-LE, and JPEG-baseline encapsulated PixelData (the
+    * most common compressed syntax a real corpus hits first — decoded
+    * via javax.imageio, the same swap-point move Avi made for MJPEG).
+    * Anything else fails FAST with the offending UID in the message,
+    * rather than mis-reading compressed bytes as raw samples. */
+  val ExplicitVrLe = "1.2.840.10008.1.2.1"
+  val JpegBaseline = "1.2.840.10008.1.2.4.50"
+
+  /** Parse one explicit-VR-LE DICOM file (native or JPEG-baseline
+    * encapsulated); pixels are already rescaled (slope·raw +
+    * intercept). */
   def parse(bytes: Array[Byte]): Slice = {
     require(ImageSource.sniffType(bytes) == "dicom", "missing DICM magic")
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -40,7 +50,9 @@ object Dicom {
     var zPos = Double.NaN
     var slope = 1.0
     var intercept = 0.0
+    var transferSyntax = ExplicitVrLe // absent meta header -> native
     var raw: Array[Int] = null
+    var encapsulated: Array[Byte] = null
     val longVRs = Set("OB", "OW", "OF", "SQ", "UT", "UN")
     while (buf.remaining() >= 8) {
       val group = buf.getShort() & 0xffff
@@ -50,8 +62,10 @@ object Dicom {
         if (longVRs(vr)) { buf.getShort(); buf.getInt() }
         else buf.getShort() & 0xffff
       val start = buf.position()
+      var next = start + len
       def str: String = new String(bytes, start, len, "US-ASCII").trim
       (group, elem) match {
+        case (0x0002, 0x0010) => transferSyntax = str // UI, NUL-padded; trim strips it
         case (0x0028, 0x0010) => rows = buf.getShort() & 0xffff
         case (0x0028, 0x0011) => cols = buf.getShort() & 0xffff
         case (0x0028, 0x1052) => intercept = str.toDouble
@@ -60,11 +74,48 @@ object Dicom {
         case (0x0020, 0x0032) =>
           val parts = str.split("\\\\")
           if (parts.length >= 3) zPos = parts(2).toDouble
+        case (0x7fe0, 0x0010) if len == -1 =>
+          // encapsulated PixelData (undefined length): items are
+          // (FFFE,E000)+len with NO VR — first is the Basic Offset
+          // Table, the rest are codestream fragments, (FFFE,E0DD)
+          // ends the sequence. Single-frame scope: fragments
+          // concatenate into one codestream.
+          val frags = new ByteArrayOutputStream()
+          buf.position(start)
+          var first = true; var done = false
+          while (!done && buf.remaining() >= 8) {
+            val g = buf.getShort() & 0xffff
+            val e = buf.getShort() & 0xffff
+            val ilen = buf.getInt()
+            val istart = buf.position()
+            if (g == 0xfffe && e == 0xe000) {
+              if (!first) frags.write(bytes, istart, ilen)
+              first = false
+              buf.position(istart + ilen)
+            } else done = true // E0DD delimiter (len 0) or malformed
+          }
+          encapsulated = frags.toByteArray
+          next = buf.position()
         case (0x7fe0, 0x0010) =>
           raw = Array.tabulate(len / 2)(i => buf.getShort(start + i * 2) & 0xffff)
         case _ => ()
       }
-      buf.position(start + len)
+      buf.position(next)
+    }
+    if (encapsulated != null) {
+      require(transferSyntax == JpegBaseline,
+        s"unsupported compressed transfer syntax '$transferSyntax' — " +
+          s"only JPEG baseline ($JpegBaseline) decodes here; swap in a " +
+          "fuller codec at this point for other syntaxes")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(encapsulated))
+      require(img != null, "undecodable JPEG-baseline PixelData")
+      val (iw, ih) = (img.getWidth, img.getHeight)
+      if (rows == 0) rows = ih
+      if (cols == 0) cols = iw
+      require(rows == ih && cols == iw,
+        s"PixelData ${ih}x$iw disagrees with header ${rows}x$cols")
+      val raster = img.getRaster
+      raw = Array.tabulate(rows * cols)(i => raster.getSample(i % cols, i / cols, 0))
     }
     require(raw != null && rows > 0 && cols > 0, "no PixelData / dimensions")
     Slice(rows, cols, zPos, instance, slope, intercept,
@@ -147,6 +198,60 @@ object Dicom {
     val px = ByteBuffer.allocate(raw.length * 2).order(ByteOrder.LITTLE_ENDIAN)
     raw.foreach(v => px.putShort(v.toShort))
     writeElem(out, 0x7fe0, 0x0010, "OW", px.array())
+    out.toByteArray
+  }
+
+  /** 8-bit grayscale JPEG-baseline codestream for encapsulated
+    * fixtures (the spec decodes the SAME bytes driver-side with the
+    * same ImageIO decoder, so the round-trip is deterministic even
+    * though JPEG itself is lossy). */
+  def encodeJpeg8(raw: Array[Int], rows: Int, cols: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      cols, rows, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var i = 0
+    while (i < raw.length) {
+      img.getRaster.setSample(i % cols, i / cols, 0, raw(i)); i += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** Generate one encapsulated-PixelData slice: meta transfer-syntax
+    * element + header tags + undefined-length (7FE0,0010) carrying an
+    * empty Basic Offset Table item, the fragment, and the sequence
+    * delimiter. `transferSyntax` defaults to JPEG baseline; pass
+    * another UID to exercise the unsupported-syntax error path. */
+  def synthesizeEncapsulated(rows: Int, cols: Int, zPos: Double, instance: Int,
+                             slope: Double, intercept: Double,
+                             fragment: Array[Byte],
+                             transferSyntax: String = JpegBaseline): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    out.write(new Array[Byte](128))
+    out.write("DICM".getBytes("US-ASCII"))
+    elemStr(out, 0x0002, 0x0010, "UI", transferSyntax)
+    elemStr(out, 0x0020, 0x0013, "IS", instance.toString)
+    elemStr(out, 0x0020, 0x0032, "DS", s"0\\0\\$zPos")
+    elemShort(out, 0x0028, 0x0010, "US", rows)
+    elemShort(out, 0x0028, 0x0011, "US", cols)
+    elemShort(out, 0x0028, 0x0100, "US", 8)
+    elemStr(out, 0x0028, 0x1052, "DS", intercept.toString)
+    elemStr(out, 0x0028, 0x1053, "DS", slope.toString)
+    def item(group: Int, elem: Int, payload: Array[Byte]): Unit = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(group.toShort); b.putShort(elem.toShort); b.putInt(payload.length)
+      out.write(b.array()); out.write(payload)
+    }
+    val padded = if (fragment.length % 2 == 1) fragment :+ 0.toByte else fragment
+    // (7FE0,0010) OB, undefined length
+    val hdr = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    hdr.putShort(0x7fe0.toShort); hdr.putShort(0x0010.toShort)
+    hdr.put('O'.toByte); hdr.put('B'.toByte); hdr.putShort(0)
+    hdr.putInt(-1)
+    out.write(hdr.array())
+    item(0xfffe, 0xe000, Array.emptyByteArray) // Basic Offset Table
+    item(0xfffe, 0xe000, padded)               // the codestream fragment
+    item(0xfffe, 0xe0dd, Array.emptyByteArray) // sequence delimiter
     out.toByteArray
   }
 }

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.dedup.Dedup
+
+/** Streaming MinHash NEAR-duplicate detection (north-star dedup × ST):
+  * the streaming twin of batch `Dedup.minhashPairs`, for the ingest
+  * shape where near-dups must surface as documents arrive instead of
+  * in a nightly batch pass.
+  *
+  * Design:
+  *  - The signature is computed PER ROW (Dedup.rowShingles →
+  *    rowMinhashes → rowBandKeys — the same md5 hash family as the
+  *    batch path, shared by construction): a doc's MinHash depends
+  *    only on its own text, so the stream needs no aggregation before
+  *    the band explode — narrow projections all the way to the state
+  *    lookup.
+  *  - Candidate pairing is keyed state per (band_idx, band_key) via
+  *    flatMapGroupsWithState: each band bucket retains the (doc_id,
+  *    event-time) of docs seen within the watermark horizon; a new
+  *    arrival emits one pair per retained member, exactly one row per
+  *    shared band — so summing emissions per pair reproduces the batch
+  *    path's n_shared_bands.
+  *  - State is bounded by event time: a bucket's timeout is its newest
+  *    member's event time + the TTL, so state size tracks
+  *    docs-per-band-per-horizon, not stream length — same bounding
+  *    rule as StreamDedup. A pair whose members arrive further apart
+  *    than the horizon is NOT emitted (the documented semantics:
+  *    unbounded-horizon near-dup needs unbounded state; compact with
+  *    the batch pass downstream).
+  *
+  * Scale: the only shuffle is the groupByKey on (band_idx, band_key) —
+  * id-and-key rows, never text. A pathologically hot band key
+  * concentrates its bucket on one task; more bands / more rows per
+  * band keep buckets selective, the same dial as the batch join.
+  */
+object StreamNearDup {
+
+  // keeps the watermarked `ts` column itself (projecting it into a
+  // plain long would strip the event-time marker the EventTimeTimeout
+  // requires)
+  case class BandArrival(bandIdx: Int, bandKey: String, docId: Long, ts: java.sql.Timestamp)
+  case class BandMember(docId: Long, tsMs: Long)
+  case class BandState(docs: List[BandMember])
+  case class CandidatePair(doc_a: Long, doc_b: Long, band_idx: Int)
+
+  /** docs: streaming (doc_id, ts, text). Emits (doc_a, doc_b,
+    * band_idx) — one row per band both docs hashed into, doc_a <
+    * doc_b; aggregate counts per pair to recover n_shared_bands. */
+  def minhashPairsStream(docs: DataFrame, watermarkDelay: String = "1 hour",
+                         stateTtlMs: Long = 3600000L,
+                         numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val arrivals: Dataset[BandArrival] = docs
+      .withColumn("shingles", Dedup.rowShingles(col("text")))
+      .withColumn("mhs", Dedup.rowMinhashes(col("shingles"), numHashes))
+      .withColumn("bk", explode(Dedup.rowBandKeys(col("mhs"), numHashes, bands)))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("bk.band_idx").as("bandIdx"), col("bk.band_key").as("bandKey"),
+        col("doc_id").as("docId"), col("ts"))
+      .as[BandArrival]
+
+    def update(key: (Int, String), it: Iterator[BandArrival],
+               state: GroupState[BandState]): Iterator[CandidatePair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var members = state.getOption.map(_.docs).getOrElse(Nil)
+        // deterministic within-batch order so re-runs emit identical pairs
+        val sorted = it.toArray.sortBy(a => (a.ts.getTime, a.docId))
+        val out = Seq.newBuilder[CandidatePair]
+        sorted.foreach { a =>
+          if (!members.exists(_.docId == a.docId)) {
+            members.foreach(m => out += CandidatePair(
+              math.min(m.docId, a.docId), math.max(m.docId, a.docId), key._1))
+            members = BandMember(a.docId, a.ts.getTime) :: members
+          }
+        }
+        state.update(BandState(members))
+        state.setTimeoutTimestamp(members.map(_.tsMs).max + stateTtlMs)
+        out.result().iterator
+      }
+    }
+
+    arrivals
+      .groupByKey(a => (a.bandIdx, a.bandKey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+      .toDF()
+  }
+}

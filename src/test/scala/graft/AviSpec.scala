@@ -64,6 +64,17 @@ class AviSpec extends AnyFunSuite {
     assert(viaAvi.toSeq === viaDirect.toSeq)
   }
 
+  test("audio-first AVI: frames collect from the vids stream's index") {
+    // video is stream 1 ('01db'), the auds strl comes first — both the
+    // bitCount latch AND the frame collector must key on the vids
+    // stream index, or this parses headers fine and returns zero frames
+    val clip = Avi.parse(Avi.synthesize(frames, h, w, audioFirst = true))
+    assert(clip.width === w && clip.height === h && clip.nFrames === 5)
+    clip.frames.zipWithIndex.foreach { case (f, i) =>
+      assert(f.pixels.toSeq === frames(i).toSeq, s"frame $i differs")
+    }
+  }
+
   test("two clips in one directory keep distinct video ids") {
     val dir = Files.createTempDirectory("graft_avi2_").toFile
     dir.deleteOnExit()

@@ -22,6 +22,30 @@ class DicomSpec extends AnyFunSuite {
     assert(s.pixels(5) === raw(5) * 2.0 - 100.0)
   }
 
+  test("JPEG-baseline encapsulated PixelData decodes and rescales") {
+    // smooth gradient (JPEG-friendly); ground truth = the SAME bytes
+    // decoded driver-side with the same ImageIO decoder, so the
+    // fixture is deterministic despite JPEG loss
+    val (rows, cols) = (16, 24)
+    val raw = Array.tabulate(rows * cols)(i => (i % cols) * 5 + (i / cols) * 3)
+    val jpeg = Dicom.encodeJpeg8(raw, rows, cols)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+    val expected = Array.tabulate(rows * cols)(i =>
+      ref.getRaster.getSample(i % cols, i / cols, 0) * 2.0 + 10.0)
+    val s = Dicom.parse(Dicom.synthesizeEncapsulated(rows, cols, zPos = 1.5,
+      instance = 3, slope = 2.0, intercept = 10.0, fragment = jpeg))
+    assert((s.rows, s.cols, s.instance) === ((rows, cols, 3)))
+    assert(s.pixels.toSeq === expected.toSeq)
+  }
+
+  test("unsupported compressed transfer syntax fails fast with the UID") {
+    val jpeg2000 = "1.2.840.10008.1.2.4.90"
+    val bytes = Dicom.synthesizeEncapsulated(4, 4, 0.0, 1, 1.0, 0.0,
+      fragment = Array[Byte](1, 2, 3, 4), transferSyntax = jpeg2000)
+    val e = intercept[IllegalArgumentException](Dicom.parse(bytes))
+    assert(e.getMessage.contains(jpeg2000), "error must name the offending UID")
+  }
+
   test("series reader orders slices by z position regardless of file order") {
     val dir = Files.createTempDirectory("graft_dcm_").toFile
     dir.deleteOnExit()

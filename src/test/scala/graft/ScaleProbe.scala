@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe (diagnostic main, not a spec): measures how the
+  * dedup/ANN spine scales from sf0.1 to a synthesized 10× corpus —
+  * near-linear ratios confirm the candidate-generation plans stay
+  * O(collisions); superlinear growth flags a hidden quadratic before
+  * real scale does. Results land in BASELINE.md's scale-probe table.
+  *
+  * The 10× corpus derives from sf0.1 by replication with a per-replica
+  * perturbation chosen to PRESERVE the dup/near-dup structure rather
+  * than multiply it:
+  *  - documents: replica k appends a " repk" token and offsets doc_id
+  *    by k·N — shingles differ across replicas, so each replica keeps
+  *    the original's internal near-dup pattern without creating
+  *    cross-replica dups (identical replication would make every doc
+  *    a 10-way dup: pair count ~45×, a superlinear artifact of the
+  *    generator, not the engine).
+  *  - embeddings: replica k rotates the vector by k positions (norm-
+  *    preserving; rotations of the synthetic vectors decorrelate), and
+  *    offsets vec_id by k·N.
+  *
+  * Run: SPARK_GRAFT_SCALE_DIR=/tmp/graft_scale10 sbt
+  *        "Test/runMain graft.ScaleProbe"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
+    val replicas = 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    if (!new java.io.File(s"$bigDir/documents.parquet").exists()) {
+      val docs = Tables(spark, baseDir, "documents")
+      val nDocs = docs.agg(max("doc_id")).head().getLong(0) + 1
+      val reps = spark.range(replicas).select(col("id").as("rep"))
+      docs.crossJoin(reps)
+        .select(
+          (col("doc_id") + col("rep") * nDocs).as("doc_id"),
+          concat(col("text"), lit(" rep"), col("rep")).as("text"),
+          col("lang"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+      val emb = Tables(spark, baseDir, "embeddings")
+      val nVecs = emb.agg(max("vec_id")).head().getLong(0) + 1
+      val dims = emb.select(size(col("embedding"))).head().getInt(0)
+      emb.crossJoin(reps)
+        .select(
+          (col("vec_id") + col("rep") * nVecs).as("vec_id"),
+          // rotate by rep positions: slice ∥ slice, norm-preserving
+          concat(
+            slice(col("embedding"), col("rep") + lit(1), lit(dims) - col("rep")),
+            slice(col("embedding"), lit(1), col("rep"))).as("embedding"),
+          col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+      println(s"[probe] generated $replicas x corpus at $bigDir")
+    }
+
+    val probeQueries = Seq("dedup_minhash_pairs", "dedup_clusters",
+      "emb_lsh_topk", "emb_near_dup")
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // one untimed warmup per query at base scale primes codegen/JIT
+    probeQueries.foreach(time(_, baseDir))
+    val results = probeQueries.map { q =>
+      val tBase = time(q, baseDir)
+      val tBig = time(q, bigDir)
+      (q, tBase, tBig, tBig / tBase)
+    }
+    println(f"${"query"}%-22s ${"sf0.1_s"}%8s ${"x10_s"}%8s ${"ratio"}%7s")
+    results.foreach { case (q, a, b, r) =>
+      println(f"$q%-22s $a%8.2f $b%8.2f $r%7.2f")
+    }
+    spark.stop()
+  }
+}

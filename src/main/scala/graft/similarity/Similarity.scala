@@ -365,12 +365,27 @@ object Similarity {
     * embedding leg of the dedup suite (see graft.dedup.Dedup for the
     * text legs). */
   def cosineNearDupPairsOn(all: DataFrame, threshold: Double = 0.95,
-                           nPlanes: Int = 4, nTables: Int = 8, dims: Int = 64): DataFrame = {
+                           nPlanes: Int = 0, nTables: Int = 8, dims: Int = 64): DataFrame = {
     // Bucket ONCE, then emit i<j pairs within each bucket from a sorted
     // id list (higher-order functions) — halves the hyperplane work vs
     // a two-sided self-join and removes its shuffle. A pathologically
     // hot bucket is quadratic either way; nPlanes controls occupancy.
-    val pairIds = bucketIds(all, "vec_id", nPlanes, nTables, dims)
+    //
+    // nPlanes <= 0 -> AUTO-scale to the corpus: with a FIXED plane
+    // count, bucket occupancy grows ~n/2^planes, so within-bucket
+    // pairing is O(n²) — the round-7 10× scale probe measured 69×
+    // runtime at 10× rows before this. Doubling buckets per corpus
+    // doubling (target occupancy ~32 per table) keeps candidate pairs
+    // ~n·occupancy — linear. Near-identical vectors (the ≥threshold
+    // pairs this operator exists for) collide on nearly every plane,
+    // so recall stays high as planes grow; nTables hedges the rest.
+    // The count() is a column-pruned metadata-cheap scan, the standard
+    // "know your corpus" step before choosing an LSH resolution.
+    val planes = if (nPlanes > 0) nPlanes else {
+      val n = all.count()
+      math.max(4, math.ceil(math.log(math.max(n, 1L) / 32.0) / math.log(2.0)).toInt)
+    }
+    val pairIds = bucketIds(all, "vec_id", planes, nTables, dims)
       .groupBy("tbl", "bucket")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .select(explode(expr(
@@ -389,6 +404,6 @@ object Similarity {
   }
 
   def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95,
-                         nPlanes: Int = 4, nTables: Int = 8, dims: Int = 64): DataFrame =
+                         nPlanes: Int = 0, nTables: Int = 8, dims: Int = 64): DataFrame =
     cosineNearDupPairsOn(corpus(spark, dir), threshold, nPlanes, nTables, dims)
 }

@@ -58,4 +58,30 @@ class PlanContractSpec extends AnyFunSuite {
     // BroadcastHashJoin at this sf), never a nested loop over documents
     assert(!p.contains("BroadcastNestedLoopJoin"), "band join degenerated to NL")
   }
+
+  test("ellipse shape selection carries no per-image literal lists") {
+    // r7 de-literalization contract: the early-exit gating must be a
+    // join against the strong-circle relation, never collect()+isin —
+    // an isin over N images would appear as an In/INSET predicate and
+    // grow the plan itself with the corpus
+    import org.apache.spark.sql.functions.col
+    val edges = operators.Ellipse.syntheticEdges(spark)
+    val pixels = operators.Ellipse.syntheticPixels(spark)
+    val body = pixels.filter(col("v") >= 100)
+    val p = operators.Ellipse.chooseBestShape(edges, pixels, body,
+      operators.Ellipse.SceneH, operators.Ellipse.SceneW,
+      radii = Seq(12), voteThresh = 40L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("INSET") && !p.contains(" IN ("),
+      "per-image gating must be relational (anti-join), not literal lists")
+  }
+
+  test("PQ ADC scoring broadcasts the per-query lookup tables") {
+    val p = plan("emb_pq_topk")
+    // the codes × LUT cross join must broadcast the (tiny) LUT side; a
+    // shuffled cross join over the code table would be the scale bug
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "ADC join must broadcast the per-query LUTs")
+    assert(!p.contains("CartesianProduct"), "ADC join degenerated to a shuffled cartesian")
+  }
 }

@@ -1,0 +1,124 @@
+package graft.metrics
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.concurrent.atomic.{AtomicLong, AtomicLongArray}
+
+import org.apache.spark.scheduler.{JobSucceeded, SparkListener, SparkListenerJobEnd, SparkListenerStageCompleted, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+
+/** S17 — Prometheus metrics instrumentation (SURVEY §2.1): the
+  * reference wires `Instrumentator().instrument(app).expose(app)`
+  * (Rest_webservice/app/main.py:23), getting request counters and a
+  * latency histogram at /metrics. The engine analog instruments the
+  * SparkSession: a SparkListener accumulates job/stage/task counters
+  * plus a task-duration histogram, rendered in the Prometheus text
+  * exposition format (version 0.0.4 — `# HELP`/`# TYPE` + samples).
+  *
+  * Instead of binding an HTTP port, `writeTextfile` emits the render
+  * atomically for node_exporter's textfile collector — the standard
+  * pull bridge for batch jobs, and the right shape for a zero-egress
+  * engine (a cluster deployment would mount the same render behind
+  * any HTTP server, or Spark's own metrics servlet). All counters are
+  * lock-free atomics: listener callbacks fire on the event bus thread
+  * and must never block the scheduler.
+  */
+final class PrometheusListener extends SparkListener {
+  val jobsSucceeded = new AtomicLong
+  val jobsFailed = new AtomicLong
+  val stagesCompleted = new AtomicLong
+  val tasksSucceeded = new AtomicLong
+  val tasksFailed = new AtomicLong
+  val inputRecords = new AtomicLong
+  val shuffleWriteBytes = new AtomicLong
+  val executorRunMillis = new AtomicLong
+
+  /** Cumulative histogram of task durations; le = upper bound in
+    * seconds, last bucket is +Inf (Prometheus histograms are
+    * cumulative by definition). */
+  val durationBounds: Array[Double] = Array(0.05, 0.1, 0.25, 0.5, 1, 2.5, 5, 10)
+  val durationBuckets = new AtomicLongArray(durationBounds.length + 1)
+  val durationSumMillis = new AtomicLong
+
+  override def onJobEnd(end: SparkListenerJobEnd): Unit =
+    (if (end.jobResult == JobSucceeded) jobsSucceeded else jobsFailed).incrementAndGet()
+
+  override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+    stagesCompleted.incrementAndGet()
+
+  override def onTaskEnd(end: SparkListenerTaskEnd): Unit = {
+    val ok = end.reason == org.apache.spark.Success
+    (if (ok) tasksSucceeded else tasksFailed).incrementAndGet()
+    val info = end.taskInfo
+    if (info != null && info.finishTime > 0) {
+      val ms = info.finishTime - info.launchTime
+      durationSumMillis.addAndGet(ms)
+      var i = 0
+      val s = ms / 1000.0
+      while (i < durationBounds.length && s > durationBounds(i)) i += 1
+      durationBuckets.incrementAndGet(i)
+    }
+    val m = end.taskMetrics // null for some failure reasons
+    if (m != null) {
+      inputRecords.addAndGet(m.inputMetrics.recordsRead)
+      shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      executorRunMillis.addAndGet(m.executorRunTime)
+    }
+  }
+
+  /** Render every metric in text exposition format 0.0.4. */
+  def render(): String = {
+    val sb = new StringBuilder
+    def counter(name: String, help: String, samples: (String, Long)*): Unit = {
+      sb.append(s"# HELP $name $help\n# TYPE $name counter\n")
+      samples.foreach { case (labels, v) => sb.append(s"$name$labels $v\n") }
+    }
+    counter("graft_jobs_total", "Spark jobs by final status.",
+      ("""{status="succeeded"}""", jobsSucceeded.get), ("""{status="failed"}""", jobsFailed.get))
+    counter("graft_stages_completed_total", "Completed Spark stages.", ("", stagesCompleted.get))
+    counter("graft_tasks_total", "Spark tasks by final status.",
+      ("""{status="succeeded"}""", tasksSucceeded.get), ("""{status="failed"}""", tasksFailed.get))
+    counter("graft_input_records_total", "Records read by task input metrics.", ("", inputRecords.get))
+    counter("graft_shuffle_write_bytes_total", "Shuffle bytes written.", ("", shuffleWriteBytes.get))
+    sb.append("# HELP graft_executor_run_seconds_total Total executor run time.\n")
+    sb.append("# TYPE graft_executor_run_seconds_total counter\n")
+    sb.append(f"graft_executor_run_seconds_total ${executorRunMillis.get / 1000.0}%.3f\n")
+    sb.append("# HELP graft_task_duration_seconds Task wall time from launch to finish.\n")
+    sb.append("# TYPE graft_task_duration_seconds histogram\n")
+    var cum = 0L
+    for (i <- durationBounds.indices) {
+      cum += durationBuckets.get(i)
+      sb.append(s"""graft_task_duration_seconds_bucket{le="${fmtBound(durationBounds(i))}"} $cum""").append('\n')
+    }
+    cum += durationBuckets.get(durationBounds.length)
+    sb.append(s"""graft_task_duration_seconds_bucket{le="+Inf"} $cum""").append('\n')
+    sb.append(f"graft_task_duration_seconds_sum ${durationSumMillis.get / 1000.0}%.3f\n")
+    sb.append(s"graft_task_duration_seconds_count $cum\n")
+    sb.toString
+  }
+
+  private def fmtBound(d: Double): String =
+    if (d == d.floor) f"$d%.1f" else d.toString
+}
+
+object Prometheus {
+
+  /** Instrument a session: register a fresh listener on the event bus
+    * (the `instrument(app)` move). */
+  def attach(spark: SparkSession): PrometheusListener = {
+    val l = new PrometheusListener
+    spark.sparkContext.addSparkListener(l)
+    l
+  }
+
+  def detach(spark: SparkSession, l: PrometheusListener): Unit =
+    spark.sparkContext.removeSparkListener(l)
+
+  /** The `expose(app)` move, textfile-collector flavor: atomic write of
+    * the current render (collectors must never read a torn file). */
+  def writeTextfile(l: PrometheusListener, path: String): Unit = {
+    val tmp = Paths.get(path + ".tmp")
+    Files.write(tmp, l.render().getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path), StandardCopyOption.REPLACE_EXISTING, StandardCopyOption.ATOMIC_MOVE)
+  }
+}

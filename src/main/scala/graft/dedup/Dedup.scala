@@ -220,15 +220,47 @@ object Dedup {
       .select("doc_id", "simhash")
   }
 
-  /** SimHash near-dup candidates: band the 60-bit signature into 4
-    * 15-bit keys; near-identical docs agree on ≥1 band with high
-    * probability and are then exactly filtered by popcount ≤ maxHamming. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 8): DataFrame = {
+  /** SimHash near-dup candidates via the multi-block banding of Manku
+    * et al. (WWW'07, "Detecting Near-Duplicates for Web Crawling"):
+    * split the 60-bit signature into `blocks` equal blocks and key one
+    * candidate table on every (blocks−3)-subset of them. If two
+    * signatures differ in ≤3 bits, those bits touch ≤3 blocks, so some
+    * (blocks−3)-subset is bit-identical — the Hamming-≤3 detection
+    * guarantee holds at EVERY block count. Candidates are then exactly
+    * filtered by popcount ≤ maxHamming (coverage beyond distance 3 is
+    * probabilistic, as in the paper).
+    *
+    * blocks = 4 is the classic 4×15-bit banding (4 tables; what the
+    * DuckDB oracle replicates). blocks <= 0 AUTO-scales to the corpus:
+    * with a fixed 15-bit key, bucket occupancy grows ~n/2^15 and the
+    * within-bucket join is O(n²) — the same fixed-resolution quadratic
+    * the round-7 scale probe caught in emb_near_dup. Widening keys by
+    * keying on block COMBINATIONS trades more tables for exponentially
+    * more buckets while keeping the ≤3 guarantee:
+    *   blocks=4 → 4 tables × 15-bit keys (to ~1M docs at occupancy ≤32)
+    *   blocks=5 → 10 tables × 24-bit keys (to ~0.5B)
+    *   blocks=6 → 20 tables × 30-bit keys (to ~34B; cap — C(m,3) table
+    *               growth outpaces key gains past this)
+    * Test-scale corpora resolve to 4, so oracle behavior is unchanged. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 8, blocks: Int = 0): DataFrame = {
+    val m = if (blocks > 0) blocks else {
+      val n = docs.count() // column-pruned metadata-cheap scan, as in cosineNearDupPairsOn
+      if (n <= (1L << 15) * 32) 4 else if (n <= (1L << 24) * 32) 5 else 6
+    }
+    require(simhashBits % m == 0 && m >= 4, s"block count $m must be >= 4 and divide $simhashBits")
+    val blockBits = simhashBits / m
+    val subsets = (0 until m).combinations(m - 3).toSeq
     val sigs = simhash(docs)
-    val banded = sigs.select(col("doc_id"), col("simhash"), explode(array(
-      (0 until 4).map(b => struct(lit(b).as("band_idx"),
-        expr(s"(simhash >> ${b * 15}) & 32767").as("band_key"))): _*
-    )).as("bk")).select(col("doc_id"), col("simhash"), col("bk.band_idx"), col("bk.band_key"))
+    val bandStructs = subsets.zipWithIndex.map { case (sub, i) =>
+      val key = sub.foldLeft(lit(0L).cast("long")) { (acc, blk) =>
+        shiftleft(acc, blockBits)
+          .bitwiseOR(expr(s"(simhash >> ${blk * blockBits}) & ${(1L << blockBits) - 1}"))
+      }
+      struct(lit(i).as("band_idx"), key.as("band_key"))
+    }
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band_idx"), col("bk.band_key"))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("band_idx"), col("band_key"))
     val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),

@@ -31,13 +31,17 @@ object Dicom {
                    slope: Double, intercept: Double, pixels: Array[Double])
 
   /** Transfer syntaxes this parser decodes: native uncompressed
-    * explicit-VR-LE, and JPEG-baseline encapsulated PixelData (the
-    * most common compressed syntax a real corpus hits first — decoded
-    * via javax.imageio, the same swap-point move Avi made for MJPEG).
-    * Anything else fails FAST with the offending UID in the message,
-    * rather than mis-reading compressed bytes as raw samples. */
+    * explicit-VR-LE, JPEG-baseline encapsulated PixelData (the most
+    * common compressed syntax a real corpus hits first — decoded via
+    * javax.imageio, the same swap-point move Avi made for MJPEG), and
+    * RLE Lossless (PS3.5 Annex G: a 64-byte segment-offset table +
+    * PackBits-coded byte segments — pure-JVM and, being lossless,
+    * bit-exact against the native leg). Anything else fails FAST with
+    * the offending UID in the message, rather than mis-reading
+    * compressed bytes as raw samples. */
   val ExplicitVrLe = "1.2.840.10008.1.2.1"
   val JpegBaseline = "1.2.840.10008.1.2.4.50"
+  val RleLossless = "1.2.840.10008.1.2.5"
 
   /** Parse one explicit-VR-LE DICOM file (native or JPEG-baseline
     * encapsulated); pixels are already rescaled (slope·raw +
@@ -102,24 +106,98 @@ object Dicom {
       }
       buf.position(next)
     }
-    if (encapsulated != null) {
-      require(transferSyntax == JpegBaseline,
-        s"unsupported compressed transfer syntax '$transferSyntax' — " +
-          s"only JPEG baseline ($JpegBaseline) decodes here; swap in a " +
-          "fuller codec at this point for other syntaxes")
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(encapsulated))
-      require(img != null, "undecodable JPEG-baseline PixelData")
-      val (iw, ih) = (img.getWidth, img.getHeight)
-      if (rows == 0) rows = ih
-      if (cols == 0) cols = iw
-      require(rows == ih && cols == iw,
-        s"PixelData ${ih}x$iw disagrees with header ${rows}x$cols")
-      val raster = img.getRaster
-      raw = Array.tabulate(rows * cols)(i => raster.getSample(i % cols, i / cols, 0))
+    if (encapsulated != null) transferSyntax match {
+      case JpegBaseline =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(encapsulated))
+        require(img != null, "undecodable JPEG-baseline PixelData")
+        val (iw, ih) = (img.getWidth, img.getHeight)
+        if (rows == 0) rows = ih
+        if (cols == 0) cols = iw
+        require(rows == ih && cols == iw,
+          s"PixelData ${ih}x$iw disagrees with header ${rows}x$cols")
+        val raster = img.getRaster
+        raw = Array.tabulate(rows * cols)(i => raster.getSample(i % cols, i / cols, 0))
+      case RleLossless =>
+        raw = decodeRle(encapsulated, rows * cols)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported compressed transfer syntax '$other' — only JPEG " +
+            s"baseline ($JpegBaseline) and RLE Lossless ($RleLossless) decode " +
+            "here; swap in a fuller codec at this point for other syntaxes")
     }
     require(raw != null && rows > 0 && cols > 0, "no PixelData / dimensions")
     Slice(rows, cols, zPos, instance, slope, intercept,
       raw.map(v => v * slope + intercept))
+  }
+
+  /** RLE Lossless codestream → unsigned samples (PS3.5 Annex G). The
+    * 64-byte header holds the segment count + up to 15 offsets; one
+    * segment per sample byte, most significant first, each PackBits
+    * coded. 1 segment = 8-bit samples, 2 = 16-bit. */
+  private def decodeRle(cs: Array[Byte], nPixels: Int): Array[Int] = {
+    val hdr = ByteBuffer.wrap(cs).order(ByteOrder.LITTLE_ENDIAN)
+    val nSegs = hdr.getInt(0)
+    require(nSegs == 1 || nSegs == 2, s"RLE: $nSegs segments (grayscale expects 1 or 2)")
+    val offsets = Array.tabulate(nSegs)(i => hdr.getInt(4 + 4 * i))
+    val segs = Array.tabulate(nSegs) { i =>
+      val end = if (i + 1 < nSegs) offsets(i + 1) else cs.length
+      packBitsDecode(cs, offsets(i), end, nPixels)
+    }
+    if (nSegs == 1) segs(0).map(_ & 0xff)
+    else Array.tabulate(nPixels)(i => ((segs(0)(i) & 0xff) << 8) | (segs(1)(i) & 0xff))
+  }
+
+  private def packBitsDecode(cs: Array[Byte], from: Int, until: Int, expect: Int): Array[Byte] = {
+    val out = new Array[Byte](expect)
+    var i = from
+    var o = 0
+    while (i < until && o < expect) {
+      val n = cs(i); i += 1
+      if (n >= 0) { // literal run of n+1 bytes
+        System.arraycopy(cs, i, out, o, n + 1); i += n + 1; o += n + 1
+      } else if (n != -128) { // replicate next byte 1-n times; -128 is a noop
+        java.util.Arrays.fill(out, o, o + 1 - n, cs(i)); i += 1; o += 1 - n
+      }
+    }
+    require(o == expect, s"RLE segment decoded $o of $expect bytes")
+    out
+  }
+
+  /** PackBits-encode one byte segment (fixture generator): runs ≥3
+    * become replicate codes, the rest literal blocks of ≤128. */
+  private def packBitsEncode(seg: Array[Byte], out: ByteArrayOutputStream): Unit = {
+    var i = 0
+    while (i < seg.length) {
+      var run = 1
+      while (i + run < seg.length && run < 128 && seg(i + run) == seg(i)) run += 1
+      if (run >= 3) { out.write(1 - run); out.write(seg(i)); i += run }
+      else {
+        var lit = i + run // extend the literal until a ≥3 run or 128 cap
+        while (lit < seg.length && lit - i < 128 &&
+          !(lit + 2 < seg.length && seg(lit) == seg(lit + 1) && seg(lit) == seg(lit + 2))) lit += 1
+        out.write(lit - i - 1)
+        out.write(seg, i, lit - i)
+        i = lit
+      }
+    }
+  }
+
+  /** RLE Lossless codestream for encapsulated fixtures: 16-bit samples
+    * as MSB + LSB segments behind the 64-byte offset table. Lossless,
+    * so specs assert bit-exact parity with the native leg. */
+  def encodeRle16(raw: Array[Int]): Array[Byte] = {
+    val msb = raw.map(v => ((v >> 8) & 0xff).toByte)
+    val lsb = raw.map(v => (v & 0xff).toByte)
+    val seg0 = new ByteArrayOutputStream(); packBitsEncode(msb, seg0)
+    if (seg0.size() % 2 == 1) seg0.write(0) // segments start on even offsets
+    val seg1 = new ByteArrayOutputStream(); packBitsEncode(lsb, seg1)
+    val hdr = ByteBuffer.allocate(64).order(ByteOrder.LITTLE_ENDIAN)
+    hdr.putInt(0, 2)
+    hdr.putInt(4, 64)
+    hdr.putInt(8, 64 + seg0.size())
+    val out = new ByteArrayOutputStream()
+    out.write(hdr.array()); seg0.writeTo(out); seg1.writeTo(out)
+    out.toByteArray
   }
 
   val parseUdf = udf { bytes: Array[Byte] => parse(bytes) }

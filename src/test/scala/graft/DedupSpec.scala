@@ -34,6 +34,42 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.toSeq === Seq((1L, 2L, 0)))
   }
 
+  test("multi-block banding keeps the Hamming<=3 guarantee at every block count") {
+    // 40 docs with word-level perturbations: enough signature diversity
+    // that the exact all-pairs Hamming table has pairs on both sides of 3
+    val base = docA.split(" ")
+    val corpus = docs((0 until 40).map { i =>
+      val words = base.zipWithIndex.map { case (w, j) =>
+        if (j % 7 == i % 7 && i >= 20) w + i.toString else w
+      }
+      (i.toLong, words.mkString(" "))
+    }: _*)
+    val sigs = Dedup.simhash(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mustFind = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
+    } yield (a, b)).toSet
+    assert(mustFind.nonEmpty, "fixture must plant at least one Hamming<=3 pair")
+    for (m <- Seq(4, 5, 6)) {
+      val found = Dedup.simhashPairs(corpus, maxHamming = 8, blocks = m)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // pigeonhole guarantee: every <=3 pair appears regardless of m
+      assert(mustFind.subsetOf(found.map(p => (p._1, p._2)).toSet),
+        s"blocks=$m missed a guaranteed pair")
+      // precision: reported hamming is the exact popcount, within bound
+      found.foreach { case (a, b, h) =>
+        assert(h === java.lang.Long.bitCount(sigs(a) ^ sigs(b)) && h <= 8)
+      }
+    }
+  }
+
+  test("auto block count resolves to the classic 4x15 banding on small corpora") {
+    val d = docs(1L -> docA, 2L -> docA, 3L -> docANear, 4L -> docB)
+    val auto = Dedup.simhashPairs(d).collect().toSeq
+    val four = Dedup.simhashPairs(d, blocks = 4).collect().toSeq
+    assert(auto === four)
+  }
+
   test("minhash banded pairs: exact dups share all bands; disjoint vocab shares none") {
     val rows = Dedup.minhashPairs(docs(1L -> docA, 2L -> docA, 3L -> docB, 4L -> docANear))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -38,6 +38,21 @@ class DicomSpec extends AnyFunSuite {
     assert(s.pixels.toSeq === expected.toSeq)
   }
 
+  test("RLE Lossless encapsulated PixelData round-trips bit-exact") {
+    val (rows, cols) = (16, 24)
+    // flat runs (replicate codes), a gradient (literal blocks), and
+    // values >255 so both the MSB and LSB segments carry information
+    val raw = Array.tabulate(rows * cols) { i =>
+      if (i < 100) 1000 else if (i < 200) i * 7 % 4096 else 42
+    }
+    val s = Dicom.parse(Dicom.synthesizeEncapsulated(rows, cols, zPos = 2.5,
+      instance = 9, slope = 0.5, intercept = -3.0, fragment = Dicom.encodeRle16(raw),
+      transferSyntax = Dicom.RleLossless))
+    assert((s.rows, s.cols, s.instance) === ((rows, cols, 9)))
+    // lossless: exact rescaled values, no decoder in the loop
+    assert(s.pixels.toSeq === raw.map(_ * 0.5 - 3.0).toSeq)
+  }
+
   test("unsupported compressed transfer syntax fails fast with the UID") {
     val jpeg2000 = "1.2.840.10008.1.2.4.90"
     val bytes = Dicom.synthesizeEncapsulated(4, 4, 0.0, 1, 1.0, 0.0,

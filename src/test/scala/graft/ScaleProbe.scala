@@ -67,7 +67,7 @@ object ScaleProbe {
     }
 
     val probeQueries = Seq("dedup_minhash_pairs", "dedup_clusters",
-      "emb_lsh_topk", "emb_near_dup")
+      "emb_lsh_topk", "emb_near_dup", "dedup_simhash_pairs", "txt_pack_sequences")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -111,4 +111,66 @@ class EndToEndSpec extends AnyFunSuite {
       math.abs(top.getAs[Double]("b") - b) / b < 0.25,
       s"recovered axes (${top.getAs[Double]("a")}, ${top.getAs[Double]("b")}) vs planted ($a, $b)")
   }
+
+  test("HMRF sink stage: labels/means NPY + NIfTI + QA panel + metrics (main's export block)") {
+    // brain_segmentation.py:425-438 + save_qa_figures + the Prometheus
+    // exposure (app/main.py:23): segment a small phantom, then run the
+    // full export fan-out through the S14/S15/S17 sinks and parse
+    // every artifact back
+    import graft.metrics.Prometheus
+    import graft.sources.{ArraySinks, PanelSink}
+    val prom = Prometheus.attach(spark)
+    val out = Files.createTempDirectory("graft_e2e_sink_").toFile
+    try {
+      val (nz, ny, nx) = (8, 12, 12)
+      val vox = HMRF.phantom(spark, nz, ny, nx).filter(col("intensity") > 0.05)
+      val (labels, params) = HMRF.segment(vox, k = 3, maxIters = 2, beta = 1.2)
+      // full-grid labels: background 0, classes 1..K (the reference's
+      // zeros-initialized labels array conflates background with class
+      // 0; the +1 keeps them distinct without changing class order)
+      val grid = spark.range(nz).select(col("id").cast("int").as("z"))
+        .withColumn("y", explode(sequence(lit(0), lit(ny - 1))))
+        .withColumn("x", explode(sequence(lit(0), lit(nx - 1))))
+        .join(labels.select(col("z"), col("y"), col("x"), (col("label") + 1).as("v")),
+          Seq("z", "y", "x"), "left")
+        .na.fill(0, Seq("v"))
+      val labelsNpy = new java.io.File(out, "segmentation_labels.npy").getAbsolutePath
+      val meansNpy = new java.io.File(out, "class_means.npy").getAbsolutePath
+      val nii = new java.io.File(out, "segmentation_labels.nii.gz").getAbsolutePath
+      val panel = new java.io.File(out, "qa_panel.png").getAbsolutePath
+      val prom1 = new java.io.File(out, "graft.prom").getAbsolutePath
+      ArraySinks.npyFromVoxels(grid, "v", (nz, ny, nx), labelsNpy)
+      ArraySinks.npyFromParams(
+        spark.createDataFrame(params.zipWithIndex.map { case ((m, v), i) => (i, m, v) })
+          .toDF("label", "mean", "var"), "label", "mean", meansNpy)
+      ArraySinks.niftiFromVoxels(grid, "v", (nz, ny, nx), (5.0, 1.0, 1.0), nii)
+      // QA panel: mid-slice intensity + labels tiles (save_qa_figures)
+      val mid = nz / 2
+      val midRows = HMRF.phantom(spark, nz, ny, nx).filter(col("z") === mid)
+        .join(grid.filter(col("z") === mid), Seq("z", "y", "x"), "right")
+        .select(col("y"), col("x"), coalesce(col("intensity"), lit(0.0)).as("i"), col("v"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getInt(3))).toMap
+      def tile(title: String, f: ((Double, Int)) => Int) = PanelSink.Tile(title, nx, ny,
+        Array.tabulate(ny * nx)(i => f(midRows((i / nx, i % nx)))))
+      PanelSink.writePanel(panel, Seq(
+        tile("Volume mid", p => (p._1 * 255).toInt),
+        tile("Labels mid", p => p._2 * 63),
+        tile("Mask mid", p => if (p._2 > 0) 255 else 0)))
+      Prometheus.writeTextfile(prom, prom1)
+      // every artifact parses back
+      val npyBytes = Files.readAllBytes(java.nio.file.Paths.get(labelsNpy))
+      assert(new String(npyBytes, 1, 5, "US-ASCII") === "NUMPY")
+      assert(npyBytes.length > 10 + nz * ny * nx * 4)
+      val meansBytes = Files.readAllBytes(java.nio.file.Paths.get(meansNpy))
+      assert(meansBytes.length >= 3 * 8)
+      val gz = new java.util.zip.GZIPInputStream(Files.newInputStream(java.nio.file.Paths.get(nii)))
+      val niiBytes = try gz.readAllBytes() finally gz.close()
+      assert(niiBytes.length === 352 + nz * ny * nx * 2)
+      val png = javax.imageio.ImageIO.read(new java.io.File(panel))
+      assert(png.getWidth === 2 * (nx + 12), "2-column QA grid")
+      val promText = new String(Files.readAllBytes(java.nio.file.Paths.get(prom1)))
+      assert("""graft_jobs_total\{status="succeeded"\} (\d+)""".r
+        .findFirstMatchIn(promText).get.group(1).toLong >= 1)
+    } finally Prometheus.detach(spark, prom)
+  }
 }

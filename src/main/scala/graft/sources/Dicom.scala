@@ -54,6 +54,7 @@ object Dicom {
     var zPos = Double.NaN
     var slope = 1.0
     var intercept = 0.0
+    var bitsAllocated = 16 // (0028,0100) precedes PixelData in tag order
     var transferSyntax = ExplicitVrLe // absent meta header -> native
     var raw: Array[Int] = null
     var encapsulated: Array[Byte] = null
@@ -72,6 +73,7 @@ object Dicom {
         case (0x0002, 0x0010) => transferSyntax = str // UI, NUL-padded; trim strips it
         case (0x0028, 0x0010) => rows = buf.getShort() & 0xffff
         case (0x0028, 0x0011) => cols = buf.getShort() & 0xffff
+        case (0x0028, 0x0100) => bitsAllocated = buf.getShort() & 0xffff
         case (0x0028, 0x1052) => intercept = str.toDouble
         case (0x0028, 0x1053) => slope = str.toDouble
         case (0x0020, 0x0013) => instance = str.toInt
@@ -101,7 +103,17 @@ object Dicom {
           encapsulated = frags.toByteArray
           next = buf.position()
         case (0x7fe0, 0x0010) =>
-          raw = Array.tabulate(len / 2)(i => buf.getShort(start + i * 2) & 0xffff)
+          // native samples: 16-bit LE words or single bytes (OB), per
+          // BitsAllocated — pairing bytes of an 8-bit image would halve
+          // it into garbage, the classic naive-parser bug
+          require(bitsAllocated == 8 || bitsAllocated == 16,
+            s"unsupported BitsAllocated $bitsAllocated (8 or 16)")
+          // trim to rows*cols (tags precede PixelData): 8-bit payloads
+          // of odd pixel count carry one even-padding byte
+          val n = if (rows > 0 && cols > 0) rows * cols else if (bitsAllocated == 16) len / 2 else len
+          raw =
+            if (bitsAllocated == 16) Array.tabulate(n)(i => buf.getShort(start + i * 2) & 0xffff)
+            else Array.tabulate(n)(i => bytes(start + i) & 0xff)
         case _ => ()
       }
       buf.position(next)
@@ -260,9 +272,12 @@ object Dicom {
     out.write(b.array())
   }
 
-  /** Generate one synthetic uncompressed explicit-VR-LE DICOM slice. */
+  /** Generate one synthetic uncompressed explicit-VR-LE DICOM slice
+    * (16-bit OW words or, with bits = 8, single-byte OB samples). */
   def synthesize(rows: Int, cols: Int, zPos: Double, instance: Int,
-                 slope: Double, intercept: Double, raw: Array[Int]): Array[Byte] = {
+                 slope: Double, intercept: Double, raw: Array[Int],
+                 bits: Int = 16): Array[Byte] = {
+    require(bits == 8 || bits == 16, s"bits $bits")
     val out = new ByteArrayOutputStream()
     out.write(new Array[Byte](128))
     out.write("DICM".getBytes("US-ASCII"))
@@ -270,12 +285,17 @@ object Dicom {
     elemStr(out, 0x0020, 0x0032, "DS", s"0\\0\\$zPos")
     elemShort(out, 0x0028, 0x0010, "US", rows)
     elemShort(out, 0x0028, 0x0011, "US", cols)
-    elemShort(out, 0x0028, 0x0100, "US", 16)
+    elemShort(out, 0x0028, 0x0100, "US", bits)
     elemStr(out, 0x0028, 0x1052, "DS", intercept.toString)
     elemStr(out, 0x0028, 0x1053, "DS", slope.toString)
-    val px = ByteBuffer.allocate(raw.length * 2).order(ByteOrder.LITTLE_ENDIAN)
-    raw.foreach(v => px.putShort(v.toShort))
-    writeElem(out, 0x7fe0, 0x0010, "OW", px.array())
+    if (bits == 16) {
+      val px = ByteBuffer.allocate(raw.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      raw.foreach(v => px.putShort(v.toShort))
+      writeElem(out, 0x7fe0, 0x0010, "OW", px.array())
+    } else {
+      val padded = if (raw.length % 2 == 1) raw :+ 0 else raw
+      writeElem(out, 0x7fe0, 0x0010, "OB", padded.map(_.toByte))
+    }
     out.toByteArray
   }
 

@@ -38,6 +38,14 @@ class DicomSpec extends AnyFunSuite {
     assert(s.pixels.toSeq === expected.toSeq)
   }
 
+  test("8-bit native PixelData decodes per BitsAllocated, including odd-count padding") {
+    val raw = Array.tabulate(5 * 5)(i => (i * 9) % 256) // odd count -> pad byte
+    val s = Dicom.parse(Dicom.synthesize(5, 5, zPos = 0.0, instance = 1,
+      slope = 1.0, intercept = 0.0, raw = raw, bits = 8))
+    assert(s.pixels.length === 25)
+    assert(s.pixels.toSeq === raw.map(_.toDouble).toSeq)
+  }
+
   test("RLE Lossless encapsulated PixelData round-trips bit-exact") {
     val (rows, cols) = (16, 24)
     // flat runs (replicate codes), a gradient (literal blocks), and

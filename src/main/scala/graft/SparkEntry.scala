@@ -141,6 +141,12 @@ object SparkEntry {
     // (dir, m, ksub) so repeated runs (bench reps, a serving loop)
     // measure encode + ADC scoring, not m k-means re-fits.
     "emb_pq_topk" -> ((s, d) => Similarity.pqTopK(s, d)),
+    // rows-only by nature (k-means coarse lists + residual codes, both
+    // non-SQL-expressible); SimilaritySpec bounds recall vs brute
+    // force. Training artifacts memoized per dir like emb_pq_topk, so
+    // the measured path is assignment + encode + ADC — IVFADC's
+    // serving steady state.
+    "emb_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(s, d)),
     // rows-only by nature: bucketed near-dup is approximate (bucket
     // collisions gate candidate pairs); SimilaritySpec asserts the
     // planted duplicates are found.

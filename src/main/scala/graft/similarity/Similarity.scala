@@ -352,6 +352,133 @@ object Similarity {
     pqTopKWith(corpus(spark, dir), books, nQueries, k)
   }
 
+  // ---------- IVFADC: IVF list pruning × PQ residual codes ----------
+
+  private def booksLit(books: Seq[Array[Array[Double]]], j: Int): Column =
+    array(books(j).map(c => array(c.map(lit): _*)): _*)
+
+  private def l2sqCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+  /** Relational coarse assignment: argmin-L2 list over broadcast
+    * centroid literals (first-min tie-break — deterministic). The same
+    * expression serves training (residual computation) and query-time
+    * encode, so no model object outlives training. */
+  private def assignLists(df: DataFrame, cent: Array[Array[Double]]): DataFrame = {
+    val centLit = array(cent.map(c => array(c.map(lit): _*)): _*)
+    val dists = transform(centLit, c => l2sqCol(col("vec"), c))
+    df.withColumn("list_id", (array_position(dists, array_min(dists)) - 1).cast("int"))
+  }
+
+  /** IVFADC training (Jégou et al., "Product Quantization for Nearest
+    * Neighbor Search"): nlist coarse centroids from a bounded hash-rank
+    * sample, then m PQ codebooks fit on RESIDUALS x − c_list(x) — the
+    * residual energy is what the codes must capture once the list
+    * centroid absorbs the coarse structure. */
+  def ivfpqTrain(all: DataFrame, nlist: Int = 16, m: Int = 16,
+                 ksub: Int = 16): (Array[Array[Double]], Seq[Array[Array[Double]]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = all.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(2000)
+      .select(array_to_vector(col("vec")).as("features")).cache()
+    val cent =
+      try new KMeans().setK(nlist).setSeed(0L).setFeaturesCol("features")
+        .fit(train).clusterCenters.map(_.toArray)
+      finally train.unpersist()
+    val resid = assignLists(all, cent)
+      .withColumn("rvec", zip_with(col("vec"),
+        element_at(array(cent.map(c => array(c.map(lit): _*)): _*), col("list_id") + 1),
+        (x, c) => x - c))
+    (cent, pqCodebooks(resid.select(col("vec_id"), col("rvec").as("vec")), m, ksub))
+  }
+
+  /** IVFADC query path — the standard serving shape at corpus scales
+    * where neither a full code scan (plain PQ) nor full-width vectors
+    * (IVF-Flat) fit the budget: each vector stores as (list_id, m
+    * residual codes); dot(q, x) ≈ dot(q, c_list) + Σ_j lut_j[code_j],
+    * where the LUTs are over RESIDUAL centroids — one LUT set per query
+    * serves every probed list, and the list-dependent term is the
+    * scalar q·c the probe ranking computes anyway. Scoring touches
+    * ~nProbe/nlist of the code table and never reads a float vector.
+    * Exact norms normalize, keeping the metric cosine-shaped
+    * (pqTopKOn's bookkeeping). Approximate by nature → rows-only;
+    * SimilaritySpec bounds recall vs brute force. */
+  def ivfpqTopKWith(all: DataFrame, cent: Array[Array[Double]],
+                    books: Seq[Array[Array[Double]]], nQueries: Int = 5, k: Int = 3,
+                    nProbe: Int = 8): DataFrame = {
+    val spark = all.sparkSession
+    VectorExpressions.register(spark)
+    val m = books.size
+    val dim = all.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val centLit = array(cent.map(c => array(c.map(lit): _*)): _*)
+    // encode: residual codes per subspace; float vectors drop at the
+    // checkpointed terminal code table, as in pqTopKWith
+    val coded = (0 until m).foldLeft(
+        assignLists(all, cent).withColumn("rvec",
+          zip_with(col("vec"), element_at(centLit, col("list_id") + 1), (x, c) => x - c))) {
+      (df, j) =>
+        val dists = transform(booksLit(books, j), c => l2sqCol(slice(col("rvec"), j * sub + 1, sub), c))
+        df.withColumn(s"code$j", (array_position(dists, array_min(dists)) - 1).cast("int"))
+    }.select(col("vec_id").as("cand_id"), col("list_id"), col("norm").as("cn"),
+      array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
+      .localCheckpoint()
+    // per-query residual-centroid LUTs + top-nProbe lists with their q·c
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val luts = (0 until m).foldLeft(q) { (df, j) =>
+      df.withColumn(s"lut$j",
+        transform(booksLit(books, j), c => ndot(slice(col("qv"), j * sub + 1, sub), c)))
+    }.select(col("query_id"), col("qn"), col("qv"),
+      array((0 until m).map(j => col(s"lut$j")): _*).as("lut"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("dist"), col("list_id"))
+    val probed = luts
+      .withColumn("cl", explode(transform(centLit, (c, i) =>
+        struct(i.cast("int").as("list_id"), l2sqCol(col("qv"), c).as("dist"),
+          ndot(col("qv"), c).as("qdotc")))))
+      .select(col("query_id"), col("qn"), col("lut"),
+        col("cl.list_id"), col("cl.dist"), col("cl.qdotc"))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select("query_id", "qn", "lut", "list_id", "qdotc")
+    // candidates from probed lists only; the probed relation is
+    // nQueries × nProbe rows — broadcast it so the code table never
+    // shuffles
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    coded.join(broadcast(probed), Seq("list_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("dot_adc",
+        col("qdotc") + aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, j) => acc + element_at(element_at(col("lut"), j + 1), col("codes")(j) + 1)))
+      .withColumn("cos", col("dot_adc") / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfpqTopKOn(all: DataFrame, nQueries: Int = 5, k: Int = 3, nlist: Int = 16,
+                  nProbe: Int = 8, m: Int = 16, ksub: Int = 16): DataFrame = {
+    val (cent, books) = ivfpqTrain(all, nlist, m, ksub)
+    ivfpqTopKWith(all, cent, books, nQueries, k, nProbe)
+  }
+
+  /** Training artifacts memoized per (dir, nlist, m, ksub) under the
+    * same immutable-dir assumption and size bound as pqBookCache, so
+    * the driver-surface query measures assignment + encode + ADC — the
+    * serving-path steady state. */
+  private val ivfpqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int, Int, Int), (Array[Array[Double]], Seq[Array[Array[Double]]])]
+
+  def ivfpqTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
+                nlist: Int = 16, nProbe: Int = 8, m: Int = 16, ksub: Int = 16): DataFrame = {
+    if (ivfpqCache.size >= PqCacheMax) ivfpqCache.clear()
+    val (cent, books) = ivfpqCache.getOrElseUpdate((dir, nlist, m, ksub),
+      ivfpqTrain(corpus(spark, dir), nlist, m, ksub))
+    ivfpqTopKWith(corpus(spark, dir), cent, books, nQueries, k, nProbe)
+  }
+
   /** Per-label embedding stats: mean L2 norm and count — oracle-checkable
     * sanity surface for the vector math. */
   def normStats(spark: SparkSession, dir: String): DataFrame =

@@ -45,7 +45,7 @@ class PlanContractSpec extends AnyFunSuite {
       "q10_returned_revenue", "j_semi_join", "j_outer_join", "j1_frequent_pairs",
       "s5_update_rewrite", "s6_anti_join", "w_running_spend", "set_ops",
       "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
-      "emb_near_dup", "st2_events_per_hour", "f9_json_props")
+      "emb_near_dup", "emb_ivfpq_topk", "st2_events_per_hour", "f9_json_props")
     names.foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product")
@@ -74,6 +74,20 @@ class PlanContractSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("INSET") && !p.contains(" IN ("),
       "per-image gating must be relational (anti-join), not literal lists")
+  }
+
+  test("multi-block simhash banding stays an equality join at every block count") {
+    // the r7 resolution fix must not change plan shape: wider composite
+    // band keys (blocks=5/6) still join by hash/merge on
+    // (band_idx, band_key), never by nested loop or cartesian
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x y z")).toDF("doc_id", "text")
+    for (m <- Seq(4, 6)) {
+      val p = dedup.Dedup.simhashPairs(docs, blocks = m)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"blocks=$m band join degenerated")
+    }
   }
 
   test("PQ ADC scoring broadcasts the per-query lookup tables") {

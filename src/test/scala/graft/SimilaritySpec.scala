@@ -108,6 +108,34 @@ class SimilaritySpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("IVFADC top-k: recall bounded below; planted duplicate survives list pruning") {
+    val all = Similarity.corpus(spark, sf0001).cache()
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopKOn(all, nQueries = 5, k = 3))
+    val pruned = pairs(Similarity.ivfpqTopKOn(all, nQueries = 5, k = 3))
+    val recall = (exact intersect pruned).size.toDouble / exact.size
+    // residual codes capture more energy than raw-vector PQ codes, so
+    // the bound sits at the plain-PQ floor; deterministic (seed-0
+    // coarse + seed-j codebooks) for this corpus. NOTE recall@k is NOT
+    // monotone in nProbe under approximate scores: widening the probe
+    // admits interlopers whose ADC score beats a true neighbor's, so
+    // no full-vs-pruned ordering is asserted — that first-draft
+    // assertion failed against a genuine IVFADC property.
+    assert(recall >= 0.25, s"IVFADC recall $recall (exact=$exact ivfpq=$pruned)")
+    // planted exact duplicate of query 0: identical vector -> identical
+    // coarse assignment (first-min tie-break) and identical residual
+    // codes, so it must rank 1 THROUGH the pruned path — the guarantee
+    // pruning cannot break
+    val dup = all.filter(col("vec_id") === 0)
+      .select(lit(100000L).as("vec_id"), col("vec"), col("label"), col("norm"))
+    val top = Similarity.ivfpqTopKOn(all.unionByName(dup), nQueries = 1, k = 1).collect()(0)
+    assert(top.getAs[Long]("cand_id") === 100000L,
+      s"planted duplicate not top-1: $top")
+    all.unpersist()
+  }
+
   test("near-dup pairs find exactly the planted duplicate pair") {
     // 8-dim: two near-identical vectors (cos > 0.999) among orthogonal-ish noise.
     val base = Seq(1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.0)

@@ -220,6 +220,47 @@ object Dedup {
       .select("doc_id", "simhash")
   }
 
+  /** Band structs (band_idx, band_key) for a simhash column under the
+    * multi-block scheme (see simhashPairs): one struct per
+    * (blocks−3)-subset of signature blocks, key = the subset's block
+    * values concatenated (≤45 bits — fits a long). Shared by the batch
+    * band join and the streaming band-state path, so batch and stream
+    * bucket identically by construction. Arithmetic >> equals logical
+    * here: a 60-bit signature is always non-negative. */
+  def simhashBandKeys(sigCol: Column, blocks: Int = 4): Column = {
+    require(simhashBits % blocks == 0 && blocks >= 4,
+      s"block count $blocks must be >= 4 and divide $simhashBits")
+    val blockBits = simhashBits / blocks
+    array((0 until blocks).combinations(blocks - 3).toSeq.zipWithIndex.map { case (sub, i) =>
+      val key = sub.foldLeft(lit(0L).cast("long")) { (acc, blk) =>
+        shiftleft(acc, blockBits)
+          .bitwiseOR(shiftright(sigCol, blk * blockBits).bitwiseAND(lit((1L << blockBits) - 1)))
+      }
+      struct(lit(i).as("band_idx"), key.as("band_key"))
+    }: _*)
+  }
+
+  /** Per-row 60-bit SimHash, bit-identical to the batch `simhash`
+    * aggregate by construction (same token split, same md5 slice, same
+    * ±1 majority vote — the explode+groupBy sum and the array-aggregate
+    * sum add the same terms): the streaming path needs the signature as
+    * a pure row function so no aggregation precedes the band-state
+    * lookup. Two-step (bit sums, then sign reassembly) so the O(tokens)
+    * aggregate is written once, not 60 times. */
+  def rowSimhashBitSums(textCol: Column): Column = {
+    val hashes = transform(split(textCol, " "), t =>
+      conv(substring(md5(t), 1, 15), 16, 10).cast("long"))
+    aggregate(hashes, array((0 until simhashBits).map(_ => lit(0)): _*), (acc, h) =>
+      array((0 until simhashBits).map(b =>
+        element_at(acc, b + 1) +
+          when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)): _*))
+  }
+
+  def rowSimhashFrom(sumsCol: Column): Column =
+    (0 until simhashBits).map(b =>
+      when(element_at(sumsCol, b + 1) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+
   /** SimHash near-dup candidates via the multi-block banding of Manku
     * et al. (WWW'07, "Detecting Near-Duplicates for Web Crawling"):
     * split the 60-bit signature into `blocks` equal blocks and key one
@@ -247,19 +288,9 @@ object Dedup {
       val n = docs.count() // column-pruned metadata-cheap scan, as in cosineNearDupPairsOn
       if (n <= (1L << 15) * 32) 4 else if (n <= (1L << 24) * 32) 5 else 6
     }
-    require(simhashBits % m == 0 && m >= 4, s"block count $m must be >= 4 and divide $simhashBits")
-    val blockBits = simhashBits / m
-    val subsets = (0 until m).combinations(m - 3).toSeq
     val sigs = simhash(docs)
-    val bandStructs = subsets.zipWithIndex.map { case (sub, i) =>
-      val key = sub.foldLeft(lit(0L).cast("long")) { (acc, blk) =>
-        shiftleft(acc, blockBits)
-          .bitwiseOR(expr(s"(simhash >> ${blk * blockBits}) & ${(1L << blockBits) - 1}"))
-      }
-      struct(lit(i).as("band_idx"), key.as("band_key"))
-    }
     val banded = sigs.select(col("doc_id"), col("simhash"),
-        explode(array(bandStructs: _*)).as("bk"))
+        explode(simhashBandKeys(col("simhash"), m)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band_idx"), col("bk.band_key"))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
       col("band_idx"), col("band_key"))

@@ -89,4 +89,68 @@ object StreamNearDup {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
       .toDF()
   }
+
+  // ---- SimHash twin (batch Dedup.simhashPairs) ----
+
+  /** SimHash band state carries each member's full 60-bit signature so
+    * the exact popcount filter runs inside the state function — unlike
+    * MinHash, where the pair itself is the output, a SimHash candidate
+    * must clear Hamming ≤ maxHamming before it surfaces. */
+  case class SimBandArrival(bandIdx: Int, bandKey: Long, docId: Long, sig: Long,
+                            ts: java.sql.Timestamp)
+  case class SimMember(docId: Long, sig: Long, tsMs: Long)
+  case class SimBandState(docs: List[SimMember])
+  case class SimPair(doc_a: Long, doc_b: Long, hamming: Int, band_idx: Int)
+
+  /** Streaming twin of batch `Dedup.simhashPairs`: per-row signatures
+    * (Dedup.rowSimhash* — bit-identical to the batch aggregate by
+    * construction) banded with the SAME multi-block keys
+    * (Dedup.simhashBandKeys), band-key state with event-time TTL. Emits
+    * one row per shared band that clears the Hamming filter; distinct
+    * (doc_a, doc_b) downstream reproduces the batch pair set — the
+    * batch path's `.distinct()` across bands cannot run inside
+    * per-band state, so the dedup is the consumer's (documented, same
+    * horizon caveat as minhashPairsStream). */
+  def simhashPairsStream(docs: DataFrame, watermarkDelay: String = "1 hour",
+                         stateTtlMs: Long = 3600000L, maxHamming: Int = 8,
+                         blocks: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val arrivals: Dataset[SimBandArrival] = docs
+      .withColumn("bitsums", Dedup.rowSimhashBitSums(col("text")))
+      .withColumn("sig", Dedup.rowSimhashFrom(col("bitsums")))
+      .withColumn("bk", explode(Dedup.simhashBandKeys(col("sig"), blocks)))
+      .withWatermark("ts", watermarkDelay)
+      .select(col("bk.band_idx").as("bandIdx"), col("bk.band_key").as("bandKey"),
+        col("doc_id").as("docId"), col("sig"), col("ts"))
+      .as[SimBandArrival]
+
+    def update(key: (Int, Long), it: Iterator[SimBandArrival],
+               state: GroupState[SimBandState]): Iterator[SimPair] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var members = state.getOption.map(_.docs).getOrElse(Nil)
+        val sorted = it.toArray.sortBy(a => (a.ts.getTime, a.docId))
+        val out = Seq.newBuilder[SimPair]
+        sorted.foreach { a =>
+          if (!members.exists(_.docId == a.docId)) {
+            members.foreach { m =>
+              val h = java.lang.Long.bitCount(m.sig ^ a.sig)
+              if (h <= maxHamming) out += SimPair(
+                math.min(m.docId, a.docId), math.max(m.docId, a.docId), h, key._1)
+            }
+            members = SimMember(a.docId, a.sig, a.ts.getTime) :: members
+          }
+        }
+        state.update(SimBandState(members))
+        state.setTimeoutTimestamp(members.map(_.tsMs).max + stateTtlMs)
+        out.result().iterator
+      }
+    }
+
+    arrivals
+      .groupByKey(a => (a.bandIdx, a.bandKey))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+      .toDF()
+  }
 }

@@ -57,6 +57,45 @@ class StreamNearDupSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("row-level simhash is bit-identical to the batch aggregate") {
+    val docs = docsData.map(d => (d._1, d._3)).toDF("doc_id", "text")
+    val batch = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val row = docs
+      .withColumn("bitsums", Dedup.rowSimhashBitSums(col("text")))
+      .withColumn("sig", Dedup.rowSimhashFrom(col("bitsums")))
+      .select("doc_id", "sig").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(row === batch)
+  }
+
+  test("stream simhash pairs match batch simhashPairs, across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamNearDup.simhashPairsStream(
+      stream.toDF().toDF("doc_id", "ts", "text"),
+      watermarkDelay = "30 minutes", stateTtlMs = 30 * 60 * 1000L)
+    val query = out.writeStream.format("memory").queryName("simdup_out")
+      .outputMode("append").start()
+    try {
+      val (first, second) = docsData.splitAt(3)
+      stream.addData(first)
+      query.processAllAvailable()
+      stream.addData(second)
+      query.processAllAvailable()
+      // distinct over bands is the consumer's step (documented)
+      val streamed = spark.table("simdup_out")
+        .select("doc_a", "doc_b", "hamming").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      val batch = Dedup.simhashPairs(
+          docsData.map(d => (d._1, d._3)).toDF("doc_id", "text"), blocks = 4)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+      assert(batch.contains((10L, 11L)), "sanity: exact dup must pair at hamming 0")
+      assert(streamed === batch, s"stream pairs $streamed != batch pairs $batch")
+    } finally query.stop()
+  }
+
   test("state TTL: members beyond the horizon stop pairing") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Timestamp, String)]

@@ -374,7 +374,15 @@ object Similarity {
     * Neighbor Search"): nlist coarse centroids from a bounded hash-rank
     * sample, then m PQ codebooks fit on RESIDUALS x − c_list(x) — the
     * residual energy is what the codes must capture once the list
-    * centroid absorbs the coarse structure. */
+    * centroid absorbs the coarse structure.
+    *
+    * nlist is the corpus-scale dial (the fixed-resolution caveat of
+    * PLANS.md applies): with nlist fixed, per-list occupancy — and so
+    * per-query scoring cost — grows linearly with the corpus. The
+    * standard setting is nlist ≈ 4√n (with the training sample grown
+    * to ≳ 32·nlist rows); it is an explicit parameter here rather than
+    * an auto default because re-listing is a training-time layout
+    * decision a serving pipeline schedules deliberately, not per query. */
   def ivfpqTrain(all: DataFrame, nlist: Int = 16, m: Int = 16,
                  ksub: Int = 16): (Array[Array[Double]], Seq[Array[Array[Double]]]) = {
     import org.apache.spark.ml.clustering.KMeans

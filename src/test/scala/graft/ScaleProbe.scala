@@ -67,7 +67,8 @@ object ScaleProbe {
     }
 
     val probeQueries = Seq("dedup_minhash_pairs", "dedup_clusters",
-      "emb_lsh_topk", "emb_near_dup", "dedup_simhash_pairs", "txt_pack_sequences")
+      "emb_lsh_topk", "emb_near_dup", "dedup_simhash_pairs", "txt_pack_sequences",
+      "emb_ivfpq_topk")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

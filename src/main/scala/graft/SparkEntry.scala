@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BlockMatch, Canny, Components, Ellipse, Events, HMRF, Hough, Motion, Relational, Vision}
+import graft.operators.{BlockMatch, Canny, Components, Ellipse, Events, HMRF, Hough, Motion, Relational, Temporal, Vision}
 import graft.sources.{Avi, ImageSource}
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
@@ -31,11 +31,21 @@ object SparkEntry {
     "s3_filtered_scan" -> ((s, d) => Relational.filteredScan(s, d)),
     "s5_update_rewrite" -> ((s, d) => Relational.updateRewrite(s, d)),
     "s6_anti_join" -> ((s, d) => Relational.antiJoinNoOrders(s, d)),
+    // deterministic md5 sampling (north star: repeatable curation
+    // samples — bit-identical across engines, runs, and cluster sizes)
+    "sample_hash" -> ((s, d) => Relational.hashSample(s, d)),
+    "sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     // --- joins (§2.3) ---
     "j_semi_join" -> ((s, d) => Relational.semiJoinOpenOrders(s, d)),
     "j_outer_join" -> ((s, d) => Relational.outerJoinNationCustomers(s, d)),
     "j1_frequent_pairs" -> ((s, d) => Events.frequentPairs(s, d)),
     "fp_growth_pairs" -> ((s, d) => Events.frequentPairsFP(s, d)),
+    // as-of join via the single-sort tagged-union pattern (no join
+    // operator in the plan at all — see Temporal scaladoc)
+    "j_asof_prior_view" -> ((s, d) => Temporal.asofQuery(s, d)),
+    // interval join bucketed to window-width epochs: candidates come
+    // from an equality join on (user, bucket), never a range cross
+    "j_range_window_count" -> ((s, d) => Temporal.windowedCountQuery(s, d)),
     // --- aggregations (§2.4) ---
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
@@ -46,11 +56,19 @@ object SparkEntry {
     "a7_value_stats" -> ((s, d) => Events.valueStats(s, d)),
     "a8_percentiles" -> ((s, d) => Relational.quantityPercentiles(s, d)),
     "a15_rate_limit" -> ((s, d) => Events.rateLimitAdmitDeny(s, d)),
+    // rows-only by nature: HLL++ sketch counts are approximate (no
+    // exact SQL oracle can exist); EventsSpec bounds the relative
+    // error against the oracled exact a4 counts at < 5%.
+    "a4_approx_distinct" -> ((s, d) => Events.approxDistinctUsersPerType(s, d)),
     "rollup_acctbal" -> ((s, d) => Relational.rollupAcctbal(s, d)),
+    "cube_order_status" -> ((s, d) => Relational.cubeOrderStatus(s, d)),
     // --- windows (§2.5) ---
     "w_argmax_order" -> ((s, d) => Relational.argmaxLargestOrder(s, d)),
     "w_lag_delta" -> ((s, d) => Relational.lagOrderDelta(s, d)),
     "w_running_spend" -> ((s, d) => Relational.runningCustomerSpend(s, d)),
+    // gap sessionization via the built-in session_window (batch leg;
+    // streaming parity in StreamSessionsSpec)
+    "w_sessionize" -> ((s, d) => Temporal.sessionizeQuery(s, d)),
     // --- set ops (§2.7) ---
     "set_ops" -> ((s, d) => Relational.setOps(s, d)),
     // --- scalar functions (§2.8) ---
@@ -212,6 +230,72 @@ object SparkEntry {
         |FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_type < b.event_type
         |GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY support DESC, type_a, type_b""".stripMargin,
+    // As-of replay: running max over the tagged prior-side timestamp
+    // works because ts is also the sort key (the max prior ts IS the
+    // most recent). epoch_us keeps the compare integer-exact.
+    "j_asof_prior_view" ->
+      """WITH pv AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type = 'view' THEN ts END AS prior_tag
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    max(prior_tag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts
+        |  FROM pv)
+        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, epoch_us(asof_ts) AS asof_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // The interval join's ground truth is the naive range predicate;
+    // the Spark side must reproduce it exactly through its bucketed
+    // candidate generation (a dropped boundary candidate hash-fails).
+    "j_range_window_count" ->
+      """SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+        |  CAST(count(c.user_id) AS BIGINT) AS n_in_window
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = e.user_id
+        |  AND epoch_us(c.ts) <= epoch_us(e.ts)
+        |  AND epoch_us(c.ts) > epoch_us(e.ts) - 86400000000
+        |GROUP BY 1, 2, 3 ORDER BY e.event_id""".stripMargin,
+    // Gap sessionization replay: lag + cumulative session counter. A
+    // gap STRICTLY > 6h opens a new session — session_window's merge
+    // boundary is inclusive (an event at exactly prev_ts + gap still
+    // merges; TemporalSpec pins this).
+    "w_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin,
+    "sample_hash" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+        |FROM orders
+        |WHERE substr(md5('smp:' || CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY o_orderkey""".stripMargin,
+    "sample_stratified" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_sampled,
+        |  round(sum(o_totalprice), 2) AS sampled_price
+        |FROM orders
+        |WHERE substr(md5('str:' || CAST(o_orderkey AS VARCHAR)), 1, 2) <
+        |  CASE WHEN o_orderpriority = '1-URGENT' THEN '80' ELSE '1a' END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cube_order_status" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
     "a7_value_stats" ->
       """SELECT event_type, round(avg(value), 4) AS avg_value,
         |  round(stddev_pop(value), 4) AS std_pop,

@@ -103,7 +103,7 @@ object Events {
   def approxDistinctUsersPerType(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
       .orderBy("event_type")
 
   /** F9 — JSON payload field extraction (services.py:20

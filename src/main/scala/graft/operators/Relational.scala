@@ -291,6 +291,47 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Cube — full cross-dimension grouping-set totals over order
+    * status × priority (the CUBE companion to `rollupAcctbal`'s
+    * hierarchy; both plan as a single Expand + hash agg, so the 100 TB
+    * cost is one shuffle regardless of dimension count). */
+  def cubeOrderStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy("status", "priority")
+
+  /** Deterministic hash sampling (north star: dataset curation needs
+    * repeatable samples — `TABLESAMPLE`/`rand()` change across runs and
+    * engines). Keep a row iff the first hex byte of md5(salt || key)
+    * clears the rate threshold: seed-stable, engine-portable (md5 is
+    * bit-identical everywhere), and trivially pushed down as a scan
+    * filter. threshold "1a" keeps 26/256 ≈ 10.2%. */
+  def hashSample(spark: SparkSession, dir: String, threshold: String = "1a"): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(substring(md5(concat(lit("smp:"), col("o_orderkey").cast("string"))), 1, 2) < threshold)
+      .select(
+        col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy("o_orderkey")
+
+  /** Stratified variant: per-stratum rates via a CASE threshold on the
+    * same hash — here urgent orders kept at ~50% ("80"/256), the rest
+    * at ~10% ("1a"/256); output is the per-stratum sample census. One
+    * scan, no shuffle beyond the final tiny aggregation. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .filter(
+        substring(md5(concat(lit("str:"), col("o_orderkey").cast("string"))), 1, 2) <
+          when(col("o_orderpriority") === "1-URGENT", "80").otherwise("1a"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_sampled"), round(sum("o_totalprice"), 2).as("sampled_price"))
+      .orderBy("o_orderpriority")
+
   /** S5 — update-rewrite: read → conditional column rewrite → (would be
     * an overwrite sink; here the projected view). routers.py:124-136. */
   def updateRewrite(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Temporal operators over the event stream (north star: the time-axis
+  * joins a training-data/log pipeline needs that plain equality joins
+  * can't express) — gap sessionization, as-of ("most recent prior")
+  * join, and sliding-window interval-join counting.
+  *
+  * The reference's REST analytics stop at fixed-bucket time grouping
+  * (`Rest_webservice/app/services.py:26-33` groups by hour); these
+  * generalize that to event-relative windows.
+  *
+  * Scale notes (100 TB):
+  * - Sessionize is ONE shuffle on user_id; per-key state is a single
+  *   open session regardless of history length (Spark's session_window
+  *   merges sorted runs per key — no self-join, no window-over-
+  *   everything).
+  * - The as-of join is the single-sort formulation: union both sides,
+  *   one shuffle+sort per user, then a running `max` over the tagged
+  *   timestamp. No join at all — at 1000 executors this is strictly
+  *   cheaper than the bucketed-join as-of and never skews worse than
+  *   the key distribution itself.
+  * - The interval join buckets time into window-width epochs and
+  *   equality-joins on (key, bucket) with the probe side exploded to
+  *   its two covering buckets — candidates are O(events per window),
+  *   never the O(n^2) cross product a naive `BETWEEN` join plans as.
+  *   The exact range predicate then filters inside the joined bucket.
+  */
+object Temporal {
+
+  /** Gap-based sessionization via the built-in `session_window`
+    * (Spark-first: identical semantics batch and streaming — see
+    * `streaming/StreamSessions`). A session closes when the next event
+    * for the user arrives >= gap after the previous one. Timestamps
+    * are exported as epoch micros so the oracle compare is exact. */
+  def sessionize(events: DataFrame, gap: String = "6 hours"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_start")).as("start_us"),
+        unix_micros(col("session_end")).as("end_us"),
+        col("n_events"))
+
+  def sessionizeQuery(spark: SparkSession, dir: String): DataFrame =
+    sessionize(Tables(spark, dir, "events")).orderBy("user_id", "start_us")
+
+  /** As-of join: for every event of `ofType`, the timestamp of the
+    * most recent STRICTLY PRIOR event of `priorType` by the same user
+    * (null if none). Implemented as the single-sort pattern: tag the
+    * prior-side timestamps, one window per user ordered by (ts,
+    * event_id), running max over rows up to 1 PRECEDING — the running
+    * max of prior-side ts IS the as-of match because ts is the sort
+    * key. */
+  def asofPriorEvent(events: DataFrame, ofType: String, priorType: String): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin(ofType, priorType))
+      .select(
+        col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        when(col("event_type") === priorType, col("ts")).as("prior_tag"))
+    val upToPrev = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("asof_ts", max(col("prior_tag")).over(upToPrev))
+      .filter(col("event_type") === ofType)
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        unix_micros(col("asof_ts")).as("asof_us"))
+  }
+
+  def asofQuery(spark: SparkSession, dir: String): DataFrame =
+    asofPriorEvent(Tables(spark, dir, "events"), ofType = "purchase", priorType = "view")
+      .orderBy("event_id")
+
+  /** Interval join: for every event of `ofType`, how many `countType`
+    * events by the same user fall in the half-open window
+    * (ts - windowSec, ts]. Candidate generation is an equality join on
+    * (user_id, window-width time bucket): a probe in bucket b can only
+    * match targets in buckets {b, b+1}, so the probe side is exploded
+    * to those two keys and the exact range predicate runs on the
+    * joined pairs. Integral `div` keeps bucket ids exact (no double
+    * rounding at bucket boundaries). */
+  def windowedCount(events: DataFrame, ofType: String, countType: String,
+                    windowSec: Long = 300L): DataFrame = {
+    val us = windowSec * 1000000L
+    // (c - c mod us) / us: the numerator is exactly divisible, so the
+    // double division is exact for any epoch-micros value < 2^53
+    def bucket(c: Column): Column = ((c - pmod(c, lit(us))) / lit(us)).cast("long")
+    val targets = events.filter(col("event_type") === ofType)
+      .select(
+        col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"))
+      .withColumn("bucket", bucket(col("t_us")))
+    val probes = events.filter(col("event_type") === countType)
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket", explode(array(bucket(col("p_us")), bucket(col("p_us")) + 1)))
+    val matched = targets.join(
+        probes,
+        targets("user_id") === probes("p_user") && targets("bucket") === probes("bucket") &&
+          col("p_us") <= col("t_us") && col("p_us") > col("t_us") - us)
+      .groupBy("event_id").agg(count(lit(1)).as("n_matched"))
+    targets
+      .join(matched, Seq("event_id"), "left")
+      .select(
+        col("event_id"), col("user_id"), col("t_us").as("ts_us"),
+        coalesce(col("n_matched"), lit(0L)).as("n_in_window"))
+  }
+
+  /** Driver surface: clicks in the day before each error — a 24 h
+    * window is dense enough on the synthetic stream (~37% of errors
+    * have prior clicks at sf0.01) that boundary candidates are
+    * genuinely exercised. */
+  def windowedCountQuery(spark: SparkSession, dir: String): DataFrame =
+    windowedCount(Tables(spark, dir, "events"), ofType = "error", countType = "click",
+      windowSec = 86400L)
+      .orderBy("event_id")
+}

@@ -98,4 +98,34 @@ class PlanContractSpec extends AnyFunSuite {
       "ADC join must broadcast the per-query LUTs")
     assert(!p.contains("CartesianProduct"), "ADC join degenerated to a shuffled cartesian")
   }
+
+  test("interval join generates candidates by equality keys, never a range loop") {
+    val p = plan("j_range_window_count")
+    // the (user, time-bucket) equality must carry the join; a pure
+    // range-predicate join would plan BroadcastNestedLoopJoin /
+    // CartesianProduct and go O(n^2) at scale
+    assert(!p.contains("CartesianProduct"), "interval join degenerated to a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "interval join degenerated to NL")
+  }
+
+  test("as-of join plans as one sort per key side — no join operator at all") {
+    val p = plan("j_asof_prior_view")
+    assert(!p.contains("Join"), s"as-of should be the single-sort pattern, got a join:\n$p")
+    assert(p.contains("Window"), "as-of must run as a window over the tagged union")
+  }
+
+  test("sessionize shuffles once on the session key") {
+    val p = plan("w_sessionize")
+    // one exchange for the user_id grouping (plus the final orderBy's
+    // range exchange); session merging itself must not add shuffles
+    val exchanges = "Exchange (hashpartitioning|rangepartitioning)".r
+      .findAllIn(p).size
+    assert(exchanges <= 2, s"sessionize should shuffle once + final sort, got $exchanges:\n$p")
+  }
+
+  test("hash sampling pushes the md5 filter below everything else") {
+    val p = plan("sample_hash")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "sampling must be a scan-side filter, not a shuffled operator")
+  }
 }

@@ -65,10 +65,30 @@ object ScaleProbe {
         .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
       println(s"[probe] generated $replicas x corpus at $bigDir")
     }
+    if (!new java.io.File(s"$bigDir/events.parquet").exists()) {
+      // events scale by USER replication (user_id + k·nUsers, same
+      // timestamps): per-user event density — the quantity the
+      // temporal operators' candidate counts depend on — stays
+      // constant, so linear ratios are the correct expectation.
+      // Written with raw nanos `ts` (long) exactly like the driver
+      // parquet so Tables' nanosAsLong path reads both the same way.
+      val evRaw = spark.read.parquet(s"$baseDir/events.parquet")
+      val nUsers = evRaw.agg(max("user_id")).head().getLong(0) + 1
+      val reps = spark.range(replicas).select(col("id").as("rep"))
+      evRaw.crossJoin(reps)
+        .select(
+          (col("event_id") + col("rep") * 10000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("rep") * nUsers).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$bigDir/events.parquet")
+      println(s"[probe] generated $replicas x events at $bigDir")
+    }
 
     val probeQueries = Seq("dedup_minhash_pairs", "dedup_clusters",
       "emb_lsh_topk", "emb_near_dup", "dedup_simhash_pairs", "txt_pack_sequences",
-      "emb_ivfpq_topk")
+      "emb_ivfpq_topk", "w_sessionize", "j_asof_prior_view", "j_range_window_count")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

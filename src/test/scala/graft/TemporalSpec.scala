@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Temporal
+
+/** Temporal operators: gap-session boundaries (incl. the exact-gap
+  * edge), as-of strict-priority, and the bucketed interval join's
+  * parity with the naive range predicate it optimizes. */
+class TemporalSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("sessionize merges at exactly-gap, splits strictly past it") {
+    val ev = Seq(
+      (1L, ts("2026-01-01 10:00:00")),
+      (1L, ts("2026-01-01 10:30:00")),
+      (1L, ts("2026-01-01 11:30:00")),   // exactly 1h after prev -> still MERGES
+      (1L, ts("2026-01-01 12:30:01")),   // > 1h after prev -> NEW session
+      (2L, ts("2026-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val out = Temporal.sessionize(ev, gap = "1 hour")
+      .orderBy("user_id", "start_us")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    def us(t: String) = ts(t).getTime * 1000L
+    assert(out.toSeq === Seq(
+      (1L, us("2026-01-01 10:00:00"), us("2026-01-01 11:30:00"), 3L),
+      (1L, us("2026-01-01 12:30:01"), us("2026-01-01 12:30:01"), 1L),
+      (2L, us("2026-01-01 09:00:00"), us("2026-01-01 09:00:00"), 1L)))
+  }
+
+  test("asof picks the latest strictly-prior event, null when none") {
+    val ev = Seq(
+      (10L, 1L, ts("2026-01-01 10:00:00"), "purchase"), // before any view -> null
+      (11L, 1L, ts("2026-01-01 10:10:00"), "view"),
+      (12L, 1L, ts("2026-01-01 10:20:00"), "view"),
+      (13L, 1L, ts("2026-01-01 10:30:00"), "purchase"), // -> view@10:20
+      (14L, 1L, ts("2026-01-01 10:40:00"), "click"),    // other types ignored
+      (15L, 1L, ts("2026-01-01 10:50:00"), "purchase"), // still view@10:20
+      (16L, 2L, ts("2026-01-01 10:05:00"), "purchase")) // other user -> null
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Temporal.asofPriorEvent(ev, "purchase", "view")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    val v1020 = ts("2026-01-01 10:20:00").getTime * 1000L
+    assert(got.toSeq === Seq((10L, -1L), (13L, v1020), (15L, v1020), (16L, -1L)))
+  }
+
+  test("windowed count: half-open boundary (t-5min excluded, t included)") {
+    val base = ts("2026-01-01 10:10:00").getTime
+    val ev = Seq(
+      (1L, 1L, new Timestamp(base - 300000L), "click"), // exactly 5 min before -> OUT
+      (2L, 1L, new Timestamp(base - 299999L), "click"), // just inside -> IN
+      (3L, 1L, new Timestamp(base), "click"),           // same instant -> IN
+      (4L, 1L, new Timestamp(base + 1L), "click"),      // after -> OUT
+      (5L, 2L, new Timestamp(base - 1000L), "click"),   // other user -> OUT
+      (9L, 1L, new Timestamp(base), "error"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Temporal.windowedCount(ev, "error", "click", windowSec = 300L)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got.toSeq === Seq((9L, 2L)))
+  }
+
+  test("bucketed interval join == naive range join on sf0.001") {
+    val ev = Tables(spark, sf0001, "events")
+    val bucketed = Temporal.windowedCount(ev, "error", "click")
+      .select("event_id", "n_in_window").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("c_us"))
+    val naive = err.join(clk,
+        col("user_id") === col("cu") &&
+          col("c_us") <= col("t_us") && col("c_us") > col("t_us") - 300000000L, "left")
+      .groupBy("event_id").agg(count(col("cu")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed === naive)
+    assert(bucketed.nonEmpty && bucketed.values.exists(_ > 0L),
+      "fixture should exercise at least one non-empty window")
+  }
+
+  test("sessionize on sf0.001: sessions partition the events exactly") {
+    val ev = Tables(spark, sf0001, "events")
+    val sessions = Temporal.sessionize(ev).collect()
+    assert(sessions.map(_.getLong(3)).sum === ev.count())
+    // within a user, sessions are disjoint and gap-separated
+    sessions.groupBy(_.getLong(0)).foreach { case (_, ss) =>
+      val sorted = ss.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(1) - a.getLong(2) > 6L * 3600L * 1000000L)
+        case _ =>
+      }
+    }
+  }
+}

@@ -115,6 +115,10 @@ object SparkEntry {
     "avi_mjpeg_stats" -> ((s, _) => Avi.mjpegDecodeStatsQuery(s)),
     // --- streaming-shaped batch (§2.9) ---
     "st2_events_per_hour" -> ((s, d) => Events.eventsPerHour(s, d)),
+    // sliding windows (each event in width/slide windows, expanded
+    // map-side) and calendar gap-fill (dense time spine, zero-filled)
+    "w_sliding_counts" -> ((s, d) => Temporal.slidingCountsQuery(s, d)),
+    "w_gapfill_hours" -> ((s, d) => Temporal.gapFillQuery(s, d)),
     // oracled via field extraction from the rendered docs (JSON *text*
     // is engine-specific; the parsed fields are not)
     "s16_json_shape" -> ((s, d) => Events.jsonShapeParsed(s, d)),
@@ -793,6 +797,32 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
         |  count(*) AS n, round(avg(value), 4) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Sliding-window replay: a 2h/1h window means each event belongs
+    // to exactly the two windows starting at its hour and the hour
+    // before (window starts are epoch-aligned to the slide, same as
+    // date_trunc('hour')).
+    "w_sliding_counts" ->
+      """WITH w AS (
+        |  SELECT event_type, user_id,
+        |    unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start
+        |  FROM events)
+        |SELECT epoch_us(w_start) AS window_start_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w_gapfill_hours" ->
+      """WITH bounds AS (
+        |  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |counts AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT epoch_us(s.hour) AS hour_us, t.event_type,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+        |FROM spine s CROSS JOIN types t
+        |LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+        |ORDER BY 1, 2""".stripMargin,
     // Semantic fields of the shaped JSON docs (the Spark side extracts
     // them back out of the rendered text; the oracle recomputes them
     // from the source columns — a shaping bug can't round-trip).

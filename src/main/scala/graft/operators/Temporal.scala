@@ -124,4 +124,50 @@ object Temporal {
     windowedCount(Tables(spark, dir, "events"), ofType = "error", countType = "click",
       windowSec = 86400L)
       .orderBy("event_id")
+
+  /** Sliding-window aggregation via the built-in `window(ts, width,
+    * slide)`: each event lands in width/slide windows (2 here), and
+    * the aggregation is one shuffle on (window, type) — Spark expands
+    * the windows map-side, so there is no self-join and no state. The
+    * 2h/1h overlap is the standard smoothed-rate shape (st2 is the
+    * tumbling special case). */
+  def slidingCounts(events: DataFrame, width: String = "2 hours",
+                    slide: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .select(
+        unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("n_users"))
+
+  def slidingCountsQuery(spark: SparkSession, dir: String): DataFrame =
+    slidingCounts(Tables(spark, dir, "events")).orderBy("window_start_us", "event_type")
+
+  /** Calendar gap-fill: a dense hourly spine (min..max hour ×
+    * event_type) left-joined to the sparse counts, zeros filled — the
+    * make-the-time-series-dense step every downstream
+    * resample/forecast needs. The spine is built with
+    * `sequence`/`explode` from the single aggregated bounds row and
+    * cross-joined to the distinct types: both sides are bounded by
+    * TIME RANGE and type cardinality, not by event count, so the
+    * deliberate cross join stays tiny at any corpus scale. */
+  def gapFillHourly(events: DataFrame): DataFrame = {
+    val hours = events.agg(
+        date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val types = events.select("event_type").distinct()
+    val counts = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    hours.crossJoin(types)
+      .join(counts, Seq("hour", "event_type"), "left")
+      .select(
+        unix_micros(col("hour")).as("hour_us"),
+        col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  def gapFillQuery(spark: SparkSession, dir: String): DataFrame =
+    gapFillHourly(Tables(spark, dir, "events")).orderBy("hour_us", "event_type")
 }

@@ -85,6 +85,31 @@ class TemporalSpec extends AnyFunSuite {
       "fixture should exercise at least one non-empty window")
   }
 
+  test("sliding 2h/1h windows: every event lands in exactly two windows") {
+    val ev = Tables(spark, sf0001, "events")
+    val windows = Temporal.slidingCounts(ev)
+    assert(windows.agg(sum("n_events")).head().getLong(0) === 2L * ev.count())
+    // window starts are hour-aligned
+    windows.select("window_start_us").collect().foreach { r =>
+      assert(r.getLong(0) % (3600L * 1000000L) === 0L)
+    }
+  }
+
+  test("gap-fill: dense hourly spine, zero-filled, totals preserved") {
+    val ev = Tables(spark, sf0001, "events")
+    val filled = Temporal.gapFillHourly(ev).collect()
+    val hours = filled.map(_.getLong(0)).distinct.sorted
+    // spine is contiguous at 1h steps
+    hours.sliding(2).foreach {
+      case Array(a, b) => assert(b - a === 3600L * 1000000L)
+      case _ =>
+    }
+    val types = ev.select("event_type").distinct().count()
+    assert(filled.length === hours.length * types, "grid must be dense")
+    assert(filled.map(_.getLong(2)).sum === ev.count(), "counts preserved")
+    assert(filled.exists(_.getLong(2) == 0L), "zero-filled rows must exist")
+  }
+
   test("sessionize on sf0.001: sessions partition the events exactly") {
     val ev = Tables(spark, sf0001, "events")
     val sessions = Temporal.sessionize(ev).collect()

@@ -129,6 +129,10 @@ object SparkEntry {
     // prefix sum (range partitions + broadcast base offsets)
     "txt_pack_sequences" -> ((s, d) => TextAnalysis.packSequencesQuery(s, d)),
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
+    // vocab build (top-V, deterministic tie-break) + per-doc OOV rate
+    "txt_vocab_oov" -> ((s, d) => TextAnalysis.vocabOovQuery(s, d)),
+    // tf × ln(N/df) keyword extraction, top-3 per doc
+    "txt_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTopQuery(s, d)),
     "txt_lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "txt_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).select("doc_id", "md5_fp")),
     // rows-only by nature: language ID is a scored n-gram heuristic with
@@ -886,6 +890,39 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // top-200 vocab boundary ties broken by (count DESC, token ASC) in
+    // both engines, so the vocab set — and therefore every OOV count —
+    // is deterministic
+    "txt_vocab_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, count(*) AS c FROM tok GROUP BY 1
+        |    ORDER BY c DESC, token LIMIT 200)),
+        |j AS (
+        |  SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t LEFT JOIN vocab v USING (token))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_tfidf_top" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token,
+        |    tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS score
+        |  FROM tf JOIN df USING (token) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, token, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rn
+        |  FROM scored)
+        |SELECT doc_id, token, round(score, 4) AS tfidf
+        |FROM ranked WHERE rn <= 3 ORDER BY doc_id, token""".stripMargin,
     "txt_fingerprints" ->
       "SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id",
     "dedup_exact" ->

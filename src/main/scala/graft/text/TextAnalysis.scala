@@ -188,6 +188,58 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Vocabulary build + OOV accounting: corpus token counts → top-V
+    * vocabulary (count DESC, token ASC — the tie-break makes the
+    * boundary deterministic) → per-document out-of-vocabulary rate.
+    * The pipeline every tokenizer-training run executes before
+    * committing a vocab.
+    *
+    * Scale: token counts shuffle once on token; the vocab is a top-V
+    * limit (TakeOrdered, no global sort materialization) small enough
+    * to broadcast, so the per-document membership pass is map-side. */
+  def vocabOov(docs: DataFrame, vocabSize: Int = 200): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(vocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov") / col("n_tokens"), 4).as("oov_rate"))
+  }
+
+  def vocabOovQuery(spark: SparkSession, dir: String): DataFrame =
+    vocabOov(Tables(spark, dir, "documents")).orderBy("doc_id")
+
+  /** TF-IDF top-k terms per document (raw tf × ln(N/df)): the
+    * keyword-extraction/near-dup-feature step. Two aggregations (tf
+    * by (doc, token), df by token), a token-keyed join, and a per-doc
+    * top-k window — ln on identical double inputs is engine-portable
+    * (both sides are ≤1-ulp libm logs of small-integer ratios; the
+    * 4-decimal round absorbs the ulp). */
+  def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val byScore = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(byScore))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("token"), round(col("score"), 4).as("tfidf"))
+  }
+
+  def tfidfTopQuery(spark: SparkSession, dir: String): DataFrame =
+    tfidfTop(Tables(spark, dir, "documents")).orderBy("doc_id", "token")
+
   def packSequencesQuery(spark: SparkSession, dir: String, maxLen: Int = 512): DataFrame =
     packSequences(Tables(spark, dir, "documents"), maxLen)
 }

@@ -67,6 +67,27 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("vocab OOV: rates in [0,1], oov <= tokens, and a full-size vocab zeroes OOV") {
+    val docs = Tables(spark, sf0001, "documents")
+    val rows = TextAnalysis.vocabOov(docs, vocabSize = 200).collect()
+    assert(rows.length === docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // with the vocab as large as the token universe, nothing is OOV
+    val all = TextAnalysis.vocabOov(docs, vocabSize = Int.MaxValue).collect()
+    assert(all.forall(_.getLong(2) === 0L))
+  }
+
+  test("tfidf: <= k rows per doc, corpus-wide tokens (df == N) score 0") {
+    val docs = Tables(spark, sf0001, "documents")
+    val rows = TextAnalysis.tfidfTop(docs, k = 3).collect()
+    val perDoc = rows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(perDoc.forall(_ <= 3) && perDoc.exists(_ == 3))
+    assert(rows.forall(_.getDouble(2) >= 0.0), "ln(N/df) >= 0 since df <= N")
+  }
+
   test("subword tokenizer peels punctuation into standalone tokens") {
     val toks = Seq("don't stop. really!?")
       .toDF("text")

@@ -62,6 +62,10 @@ object SparkEntry {
     "a4_approx_distinct" -> ((s, d) => Events.approxDistinctUsersPerType(s, d)),
     "rollup_acctbal" -> ((s, d) => Relational.rollupAcctbal(s, d)),
     "cube_order_status" -> ((s, d) => Relational.cubeOrderStatus(s, d)),
+    // strictly-ordered view->click->purchase funnel (stage counts)
+    "funnel_stages" -> ((s, d) => Events.funnelQuery(s, d)),
+    // first-seen-week cohorts x weeks-since activity triangle
+    "retention_cohorts" -> ((s, d) => Events.retentionQuery(s, d)),
     // --- windows (§2.5) ---
     "w_argmax_order" -> ((s, d) => Relational.argmaxLargestOrder(s, d)),
     "w_lag_delta" -> ((s, d) => Relational.lagOrderDelta(s, d)),
@@ -238,6 +242,32 @@ object SparkEntry {
         |FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_type < b.event_type
         |GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY support DESC, type_a, type_b""".stripMargin,
+    // Strictly-ordered funnel: each stage's earliest ts must FOLLOW the
+    // previous stage's earliest (e.ts > prev stage min), replayed as
+    // chained min-aggregate joins.
+    "funnel_stages" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+        |SELECT 1 AS stage_idx, 'view' AS stage, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+        |UNION ALL SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+        |UNION ALL SELECT 3, 'purchase', CAST((SELECT count(*) FROM s3) AS BIGINT)
+        |ORDER BY stage_idx""".stripMargin,
+    // Weeks = epoch-micros div week-micros (exact integral division in
+    // both engines; no locale week-of-year semantics).
+    "retention_cohorts" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM active GROUP BY 1)
+        |SELECT c.cohort_week, a.week - c.cohort_week AS weeks_since,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+        |FROM active a JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // As-of replay: running max over the tagged prior-side timestamp
     // works because ts is also the sort key (the max prior ts IS the
     // most recent). epoch_us keeps the compare integer-exact.

@@ -179,4 +179,57 @@ object Events {
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
       .orderBy("hour", "event_type")
+
+  /** Funnel analysis: per user, the earliest strictly-ordered
+    * stage-1 → stage-2 → stage-3 chain (each stage's timestamp must
+    * follow the previous stage's earliest completion — the standard
+    * product-analytics funnel, not mere per-type existence). Output is
+    * one row per stage with the user count that reached it.
+    *
+    * Scale: one aggregation per stage, each keyed on user_id — after
+    * the first shuffle the per-stage joins are co-partitioned, so the
+    * chain costs one real shuffle plus co-located joins. Stage
+    * cardinality only ever shrinks down the funnel. */
+  def funnel(events: DataFrame,
+             stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty)
+    val head = events.filter(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("ts")).as("reached_ts"))
+    val perStage = stages.tail.scanLeft(head) { (prev, stage) =>
+      events.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("reached_ts").as("prev_ts")), "user_id")
+        .filter(col("ts") > col("prev_ts"))
+        .groupBy("user_id").agg(min(col("ts")).as("reached_ts"))
+    }
+    stages.zip(perStage).zipWithIndex.map { case ((stage, df), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(stage).as("stage"), col("n_users"))
+    }.reduce(_.unionAll(_)).orderBy("stage_idx")
+  }
+
+  def funnelQuery(spark: SparkSession, dir: String): DataFrame =
+    funnel(Tables(spark, dir, "events"))
+
+  /** Retention cohorts: users grouped by first-seen week; for each
+    * (cohort, weeks-since) cell, how many of the cohort's users were
+    * active. The warehouse-classic cohort triangle — two aggregations
+    * (first-seen per user, activity per user-week) joined on user.
+    * Weeks are epoch-day div 7 so both engines bucket identically
+    * (no week-of-year locale semantics). */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weeks = events.select(
+      col("user_id"),
+      // SQL `div` = exact integral division (double floor(a/b) could
+      // round at a week boundary)
+      expr("unix_micros(ts) div 604800000000").as("week"))
+    val active = weeks.distinct()
+    val cohort = active.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  def retentionQuery(spark: SparkSession, dir: String): DataFrame =
+    retentionCohorts(Tables(spark, dir, "events"))
 }

@@ -74,4 +74,46 @@ class EventsSpec extends AnyFunSuite {
     val counts = rows.map(_.getLong(1))
     assert(counts.sameElements(counts.sorted.reverse))
   }
+
+  test("funnel is strictly ordered: stages must follow the previous stage's first hit") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val ev = Seq(
+      // user 1: full ordered chain
+      (1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"),
+      // user 2: click BEFORE first view -> stalls at stage 1
+      (2L, ts(0), "click"), (2L, ts(1), "view"),
+      // user 3: purchase before click -> stalls at stage 2
+      (3L, ts(0), "view"), (3L, ts(1), "purchase"), (3L, ts(2), "click"),
+      // user 4: never views -> counted nowhere
+      (4L, ts(0), "click"), (4L, ts(1), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(ev).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1, "view", 3L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
+  test("funnel counts are monotone decreasing on sf0.001") {
+    val n = Events.funnelQuery(spark, sf0001).collect().map(_.getLong(2))
+    assert(n.length === 3 && n(0) >= n(1) && n(1) >= n(2) && n(0) > 0)
+  }
+
+  test("retention cohorts: week-0 cell equals cohort size, weeks_since >= 0") {
+    val rows = Events.retentionQuery(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._2 >= 0L))
+    // every cohort has a weeks_since=0 row (the first-seen week itself)
+    val byCohort = rows.groupBy(_._1)
+    byCohort.foreach { case (_, cells) =>
+      assert(cells.exists(_._2 == 0L))
+      // no later cell exceeds the cohort's own week-0 size
+      val w0 = cells.find(_._2 == 0L).get._3
+      assert(cells.forall(_._3 <= w0))
+    }
+    // total distinct users = sum of cohort sizes at week 0
+    val users = Tables(spark, sf0001, "events").select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum === users)
+  }
 }

@@ -35,6 +35,8 @@ object SparkEntry {
     // samples — bit-identical across engines, runs, and cluster sizes)
     "sample_hash" -> ((s, d) => Relational.hashSample(s, d)),
     "sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
+    // last-writer-wins change application (MERGE INTO kernel)
+    "cdc_apply" -> ((s, d) => Relational.cdcApply(s, d)),
     // --- joins (§2.3) ---
     "j_semi_join" -> ((s, d) => Relational.semiJoinOpenOrders(s, d)),
     "j_outer_join" -> ((s, d) => Relational.outerJoinNationCustomers(s, d)),
@@ -334,6 +336,20 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "cdc_apply" ->
+      """WITH changes AS (
+        |  SELECT o_custkey AS key,
+        |    CASE WHEN o_orderstatus = 'F' AND o_totalprice < 5000.0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS new_bal,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        |  FROM orders),
+        |last_op AS (SELECT key, op, new_bal FROM changes WHERE rn = 1)
+        |SELECT c.c_custkey,
+        |  round(coalesce(l.new_bal, c.c_acctbal), 2) AS final_bal,
+        |  coalesce(l.op, '-') AS last_op
+        |FROM customer c LEFT JOIN last_op l ON c.c_custkey = l.key
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY c.c_custkey""".stripMargin,
     "a7_value_stats" ->
       """SELECT event_type, round(avg(value), 4) AS avg_value,
         |  round(stddev_pop(value), 4) AS std_pop,

@@ -332,6 +332,43 @@ object Relational {
       .agg(count(lit(1)).as("n_sampled"), round(sum("o_totalprice"), 2).as("sampled_price"))
       .orderBy("o_orderpriority")
 
+  /** CDC apply — the upsert/merge kernel of every incremental
+    * pipeline: collapse a keyed change feed to its LAST operation per
+    * key (event order = (change ts, change id), a window argmax, one
+    * shuffle), then apply to the base snapshot — deletes anti-join
+    * away, updates overwrite via the join, untouched keys pass
+    * through. The change feed here is synthesized deterministically
+    * from `orders` (each order = one change on its customer: F-status
+    * orders under 5k delete, everything else updates acctbal to the
+    * order total), standing in for a Debezium/binlog feed.
+    *
+    * Scale: one shuffle on the key for the last-op window, one
+    * join of base to the (much smaller, post-collapse) change set —
+    * the canonical MERGE INTO plan without a table format. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val changes = Tables(spark, dir, "orders").select(
+      col("o_custkey").as("key"),
+      when(col("o_orderstatus") === "F" && col("o_totalprice") < 5000.0, "D")
+        .otherwise("U").as("op"),
+      col("o_totalprice").as("new_bal"),
+      col("o_orderdate"), col("o_orderkey"))
+    val lastPerKey = Window.partitionBy("key")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val lastOp = changes
+      .withColumn("rn", row_number().over(lastPerKey))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("op"), col("new_bal"))
+    base.join(lastOp, base("c_custkey") === lastOp("key"), "left")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        col("c_custkey"),
+        round(coalesce(col("new_bal"), col("c_acctbal")), 2).as("final_bal"),
+        coalesce(col("op"), lit("-")).as("last_op"))
+      .orderBy("c_custkey")
+  }
+
   /** S5 — update-rewrite: read → conditional column rewrite → (would be
     * an overwrite sink; here the projected view). routers.py:124-136. */
   def updateRewrite(spark: SparkSession, dir: String): DataFrame =

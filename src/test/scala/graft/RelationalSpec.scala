@@ -79,6 +79,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(grand.head.getLong(3) === sumRegions)
   }
 
+  test("cdc apply: deletes removed, updates overwritten, untouched pass through") {
+    val out = Relational.cdcApply(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toList
+    val base = Tables(spark, sf0001, "customer")
+      .select("c_custkey", "c_acctbal").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val outMap = out.map(t => t._1 -> t).toMap
+    // no deleted key survives, and every surviving row is base or updated
+    assert(out.forall(_._3 != "D"))
+    assert(out.nonEmpty && out.size <= base.size)
+    out.foreach { case (k, bal, op) =>
+      if (op == "-")
+        assert(math.abs(bal - base(k)) < 0.005, s"untouched $k must keep base balance")
+    }
+    // untouched rows appear exactly for the customers with no orders
+    val untouched = base.keySet --
+      Tables(spark, sf0001, "orders").select("o_custkey").distinct()
+        .collect().map(_.getLong(0)).toSet
+    assert(out.count(_._3 == "-") === untouched.size)
+    assert(out.exists(_._3 == "U"))
+    assert(out.size < base.size, "the synthetic feed must delete someone")
+    assert(outMap.size === out.size, "keys unique after apply")
+  }
+
   test("set ops tags partition the furniture segment") {
     val counts = Relational.setOps(spark, sf0001)
       .groupBy("tag").count().collect()

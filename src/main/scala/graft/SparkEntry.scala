@@ -48,6 +48,9 @@ object SparkEntry {
     // interval join bucketed to window-width epochs: candidates come
     // from an equality join on (user, bucket), never a range cross
     "j_range_window_count" -> ((s, d) => Temporal.windowedCountQuery(s, d)),
+    // first-touch attribution: earliest view in the 7d lookback via a
+    // value-based RANGE frame (join-free, tie-proof by construction)
+    "j_attr_first_touch" -> ((s, d) => Temporal.firstTouchQuery(s, d)),
     // --- aggregations (§2.4) ---
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
@@ -284,6 +287,21 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts
         |  FROM pv)
         |SELECT event_id, user_id, epoch_us(ts) AS ts_us, epoch_us(asof_ts) AS asof_us
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    // First-touch replay: the identical value-based RANGE frame (frame
+    // bounds are values over epoch micros, so equal-ts peers resolve
+    // the same way in both engines without a tiebreak).
+    "j_attr_first_touch" ->
+      """WITH pv AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,
+        |    CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS prior_us
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |w AS (
+        |  SELECT event_id, user_id, event_type, t_us,
+        |    min(prior_us) OVER (PARTITION BY user_id ORDER BY t_us
+        |      RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS first_touch_us
+        |  FROM pv)
+        |SELECT event_id, user_id, t_us AS ts_us, first_touch_us
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     // The interval join's ground truth is the naive range predicate;
     // the Spark side must reproduce it exactly through its bucketed

@@ -125,6 +125,38 @@ object Temporal {
       windowSec = 86400L)
       .orderBy("event_id")
 
+  /** First-touch attribution: for each `ofType` event, the EARLIEST
+    * `priorType` event by the same user within the lookback window
+    * [ts - lookback, ts). Implemented as a value-based RANGE frame
+    * over epoch micros — the frame bounds are VALUES, not row
+    * positions, so equal-timestamp peers resolve identically in every
+    * engine with no tiebreak column, and there is again no join: one
+    * shuffle+sort per user, then a windowed conditional min.
+    * (`asofPriorEvent` is the unbounded/most-recent cousin; this is
+    * the bounded/earliest one — together they cover the two
+    * attribution extremes.) */
+  def firstTouch(events: DataFrame, ofType: String, priorType: String,
+                 lookbackSec: Long = 604800L): DataFrame = {
+    val us = lookbackSec * 1000000L
+    val tagged = events
+      .filter(col("event_type").isin(ofType, priorType))
+      .select(
+        col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+        when(col("event_type") === priorType, unix_micros(col("ts"))).as("prior_us"))
+    val lookback = Window.partitionBy("user_id").orderBy(col("t_us"))
+      .rangeBetween(-us, -1)
+    tagged
+      .withColumn("first_touch_us", min(col("prior_us")).over(lookback))
+      .filter(col("event_type") === ofType)
+      .select(col("event_id"), col("user_id"), col("t_us").as("ts_us"),
+        col("first_touch_us"))
+  }
+
+  def firstTouchQuery(spark: SparkSession, dir: String): DataFrame =
+    firstTouch(Tables(spark, dir, "events"), ofType = "purchase", priorType = "view")
+      .orderBy("event_id")
+
   /** Sliding-window aggregation via the built-in `window(ts, width,
     * slide)`: each event lands in width/slide windows (2 here), and
     * the aggregation is one shuffle on (window, type) — Spark expands

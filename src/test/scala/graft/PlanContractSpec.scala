@@ -41,11 +41,15 @@ class PlanContractSpec extends AnyFunSuite {
     // emb_knn_cosine (broadcast brute-force baseline) and the synthetic
     // scene queries are exempt by design; everything table-driven that
     // joins on keys must stay hash/merge-join shaped
+    // w_gapfill_hours is exempt: its spine × types cross join is
+    // deliberately bounded by time range and type cardinality
     val names = Seq("q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
       "q10_returned_revenue", "j_semi_join", "j_outer_join", "j1_frequent_pairs",
       "s5_update_rewrite", "s6_anti_join", "w_running_spend", "set_ops",
       "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_ngram_jaccard",
-      "emb_near_dup", "emb_ivfpq_topk", "st2_events_per_hour", "f9_json_props")
+      "emb_near_dup", "emb_ivfpq_topk", "st2_events_per_hour", "f9_json_props",
+      "funnel_stages", "retention_cohorts", "cdc_apply",
+      "txt_vocab_oov", "txt_tfidf_top", "w_sliding_counts")
     names.foreach { n =>
       val p = plan(n)
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product")

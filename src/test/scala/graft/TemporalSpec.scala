@@ -85,6 +85,23 @@ class TemporalSpec extends AnyFunSuite {
       "fixture should exercise at least one non-empty window")
   }
 
+  test("first touch: earliest view in [t-lookback, t), boundaries pinned") {
+    val base = ts("2026-01-10 12:00:00").getTime
+    def t(offsetMs: Long) = new Timestamp(base + offsetMs)
+    val day = 86400000L
+    val ev = Seq(
+      (1L, 1L, t(-7 * day), "view"),     // exactly lookback before -> INCLUDED
+      (2L, 1L, t(-3 * day), "view"),     // later view -> not first
+      (3L, 1L, t(0), "view"),            // same instant -> EXCLUDED
+      (9L, 1L, t(0), "purchase"),
+      (4L, 2L, t(-8 * day), "view"),     // beyond lookback -> excluded
+      (8L, 2L, t(0), "purchase"))        // -> null
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Temporal.firstTouch(ev, "purchase", "view", lookbackSec = 604800L)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(got === Map(9L -> (base - 7 * day) * 1000L, 8L -> -1L))
+  }
+
   test("sliding 2h/1h windows: every event lands in exactly two windows") {
     val ev = Tables(spark, sf0001, "events")
     val windows = Temporal.slidingCounts(ev)

@@ -140,6 +140,8 @@ object SparkEntry {
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
     // vocab build (top-V, deterministic tie-break) + per-doc OOV rate
     "txt_vocab_oov" -> ((s, d) => TextAnalysis.vocabOovQuery(s, d)),
+    // composed curation keep-list: exact-dedup keepers x quality gate
+    "txt_curation_keep" -> ((s, d) => TextAnalysis.curationKeep(s, d)),
     // tf × ln(N/df) keyword extraction, top-3 per doc
     "txt_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTopQuery(s, d)),
     "txt_lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
@@ -954,6 +956,25 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Curation replay: same fingerprint (md5 of lower/trim), same
+    // keeper rule (min doc_id), same quality thresholds on the ROUNDED
+    // ratios as txt_quality.
+    "txt_curation_keep" ->
+      """WITH keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    round(CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS type_token_ratio
+        |  FROM documents)
+        |SELECT q.doc_id, q.n_tokens, q.type_token_ratio
+        |FROM q JOIN keepers USING (doc_id)
+        |WHERE q.n_tokens >= 20 AND q.stopword_ratio <= 0.2
+        |ORDER BY q.doc_id""".stripMargin,
     // top-200 vocab boundary ties broken by (count DESC, token ASC) in
     // both engines, so the vocab set — and therefore every OOV count —
     // is deterministic

@@ -188,6 +188,26 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** End-to-end curation keep-list — the composed filter every
+    * training-data pipeline runs before anything else: exact-dedup
+    * keepers (min doc_id per `Dedup.fingerprint` group — the same
+    * fingerprint expression as the batch AND streaming dedup layers)
+    * intersected with the quality gate (`quality_class == "ok"`).
+    * One aggregation on the fingerprint + one join on doc_id; the
+    * quality side is pure map work, so the composition costs exactly
+    * what the dedup alone costs. */
+  def curationKeep(spark: SparkSession, dir: String): DataFrame = {
+    val keepers = Tables(spark, dir, "documents")
+      .groupBy(graft.dedup.Dedup.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    qualityScores(spark, dir)
+      .join(keepers, "doc_id")
+      .filter(col("quality_class") === "ok")
+      .select("doc_id", "n_tokens", "type_token_ratio")
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary build + OOV accounting: corpus token counts → top-V
     * vocabulary (count DESC, token ASC — the tie-break makes the
     * boundary deterministic) → per-document out-of-vocabulary rate.

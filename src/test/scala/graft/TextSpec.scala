@@ -80,6 +80,17 @@ class TextSpec extends AnyFunSuite {
     assert(all.forall(_.getLong(2) === 0L))
   }
 
+  test("curation keep-list = dedup keepers ∩ quality-ok, by construction") {
+    val kept = TextAnalysis.curationKeep(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    val ok = TextAnalysis.qualityScores(spark, sf0001).collect()
+      .filter(_.getString(4) == "ok").map(_.getLong(0)).toSet
+    val keepers = graft.dedup.Dedup.exactDedup(spark, sf0001).collect()
+      .map(_.getLong(1)).toSet
+    assert(kept === (ok intersect keepers))
+    assert(kept.nonEmpty && kept.size < ok.size.max(keepers.size))
+  }
+
   test("tfidf: <= k rows per doc, corpus-wide tokens (df == N) score 0") {
     val docs = Tables(spark, sf0001, "documents")
     val rows = TextAnalysis.tfidfTop(docs, k = 3).collect()

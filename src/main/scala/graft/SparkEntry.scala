@@ -37,6 +37,11 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     // last-writer-wins change application (MERGE INTO kernel)
     "cdc_apply" -> ((s, d) => Relational.cdcApply(s, d)),
+    // per-class balanced sample (cap docs per lang by hash rank)
+    "sample_balanced" -> ((s, d) =>
+      Relational.balancedSample(graft.Tables(s, d, "documents")
+          .select("doc_id", "lang"), "lang", "doc_id", perClass = 50)
+        .orderBy("lang", "doc_id")),
     // --- joins (§2.3) ---
     "j_semi_join" -> ((s, d) => Relational.semiJoinOpenOrders(s, d)),
     "j_outer_join" -> ((s, d) => Relational.outerJoinNationCustomers(s, d)),
@@ -356,6 +361,15 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    // hash-rank order is fully deterministic (md5 then key tiebreak),
+    // so the kept set is identical in both engines
+    "sample_balanced" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin,
     "cdc_apply" ->
       """WITH changes AS (
         |  SELECT o_custkey AS key,

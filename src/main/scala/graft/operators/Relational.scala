@@ -332,6 +332,21 @@ object Relational {
       .agg(count(lit(1)).as("n_sampled"), round(sum("o_totalprice"), 2).as("sampled_price"))
       .orderBy("o_orderpriority")
 
+  /** Balanced per-class sampling — cap every class at k rows, chosen
+    * by deterministic hash rank (md5 of the key): the
+    * class-rebalancing step before training on skewed data. One
+    * shuffle on the class key; the rank is a window row_number, so no
+    * class ever materializes more than its partition. Seed-stable and
+    * engine-portable like `hashSample`. */
+  def balancedSample(df: DataFrame, classCol: String, keyCol: String,
+                     perClass: Int, salt: String = "bal:"): DataFrame = {
+    val byHash = Window.partitionBy(classCol)
+      .orderBy(md5(concat(lit(salt), col(keyCol).cast("string"))), col(keyCol))
+    df.withColumn("rn", row_number().over(byHash))
+      .filter(col("rn") <= perClass)
+      .drop("rn")
+  }
+
   /** CDC apply — the upsert/merge kernel of every incremental
     * pipeline: collapse a keyed change feed to its LAST operation per
     * key (event order = (change ts, change id), a window argmax, one

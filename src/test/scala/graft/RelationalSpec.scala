@@ -79,6 +79,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(grand.head.getLong(3) === sumRegions)
   }
 
+  test("balanced sample caps every class at k, deterministically") {
+    val docs = Tables(spark, sf0001, "documents").select("doc_id", "lang")
+    val s1 = Relational.balancedSample(docs, "lang", "doc_id", perClass = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val s2 = Relational.balancedSample(docs, "lang", "doc_id", perClass = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(s1.toSet === s2.toSet, "hash-rank sample must be run-stable")
+    val perClass = s1.groupBy(_._2).map { case (l, xs) => l -> xs.length }
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perClass.foreach { case (l, n) => assert(n === math.min(10L, totals(l))) }
+  }
+
   test("cdc apply: deletes removed, updates overwritten, untouched pass through") {
     val out = Relational.cdcApply(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toList

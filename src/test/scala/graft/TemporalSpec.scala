@@ -127,6 +127,67 @@ class TemporalSpec extends AnyFunSuite {
     assert(filled.exists(_.getLong(2) == 0L), "zero-filled rows must exist")
   }
 
+  test("bucketed == naive on adversarial random data (boundary-heavy timestamps)") {
+    // seeded generator that deliberately lands many timestamps ON
+    // bucket/window boundaries, where an inexact bucket id or an
+    // off-by-one range predicate would diverge from the naive join
+    val rnd = new scala.util.Random(7)
+    val winSec = 60L
+    val base = ts("2026-02-01 00:00:00").getTime
+    val rows = (1 to 2000).map { i =>
+      val snap = rnd.nextInt(4) match {
+        case 0 => rnd.nextInt(7200) * 1000L              // exactly on seconds
+        case 1 => (rnd.nextInt(120) * winSec) * 1000L    // exactly on bucket edges
+        case 2 => (rnd.nextInt(120) * winSec) * 1000L - 1
+        case _ => rnd.nextInt(7200000).toLong            // anywhere
+      }
+      (i.toLong, (i % 13).toLong, new Timestamp(base + snap),
+        if (rnd.nextBoolean()) "error" else "click")
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "event_type")
+    val bucketed = Temporal.windowedCount(ev, "error", "click", winSec)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val us = winSec * 1000000L
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+    val clk = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), unix_micros(col("ts")).as("c_us"))
+    val naive = err.join(clk,
+        col("user_id") === col("cu") &&
+          col("c_us") <= col("t_us") && col("c_us") > col("t_us") - us, "left")
+      .groupBy("event_id").agg(count(col("cu")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bucketed === naive)
+    assert(bucketed.values.exists(_ > 0L))
+  }
+
+  test("funnel matches a brute-force reference on random event orders") {
+    val rnd = new scala.util.Random(11)
+    val types = Vector("view", "click", "purchase", "error")
+    val rows = (1 to 1500).map { i =>
+      (i.toLong, (i % 40).toLong,
+        new Timestamp(ts("2026-03-01 00:00:00").getTime + rnd.nextInt(86400000)),
+        types(rnd.nextInt(types.length)))
+    }
+    // independent reference: literal per-user fold over time-sorted events
+    val stages = Seq("view", "click", "purchase")
+    val expected = rows.groupBy(_._2).values.map { evs =>
+      val sorted = evs.sortBy(e => (e._3.getTime, e._1)).map(e => (e._4, e._3.getTime))
+      var reached = 0
+      var lastMs = Long.MinValue
+      sorted.foreach { case (t, ms) =>
+        if (reached < stages.length && t == stages(reached) &&
+            (reached == 0 || ms > lastMs)) { reached += 1; lastMs = ms }
+      }
+      reached
+    }.toSeq
+    val want = (1 to 3).map(k => k.toLong -> expected.count(_ >= k).toLong).toMap
+    val got = graft.operators.Events.funnel(
+        rows.toDF("event_id", "user_id", "ts", "event_type"))
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(2)).toMap
+    assert(got === want)
+  }
+
   test("sessionize on sf0.001: sessions partition the events exactly") {
     val ev = Tables(spark, sf0001, "events")
     val sessions = Temporal.sessionize(ev).collect()

@@ -70,6 +70,9 @@ object SparkEntry {
     // exact SQL oracle can exist); EventsSpec bounds the relative
     // error against the oracled exact a4 counts at < 5%.
     "a4_approx_distinct" -> ((s, d) => Events.approxDistinctUsersPerType(s, d)),
+    // rows-only by nature: GK-sketch percentiles are approximate;
+    // RelationalSpec bounds them against the oracled exact a8 values.
+    "a8_approx_percentiles" -> ((s, d) => Relational.approxQuantityPercentiles(s, d)),
     "rollup_acctbal" -> ((s, d) => Relational.rollupAcctbal(s, d)),
     "cube_order_status" -> ((s, d) => Relational.cubeOrderStatus(s, d)),
     // strictly-ordered view->click->purchase funnel (stage counts)

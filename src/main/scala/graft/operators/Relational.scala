@@ -332,6 +332,21 @@ object Relational {
       .agg(count(lit(1)).as("n_sampled"), round(sum("o_totalprice"), 2).as("sampled_price"))
       .orderBy("o_orderpriority")
 
+  /** A8 approximate variant (Greenwald-Khanna sketch via
+    * `approx_percentile`) — the mergeable-state percentile for data
+    * too large to sort exactly; not oracle-checked (approx),
+    * spec-bounded against the exact a8 values. */
+  def approxQuantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_quantity, array(0.4, 0.8, 0.5), 10000)").as("pcts"))
+      .select(
+        col("l_returnflag"),
+        round(col("pcts").getItem(0), 4).as("p40_approx"),
+        round(col("pcts").getItem(1), 4).as("p80_approx"),
+        round(col("pcts").getItem(2), 4).as("median_approx"))
+      .orderBy("l_returnflag")
+
   /** Balanced per-class sampling — cap every class at k rows, chosen
     * by deterministic hash rank (md5 of the key): the
     * class-rebalancing step before training on skewed data. One

@@ -79,6 +79,18 @@ class RelationalSpec extends AnyFunSuite {
     assert(grand.head.getLong(3) === sumRegions)
   }
 
+  test("approx percentiles track the exact a8 values closely") {
+    val exact = Relational.quantityPercentiles(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    Relational.approxQuantityPercentiles(spark, sf0001).collect().foreach { r =>
+      val (e1, e2, e3) = exact(r.getString(0))
+      // l_quantity spans 1..50; GK at accuracy 10k is near-exact here
+      assert(math.abs(r.getDouble(1) - e1) <= 1.0)
+      assert(math.abs(r.getDouble(2) - e2) <= 1.0)
+      assert(math.abs(r.getDouble(3) - e3) <= 1.0)
+    }
+  }
+
   test("balanced sample caps every class at k, deterministically") {
     val docs = Tables(spark, sf0001, "documents").select("doc_id", "lang")
     val s1 = Relational.balancedSample(docs, "lang", "doc_id", perClass = 10)

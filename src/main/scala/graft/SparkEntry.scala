@@ -139,6 +139,9 @@ object SparkEntry {
     // oracled via field extraction from the rendered docs (JSON *text*
     // is engine-specific; the parsed fields are not)
     "s16_json_shape" -> ((s, d) => Events.jsonShapeParsed(s, d)),
+    // corrupt-record quarantine: null-on-malformed parse as the
+    // bad-records path (deterministic md5-selected corruption)
+    "f9_json_quarantine" -> ((s, d) => Events.jsonQuarantine(s, d)),
     // --- text analysis (north star) ---
     "txt_token_stats" -> ((s, d) => TextAnalysis.tokenStats(s, d)),
     "txt_subword_stats" -> ((s, d) => TextAnalysis.subwordStats(s, d)),
@@ -501,6 +504,17 @@ object SparkEntry {
     "f9_json_props" ->
       """SELECT event_type, round(avg(k), 4) AS avg_k, max(k) AS max_k, count(k) AS n_with_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // json_valid is DuckDB's equivalent of from_json's null-on-malformed
+    "f9_json_quarantine" ->
+      """SELECT event_type,
+        |  CAST(sum(CASE WHEN json_valid(doc) THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(sum(CASE WHEN json_valid(doc) THEN 0 ELSE 1 END) AS BIGINT) AS n_quarantined
+        |FROM (
+        |  SELECT event_type,
+        |    CASE WHEN substr(md5('bad:' || CAST(event_id AS VARCHAR)), 1, 2) < '1a'
+        |         THEN substr(props, 1, len(props) - 1) ELSE props END AS doc
+        |  FROM events) t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "motion_frame_stats" ->
       """WITH vel AS (

@@ -106,6 +106,33 @@ object Events {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** Corrupt-record quarantine — the bad-records path every ingest
+    * pipeline needs: malformed payloads must land in a quarantine
+    * count, never fail the job. A deterministic md5-selected ~10% of
+    * props is corrupted in-flight (trailing brace), then parsed with
+    * `from_json` in PERMISSIVE mode with a `_corrupt_record` column —
+    * the populated corrupt column IS the quarantine signal (a plain
+    * null-struct check doesn't work: PERMISSIVE from_json yields an
+    * all-null-FIELDS struct, not a null struct; a thrown parse error
+    * would be the anti-pattern). Pure map work + one aggregation. */
+  def jsonQuarantine(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      // corruption = truncate the closing brace: an APPENDED brace is
+      // accepted by Jackson (trailing tokens ignored) but an
+      // unterminated object is malformed in every parser
+      .withColumn("doc",
+        when(substring(md5(concat(lit("bad:"), col("event_id").cast("string"))), 1, 2) < "1a",
+          expr("substring(props, 1, length(props) - 1)")).otherwise(col("props")))
+      .withColumn("parsed",
+        from_json(col("doc"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT, _corrupt_record STRING"),
+          Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("parsed._corrupt_record").isNull, 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("parsed._corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_quarantined"))
+      .orderBy("event_type")
+
   /** F9 — JSON payload field extraction (services.py:20
     * `payload["symptom_codes"]`-style access on the props JSON column). */
   def jsonPropsStats(spark: SparkSession, dir: String): DataFrame =

@@ -180,6 +180,10 @@ object SparkEntry {
     // to the oracled brute force bit-for-bit and bounds recall below it.
     "emb_ivf_topk" -> ((s, d) => Similarity.ivfTopK(s, d)),
     "emb_norm_stats" -> ((s, d) => Similarity.normStats(s, d)),
+    // filtered ANN: candidates pre-filtered by a metadata join
+    // (lang='en' docs only) before any distance math — exact on the
+    // survivors, so fully oracled
+    "emb_filtered_topk" -> ((s, d) => Similarity.filteredTopK(s, d)),
     // int8 scalar quantization (4x memory) -> exact top-k on the
     // reconstruction; deterministic, so fully oracled
     "emb_quantized_topk" -> ((s, d) => Similarity.quantizedTopK(s, d)),
@@ -1127,6 +1131,20 @@ object SparkEntry {
         |  SELECT query_id, c.vec_id AS cand_id,
         |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
         |  FROM q JOIN c ON c.vec_id <> q.query_id)
+        |SELECT query_id, rank, cand_id, round(cos, 4) AS cos_sim FROM (
+        |  SELECT query_id, cand_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+        |  FROM scored) t
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "emb_filtered_topk" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |keep AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS cand_id,
+        |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |  FROM q JOIN c ON c.vec_id <> q.query_id
+        |  JOIN keep ON keep.doc_id = c.vec_id)
         |SELECT query_id, rank, cand_id, round(cos, 4) AS cos_sim FROM (
         |  SELECT query_id, cand_id, cos,
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank

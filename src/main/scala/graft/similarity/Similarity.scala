@@ -107,6 +107,36 @@ object Similarity {
   def bruteForceTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3): DataFrame =
     bruteForceTopKOn(corpus(spark, dir), nQueries, k)
 
+  /** Filtered ANN — metadata-predicated top-k, the "filtered search"
+    * mode every vector store needs ("nearest neighbors among lang=en
+    * docs only"): the candidate set is pre-filtered by an id join to
+    * the documents metadata BEFORE any distance math, so the predicate
+    * reaches the scan and the scored relation shrinks by the filter's
+    * selectivity. Exact on the surviving candidates, hence fully
+    * oracled (the approximate rungs compose the same way: filter the
+    * candidate relation, keep the index probes). vec_id and doc_id
+    * identify the same entities in the testdata. */
+  def filteredTopK(spark: SparkSession, dir: String, lang: String = "en",
+                   nQueries: Int = 5, k: Int = 3): DataFrame = {
+    val all = corpus(spark, dir)
+    val keep = Tables(spark, dir, "documents")
+      .filter(col("lang") === lang)
+      .select(col("doc_id").as("cand_id"))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val cand = all
+      .select(col("vec_id").as("cand_id"), col("vec").as("cv"), col("norm").as("cn"))
+      .join(keep, "cand_id")
+    val scored = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim),
     * mapped to [-1, 1): splitmix64 finalizer (public-domain bit mixer).
     * No RNG state → identical buckets on every executor and every run. */

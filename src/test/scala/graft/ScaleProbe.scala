@@ -89,7 +89,8 @@ object ScaleProbe {
     val probeQueries = Seq("dedup_minhash_pairs", "dedup_clusters",
       "emb_lsh_topk", "emb_near_dup", "dedup_simhash_pairs", "txt_pack_sequences",
       "emb_ivfpq_topk", "w_sessionize", "j_asof_prior_view", "j_range_window_count",
-      "funnel_stages", "retention_cohorts", "txt_vocab_oov", "txt_tfidf_top")
+      "funnel_stages", "retention_cohorts", "txt_vocab_oov", "txt_tfidf_top",
+      "j_attr_first_touch", "txt_curation_keep", "f9_json_quarantine")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

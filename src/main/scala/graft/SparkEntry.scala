@@ -153,6 +153,8 @@ object SparkEntry {
     "txt_vocab_oov" -> ((s, d) => TextAnalysis.vocabOovQuery(s, d)),
     // composed curation keep-list: exact-dedup keepers x quality gate
     "txt_curation_keep" -> ((s, d) => TextAnalysis.curationKeep(s, d)),
+    // within-doc sliding chunker (64-token windows, 16 overlap)
+    "txt_chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlapQuery(s, d)),
     // tf × ln(N/df) keyword extraction, top-3 per doc
     "txt_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTopQuery(s, d)),
     "txt_lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
@@ -991,6 +993,22 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Chunk replay: DuckDB list slicing is 1-based INCLUSIVE-end, so
+    // [k*step+1 : k*step+size] is exactly Spark's slice(toks,
+    // k*step+1, size); k ranges over 0..(n-1) div step.
+    "txt_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |k AS (
+        |  SELECT doc_id, toks, CAST(u.k AS INTEGER) AS chunk_idx
+        |  FROM t, LATERAL unnest(range(0, (len(toks) - 1) // 48 + 1)) u(k)),
+        |c AS (
+        |  SELECT doc_id, chunk_idx,
+        |    toks[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS chunk
+        |  FROM k)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(chunk) AS INTEGER) AS n_chunk_tokens,
+        |  chunk[1] AS first_tok, chunk[-1] AS last_tok
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // Curation replay: same fingerprint (md5 of lower/trim), same
     // keeper rule (min doc_id), same quality thresholds on the ROUNDED
     // ratios as txt_quality.

@@ -188,6 +188,32 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  /** Overlapping within-document chunking — the retrieval-style
+    * chunker (fixed window, fixed overlap) that complements
+    * `packSequences`' cross-document concat-and-chunk: chunk k of a
+    * doc covers tokens [k·step, k·step + size) with step = size −
+    * overlap, so every token lands in at least one chunk and
+    * consecutive chunks share `overlap` tokens. Pure per-row map work
+    * (sequence + explode + slice), no shuffle before the final sort —
+    * the embarrassingly-parallel shape chunking should be. */
+  def chunkOverlap(docs: DataFrame, size: Int = 64, overlap: Int = 16): DataFrame = {
+    require(size > overlap && overlap >= 0)
+    val step = size - overlap
+    docs
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("k",
+        explode(sequence(lit(0), floor((org.apache.spark.sql.functions.size(col("toks")) - 1) / step).cast("int"))))
+      .withColumn("chunk", slice(col("toks"), col("k") * step + lit(1), lit(size)))
+      .select(
+        col("doc_id"), col("k").as("chunk_idx"),
+        org.apache.spark.sql.functions.size(col("chunk")).as("n_chunk_tokens"),
+        element_at(col("chunk"), 1).as("first_tok"),
+        element_at(col("chunk"), -1).as("last_tok"))
+  }
+
+  def chunkOverlapQuery(spark: SparkSession, dir: String): DataFrame =
+    chunkOverlap(Tables(spark, dir, "documents")).orderBy("doc_id", "chunk_idx")
+
   /** End-to-end curation keep-list — the composed filter every
     * training-data pipeline runs before anything else: exact-dedup
     * keepers (min doc_id per `Dedup.fingerprint` group — the same

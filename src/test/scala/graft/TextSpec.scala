@@ -80,6 +80,26 @@ class TextSpec extends AnyFunSuite {
     assert(all.forall(_.getLong(2) === 0L))
   }
 
+  test("overlapping chunks tile each doc: full coverage, exact overlap") {
+    val docs = Tables(spark, sf0001, "documents")
+    val (size, overlap, step) = (64, 16, 48)
+    val chunks = TextAnalysis.chunkOverlap(docs, size, overlap).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val nToks = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(split(col("text"), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, cs) =>
+      val n = nToks(doc)
+      val sorted = cs.sortBy(_._2)
+      // chunk count = ceil(n / step); every chunk except possibly the
+      // last is full-size; the k-th starts at k*step
+      assert(sorted.length === (n - 1) / step + 1)
+      sorted.foreach { case (_, k, len) =>
+        assert(len === math.min(size, n - k * step))
+      }
+    }
+  }
+
   test("curation keep-list = dedup keepers ∩ quality-ok, by construction") {
     val kept = TextAnalysis.curationKeep(spark, sf0001).collect()
       .map(_.getLong(0)).toSet

@@ -294,18 +294,20 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // As-of replay: running max over the tagged prior-side timestamp
     // works because ts is also the sort key (the max prior ts IS the
-    // most recent). epoch_us keeps the compare integer-exact.
+    // most recent). The value-based RANGE frame over epoch micros makes
+    // "strictly prior" time-based — same-instant prior-type events are
+    // excluded identically in both engines, no tiebreak column needed.
     "j_asof_prior_view" ->
       """WITH pv AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |    CASE WHEN event_type = 'view' THEN ts END AS prior_tag
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS t_us,
+        |    CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS prior_us
         |  FROM events WHERE event_type IN ('purchase', 'view')),
         |w AS (
-        |  SELECT event_id, user_id, ts, event_type,
-        |    max(prior_tag) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts
+        |  SELECT event_id, user_id, t_us, event_type,
+        |    max(prior_us) OVER (PARTITION BY user_id ORDER BY t_us
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_us
         |  FROM pv)
-        |SELECT event_id, user_id, epoch_us(ts) AS ts_us, epoch_us(asof_ts) AS asof_us
+        |SELECT event_id, user_id, t_us AS ts_us, asof_us
         |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
     // First-touch replay: the identical value-based RANGE frame (frame
     // bounds are values over epoch micros, so equal-ts peers resolve

@@ -618,13 +618,16 @@ object Ellipse {
     val combined = if (allStrong) {
       circles.withColumn("skipped_ellipse", lit(true))
     } else {
+      // no broadcast() hint on strongCirc: it is O(#images) at corpus
+      // scale, so forcing it driver-side would defeat AQE's own size
+      // check — the anti/left join semantics don't depend on strategy.
       val ellipses = bestEllipse(edges, pixels, bodyMask, h, w)
         .filter(col("rank") === 1)
-        .join(broadcast(strongCirc), Seq("img_id"), "left_anti")
+        .join(strongCirc, Seq("img_id"), "left_anti")
         .select(col("img_id"), lit("ellipse").as("kind"), col("cx"), col("cy"),
           col("a"), col("b"), col("cth"), col("sth"), col("score"))
       circles.unionByName(ellipses)
-        .join(broadcast(strongCirc.withColumn("strong", lit(true))), Seq("img_id"), "left")
+        .join(strongCirc.withColumn("strong", lit(true)), Seq("img_id"), "left")
         .withColumn("skipped_ellipse", coalesce(col("strong"), lit(false)))
         .drop("strong")
     }

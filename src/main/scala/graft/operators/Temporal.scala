@@ -56,26 +56,30 @@ object Temporal {
   /** As-of join: for every event of `ofType`, the timestamp of the
     * most recent STRICTLY PRIOR event of `priorType` by the same user
     * (null if none). Implemented as the single-sort pattern: tag the
-    * prior-side timestamps, one window per user ordered by (ts,
-    * event_id), running max over rows up to 1 PRECEDING — the running
-    * max of prior-side ts IS the as-of match because ts is the sort
-    * key. */
+    * prior-side timestamps, one window per user, running max over a
+    * value-based RANGE frame ending 1 micro BEFORE the current
+    * timestamp — the running max of prior-side ts IS the as-of match
+    * because ts is the sort key. The RANGE frame (like firstTouch's)
+    * makes "strictly prior" a statement about TIME: a same-timestamp
+    * prior-type event is excluded no matter how ids interleave,
+    * where a ROWS frame would admit it when its tiebreak sorted
+    * earlier. */
   def asofPriorEvent(events: DataFrame, ofType: String, priorType: String): DataFrame = {
     val tagged = events
       .filter(col("event_type").isin(ofType, priorType))
       .select(
-        col("user_id"), col("ts"), col("event_id"), col("event_type"),
-        when(col("event_type") === priorType, col("ts")).as("prior_tag"))
-    val upToPrev = Window.partitionBy("user_id")
-      .orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+        col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t_us"),
+        when(col("event_type") === priorType, unix_micros(col("ts"))).as("prior_us"))
+    val strictlyPrior = Window.partitionBy("user_id").orderBy(col("t_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
     tagged
-      .withColumn("asof_ts", max(col("prior_tag")).over(upToPrev))
+      .withColumn("asof_us", max(col("prior_us")).over(strictlyPrior))
       .filter(col("event_type") === ofType)
       .select(
         col("event_id"), col("user_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        unix_micros(col("asof_ts")).as("asof_us"))
+        col("t_us").as("ts_us"),
+        col("asof_us"))
   }
 
   def asofQuery(spark: SparkSession, dir: String): DataFrame =

@@ -25,8 +25,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * time + TTL, so stalled users can't accrete state forever.
   *
   * Scale: one shuffle on user_id carrying (type, ts) pairs only; the
-  * state row is two scalars. Hot users are bounded by per-user event
-  * rate, not corpus size.
+  * PERSISTED state row is two scalars. Hot users are bounded by
+  * per-user event rate, not corpus size — but note the TRANSIENT
+  * cost: update() materializes each user's arrivals WITHIN a
+  * micro-batch (it.toArray) to sort them, so one hot key in a huge
+  * trigger holds that batch's arrivals in executor memory at once.
+  * Sorting requires materialization; bound trigger size at the source
+  * (e.g. maxOffsetsPerTrigger / maxFilesPerTrigger) if a key can see
+  * millions of events per trigger.
   */
 object StreamFunnel {
 

@@ -74,10 +74,13 @@ object ScaleProbe {
       // parquet so Tables' nanosAsLong path reads both the same way.
       val evRaw = spark.read.parquet(s"$baseDir/events.parquet")
       val nUsers = evRaw.agg(max("user_id")).head().getLong(0) + 1
+      // stride from the base table, like nUsers: a fixed literal stride
+      // would silently collide once the base table outgrew it
+      val nEvents = evRaw.agg(max("event_id")).head().getLong(0) + 1
       val reps = spark.range(replicas).select(col("id").as("rep"))
       evRaw.crossJoin(reps)
         .select(
-          (col("event_id") + col("rep") * 10000000L).as("event_id"),
+          (col("event_id") + col("rep") * nEvents).as("event_id"),
           col("ts"),
           (col("user_id") + col("rep") * nUsers).as("user_id"),
           col("event_type"), col("value"), col("props"))

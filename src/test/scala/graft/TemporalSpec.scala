@@ -51,6 +51,25 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((10L, -1L), (13L, v1020), (15L, v1020), (16L, -1L)))
   }
 
+  test("asof equal-timestamp boundary: same-instant prior event is NOT prior") {
+    // "strictly prior" is a statement about TIME (value-based RANGE
+    // frame): a view at the purchase's exact timestamp must not match
+    // regardless of event_id order — id 20 < 22 AND id 23 > 22 both
+    // stay excluded; only the strictly earlier view (1 ms) matches.
+    val base = ts("2026-01-01 10:00:00").getTime
+    val ev = Seq(
+      (20L, 1L, new Timestamp(base), "view"),      // same instant, smaller id
+      (22L, 1L, new Timestamp(base), "purchase"),
+      (23L, 1L, new Timestamp(base), "view"),      // same instant, larger id
+      (30L, 2L, new Timestamp(base - 1L), "view"), // 1 ms earlier -> matches
+      (31L, 2L, new Timestamp(base), "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Temporal.asofPriorEvent(ev, "purchase", "view")
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+    assert(got.toSeq === Seq((22L, -1L), (31L, (base - 1L) * 1000L)))
+  }
+
   test("windowed count: half-open boundary (t-5min excluded, t included)") {
     val base = ts("2026-01-01 10:10:00").getTime
     val ev = Seq(

@@ -201,6 +201,13 @@ object SparkEntry {
     // the measured path is assignment + encode + ADC — IVFADC's
     // serving steady state.
     "emb_ivfpq_topk" -> ((s, d) => Similarity.ivfpqTopK(s, d)),
+    // rows-only by nature (same approximation as emb_ivfpq_topk);
+    // SimilaritySpec asserts BIT-parity with the in-memory IVFADC path
+    // under the same trained artifacts. This is the SERVING shape: the
+    // (list_id-bucketed) code table + centroid/codebook side tables
+    // are built once per (dir, params) and every execution pays
+    // LUT + probed-bucket ADC only — no re-encode of the corpus.
+    "emb_ivfpq_served" -> ((s, d) => Similarity.ivfpqServedTopK(s, d)),
     // rows-only by nature: bucketed near-dup is approximate (bucket
     // collisions gate candidate pairs); SimilaritySpec asserts the
     // planted duplicates are found.

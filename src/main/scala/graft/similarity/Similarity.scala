@@ -203,53 +203,71 @@ object Similarity {
               nPlanes: Int = 4, nTables: Int = 8, dims: Int = 64): DataFrame =
     lshTopKOn(corpus(spark, dir), nQueries, k, nPlanes, nTables, dims)
 
+  /** nlist ≈ 4√n, the standard IVF re-listing rule, clamped so every
+    * list keeps ≥ ~32 vectors (k-means with more centroids than the
+    * data supports degenerates) and floored at the historical 16 so
+    * small corpora — every driver testdata scale — resolve to exactly
+    * the pre-auto behavior. With nlist FIXED, per-list occupancy (and
+    * so per-query scoring cost at fixed nProbe) grows linearly with
+    * the corpus; under this rule it grows as √n/4 — the documented
+    * IVF trade. The same auto-scaling move as LSH's occupancy-scaled
+    * planes (cosineNearDupPairsOn) and SimHash's corpus-scaled blocks
+    * (Dedup.simhashPairs). */
+  def autoNlist(n: Long): Int =
+    math.max(16, math.min(4.0 * math.sqrt(n.toDouble), n / 32.0).toInt)
+
+  /** Coarse k-means centroids from a bounded deterministic sample (the
+    * pqCodebooks pattern): spark.ml k-means is multi-pass, and nlist
+    * centroids need distribution COVERAGE, not every row — fitting on
+    * the full corpus would be ~20 extra full scans at 100 TB just to
+    * build the centroid table. Sampling by hash rank, not id rank: on
+    * a real corpus vec_id correlates with ingest time / shard, so the
+    * head of the id space can miss whole modes; the xxhash64 order is
+    * seed-stable yet spread uniformly across ids. The sample grows
+    * with nlist (≥ 32 rows per centroid) so auto-scaled list counts
+    * stay trained; at the historical nlist=16 it is the historical
+    * 2000 — centroids (and every oracle/spec anchored to them) are
+    * unchanged. */
+  private def kmeansCentroids(all: DataFrame, nlist: Int): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val train = all.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(math.max(2000, 32 * nlist))
+      .select(array_to_vector(col("vec")).as("features")).cache()
+    try new KMeans().setK(nlist).setSeed(0L).setFeaturesCol("features")
+      .fit(train).clusterCenters.map(_.toArray)
+    finally train.unpersist()
+  }
+
   /** IVF (inverted-file) ANN — the k-means coarse-quantizer scale path
-    * (the FAISS IVF-Flat shape): train `nlist` centroids (spark.ml
-    * KMeans, seed 0), assign every corpus vector to its nearest
+    * (the FAISS IVF-Flat shape): train centroids (`nlist`, or ≈ 4√n
+    * auto when <= 0), assign every corpus vector to its nearest
     * centroid in one scan (the inverted lists are simply a partitioning
     * of the corpus by list_id), rank lists per query by centroid L2
     * distance and probe the nearest `nProbe`, then exact-cosine re-rank
     * inside the probed lists only.
     *
-    * Scale design: the centroid table is nlist rows — broadcast; the
-    * probe step shuffles only (query_id, list_id); the candidate join
-    * is an equality join on list_id touching nProbe/nlist of the
-    * corpus. Recall grows with nProbe, and nProbe = nlist degenerates
-    * to exact brute force (SimilaritySpec asserts bit-equality with
-    * bruteForceTopKOn in that limit). */
+    * Scale design: the centroid table constant-folds to one broadcast
+    * literal; the probe step shuffles only (query_id, list_id); the
+    * candidate join is an equality join on list_id touching
+    * nProbe/nlist of the corpus. Recall grows with nProbe, and
+    * nProbe = nlist degenerates to exact brute force (SimilaritySpec
+    * asserts bit-equality with bruteForceTopKOn in that limit). */
   def ivfTopKOn(all: DataFrame, nQueries: Int = 5, k: Int = 3,
-                nlist: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+                nlist: Int = 0, nProbe: Int = 4): DataFrame = {
     val spark = all.sparkSession
     VectorExpressions.register(spark)
-    val feat = all.withColumn("features", array_to_vector(col("vec")))
-    // coarse quantizer trained on a bounded deterministic sample (the
-    // pqCodebooks pattern): spark.ml k-means is multi-pass, and nlist
-    // centroids need distribution COVERAGE, not every row — fitting on
-    // the full corpus would be ~20 extra full scans at 100 TB just to
-    // build a 16-row centroid table. The single full-corpus pass that
-    // remains is the list assignment below. Sampling by hash rank, not
-    // id rank: on a real corpus vec_id correlates with ingest time /
-    // shard, so the head of the id space can miss whole modes; the
-    // xxhash64 order is seed-stable yet spread uniformly across ids.
-    val train = feat.orderBy(xxhash64(col("vec_id")), col("vec_id"))
-      .limit(2000).select("features").cache()
-    val model =
-      try new KMeans().setK(nlist).setSeed(0L)
-        .setFeaturesCol("features").setPredictionCol("list_id").fit(train)
-      finally train.unpersist()
-    val assigned = model.transform(feat).drop("features")
-    import spark.implicits._
-    val centDf = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("list_id", "cvec")
-    val l2sq = (a: Column, b: Column) =>
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+    val lists = if (nlist > 0) nlist else autoNlist(all.count())
+    val cent = kmeansCentroids(all, lists)
+    val centLit = array(cent.map(c => array(c.map(lit): _*)): _*)
+    val assigned = assignLists(all, cent)
     val q = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
     val wProbe = Window.partitionBy("query_id").orderBy(col("dist"), col("list_id"))
-    val probed = q.select("query_id", "qv").crossJoin(broadcast(centDf))
-      .withColumn("dist", l2sq(col("qv"), col("cvec")))
+    val probed = q.select("query_id", "qv")
+      .withColumn("cl", explode(transform(centLit, (c, i) =>
+        struct(i.cast("int").as("list_id"), l2sqCol(col("qv"), c).as("dist")))))
+      .select(col("query_id"), col("cl.list_id"), col("cl.dist"))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nProbe)
       .select("query_id", "list_id")
@@ -268,7 +286,7 @@ object Similarity {
   }
 
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
-              nlist: Int = 16, nProbe: Int = 4): DataFrame =
+              nlist: Int = 0, nProbe: Int = 4): DataFrame =
     ivfTopKOn(corpus(spark, dir), nQueries, k, nlist, nProbe)
 
   /** Product quantization (PQ) top-k — the last rung of the ANN memory
@@ -408,21 +426,15 @@ object Similarity {
     *
     * nlist is the corpus-scale dial (the fixed-resolution caveat of
     * PLANS.md applies): with nlist fixed, per-list occupancy — and so
-    * per-query scoring cost — grows linearly with the corpus. The
-    * standard setting is nlist ≈ 4√n (with the training sample grown
-    * to ≳ 32·nlist rows); it is an explicit parameter here rather than
-    * an auto default because re-listing is a training-time layout
-    * decision a serving pipeline schedules deliberately, not per query. */
-  def ivfpqTrain(all: DataFrame, nlist: Int = 16, m: Int = 16,
+    * per-query scoring cost — grows linearly with the corpus. nlist
+    * <= 0 applies the ≈ 4√n auto rule (autoNlist, with the training
+    * sample grown to ≥ 32·nlist rows by kmeansCentroids); re-listing
+    * remains a training-time layout decision — it happens when an
+    * index is (re)built, never per query. */
+  def ivfpqTrain(all: DataFrame, nlist: Int = 0, m: Int = 16,
                  ksub: Int = 16): (Array[Array[Double]], Seq[Array[Array[Double]]]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val train = all.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(2000)
-      .select(array_to_vector(col("vec")).as("features")).cache()
-    val cent =
-      try new KMeans().setK(nlist).setSeed(0L).setFeaturesCol("features")
-        .fit(train).clusterCenters.map(_.toArray)
-      finally train.unpersist()
+    val lists = if (nlist > 0) nlist else autoNlist(all.count())
+    val cent = kmeansCentroids(all, lists)
     val resid = assignLists(all, cent)
       .withColumn("rvec", zip_with(col("vec"),
         element_at(array(cent.map(c => array(c.map(lit): _*)): _*), col("list_id") + 1),
@@ -441,19 +453,18 @@ object Similarity {
     * Exact norms normalize, keeping the metric cosine-shaped
     * (pqTopKOn's bookkeeping). Approximate by nature → rows-only;
     * SimilaritySpec bounds recall vs brute force. */
-  def ivfpqTopKWith(all: DataFrame, cent: Array[Array[Double]],
-                    books: Seq[Array[Array[Double]]], nQueries: Int = 5, k: Int = 3,
-                    nProbe: Int = 8): DataFrame = {
-    val spark = all.sparkSession
-    VectorExpressions.register(spark)
+  /** Residual PQ encode — the PERSISTED half of IVFADC: one corpus
+    * scan producing (cand_id, list_id, cn, codes). This is the
+    * relation `ivfpqBuildIndex` writes once, bucketed by list_id, so
+    * serving never re-runs it. */
+  def ivfpqEncode(all: DataFrame, cent: Array[Array[Double]],
+                  books: Seq[Array[Array[Double]]]): DataFrame = {
     val m = books.size
     val dim = all.select(size(col("vec"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
     val centLit = array(cent.map(c => array(c.map(lit): _*)): _*)
-    // encode: residual codes per subspace; float vectors drop at the
-    // checkpointed terminal code table, as in pqTopKWith
-    val coded = (0 until m).foldLeft(
+    (0 until m).foldLeft(
         assignLists(all, cent).withColumn("rvec",
           zip_with(col("vec"), element_at(centLit, col("list_id") + 1), (x, c) => x - c))) {
       (df, j) =>
@@ -461,11 +472,34 @@ object Similarity {
         df.withColumn(s"code$j", (array_position(dists, array_min(dists)) - 1).cast("int"))
     }.select(col("vec_id").as("cand_id"), col("list_id"), col("norm").as("cn"),
       array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
-      .localCheckpoint()
+  }
+
+  /** ADC-only scoring over an ALREADY-ENCODED code table — the
+    * query-time half of IVFADC; together with a persisted code table
+    * this is the serving steady state: per query, LUT construction
+    * over m·ksub residual centroids, list probing over nlist coarse
+    * centroids, and m table lookups per candidate in the probed
+    * lists. No float corpus vector is read and the code table is
+    * never re-encoded.
+    *
+    * `queries` is a (query_id, qv, qn) relation — bounded by the
+    * query batch, not the corpus. With `pruneScan` the probed list
+    * ids (nQueries × nProbe values, known before any corpus work) are
+    * collected and pushed into the code-table scan as a list_id IN
+    * filter — against the bucketed+sorted layout ivfpqBuildIndex
+    * writes, bucket pruning and row-group stats skip unprobed data on
+    * disk, so a query reads ~nProbe/nlist of the index. */
+  def ivfpqServe(coded: DataFrame, queries: DataFrame, cent: Array[Array[Double]],
+                 books: Seq[Array[Array[Double]]], k: Int = 3, nProbe: Int = 8,
+                 pruneScan: Boolean = false): DataFrame = {
+    VectorExpressions.register(coded.sparkSession)
+    val m = books.size
+    val dim = queries.select(size(col("qv"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val centLit = array(cent.map(c => array(c.map(lit): _*)): _*)
     // per-query residual-centroid LUTs + top-nProbe lists with their q·c
-    val q = all.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
-    val luts = (0 until m).foldLeft(q) { (df, j) =>
+    val luts = (0 until m).foldLeft(queries) { (df, j) =>
       df.withColumn(s"lut$j",
         transform(booksLit(books, j), c => ndot(slice(col("qv"), j * sub + 1, sub), c)))
     }.select(col("query_id"), col("qn"), col("qv"),
@@ -482,9 +516,17 @@ object Similarity {
       .select("query_id", "qn", "lut", "list_id", "qdotc")
     // candidates from probed lists only; the probed relation is
     // nQueries × nProbe rows — broadcast it so the code table never
-    // shuffles
+    // shuffles. pruneScan additionally turns the probed list set into
+    // a scan-side IN filter (bucket/row-group pruning on disk); it
+    // never changes results — the join key set is identical.
+    val scan =
+      if (pruneScan) {
+        val probedLists = probed.select("list_id").distinct()
+          .collect().map(_.getInt(0)).sorted
+        coded.filter(col("list_id").isin(probedLists.map(Integer.valueOf): _*))
+      } else coded
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
-    coded.join(broadcast(probed), Seq("list_id"))
+    scan.join(broadcast(probed), Seq("list_id"))
       .filter(col("query_id") =!= col("cand_id"))
       .withColumn("dot_adc",
         col("qdotc") + aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
@@ -496,7 +538,22 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  def ivfpqTopKOn(all: DataFrame, nQueries: Int = 5, k: Int = 3, nlist: Int = 16,
+  /** (query_id, qv, qn) batch: the `nQueries` lowest vec_ids. */
+  private def queriesOf(all: DataFrame, nQueries: Int): DataFrame =
+    all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+
+  def ivfpqTopKWith(all: DataFrame, cent: Array[Array[Double]],
+                    books: Seq[Array[Array[Double]]], nQueries: Int = 5, k: Int = 3,
+                    nProbe: Int = 8): DataFrame = {
+    VectorExpressions.register(all.sparkSession)
+    // float vectors drop at the checkpointed terminal code table, as
+    // in pqTopKWith
+    val coded = ivfpqEncode(all, cent, books).localCheckpoint()
+    ivfpqServe(coded, queriesOf(all, nQueries), cent, books, k, nProbe)
+  }
+
+  def ivfpqTopKOn(all: DataFrame, nQueries: Int = 5, k: Int = 3, nlist: Int = 0,
                   nProbe: Int = 8, m: Int = 16, ksub: Int = 16): DataFrame = {
     val (cent, books) = ivfpqTrain(all, nlist, m, ksub)
     ivfpqTopKWith(all, cent, books, nQueries, k, nProbe)
@@ -510,11 +567,90 @@ object Similarity {
     .empty[(String, Int, Int, Int), (Array[Array[Double]], Seq[Array[Array[Double]]])]
 
   def ivfpqTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
-                nlist: Int = 16, nProbe: Int = 8, m: Int = 16, ksub: Int = 16): DataFrame = {
+                nlist: Int = 0, nProbe: Int = 8, m: Int = 16, ksub: Int = 16): DataFrame = {
     if (ivfpqCache.size >= PqCacheMax) ivfpqCache.clear()
     val (cent, books) = ivfpqCache.getOrElseUpdate((dir, nlist, m, ksub),
       ivfpqTrain(corpus(spark, dir), nlist, m, ksub))
     ivfpqTopKWith(corpus(spark, dir), cent, books, nQueries, k, nProbe)
+  }
+
+  // ---------- persisted IVFADC serving layout ----------
+
+  /** One-time IVFADC index build — the serving layout: train (nlist
+    * auto-scaled unless given), residual-encode the corpus ONCE, and
+    * persist three tables in the session catalog:
+    *   {prefix}_codes      (cand_id, list_id, cn, codes) — bucketed
+    *                       AND sorted by list_id, so queries prune to
+    *                       their probed buckets/row-groups on disk;
+    *   {prefix}_centroids  (list_id, cvec) — nlist rows;
+    *   {prefix}_books      (subspace, code, cvec) — m·ksub rows.
+    * After this, a query pays LUT construction + ADC over
+    * ~nProbe/nlist of the code table — the corpus-proportional
+    * encode cost moves out of the query path entirely (it was the
+    * documented 12× linear profile in the round-7 10× probe).
+    * `nBuckets` sizes the on-disk bucketing: at production scale set
+    * it ~nlist/4 so a probed list maps to O(1) buckets; the default
+    * suits the testdata scales. */
+  def ivfpqBuildIndex(all: DataFrame, prefix: String, nlist: Int = 0, m: Int = 16,
+                      ksub: Int = 16, nBuckets: Int = 16): Unit = {
+    val spark = all.sparkSession
+    import spark.implicits._
+    // a previous JVM's build leaves warehouse directories behind while
+    // the in-memory catalog forgets the tables; saveAsTable refuses to
+    // create a managed table over a non-empty stray location, so clear
+    // orphaned locations (catalog-registered tables overwrite fine)
+    Seq("codes", "centroids", "books").foreach { suffix =>
+      val table = s"${prefix}_$suffix"
+      if (!spark.catalog.tableExists(table)) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) fs.delete(path, true)
+      }
+    }
+    val (cent, books) = ivfpqTrain(all, nlist, m, ksub)
+    graft.sources.Bucketed.writeBucketed(
+      ivfpqEncode(all, cent, books), s"${prefix}_codes", "list_id", nBuckets)
+    cent.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list_id", "cvec")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_centroids")
+    books.zipWithIndex.flatMap { case (b, j) =>
+        b.zipWithIndex.map { case (c, code) => (j, code, c.toSeq) } }.toSeq
+      .toDF("subspace", "code", "cvec")
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_books")
+  }
+
+  /** Deterministic catalog-safe index name per (dir, params). */
+  private def indexPrefix(dir: String, nlist: Int, m: Int, ksub: Int): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$nlist|$m|$ksub".getBytes("UTF-8"))
+    "graft_ivfpq_" + md.take(5).map("%02x".format(_)).mkString
+  }
+
+  /** IVFADC over the PERSISTED index — the serving path: builds the
+    * index on first use per (dir, params) (the same immutable-dir
+    * contract as pqBookCache; the catalog is the memo), then every
+    * query reads centroids + codebooks (nlist and m·ksub rows — tiny)
+    * and ADC-scans only the probed buckets of the code table. Bit-
+    * identical to the in-memory ivfpqTopKWith under the same trained
+    * artifacts (SimilaritySpec asserts it): parquet round-trips
+    * doubles and ints exactly, and serve-side expressions are shared
+    * code. */
+  def ivfpqServedTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
+                      nProbe: Int = 8, nlist: Int = 0, m: Int = 16, ksub: Int = 16): DataFrame = {
+    VectorExpressions.register(spark)
+    val prefix = indexPrefix(dir, nlist, m, ksub)
+    if (!spark.catalog.tableExists(s"${prefix}_codes"))
+      ivfpqBuildIndex(corpus(spark, dir), prefix, nlist, m, ksub)
+    val cent = spark.table(s"${prefix}_centroids").orderBy("list_id").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("cvec").toArray)
+    val books = spark.table(s"${prefix}_books").orderBy("subspace", "code").collect()
+      .groupBy(_.getAs[Int]("subspace")).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getAs[Int]("code"))
+          .map(_.getAs[scala.collection.Seq[Double]]("cvec").toArray) }
+    ivfpqServe(spark.table(s"${prefix}_codes"), queriesOf(corpus(spark, dir), nQueries),
+      cent, books, k, nProbe, pruneScan = true)
   }
 
   /** Per-label embedding stats: mean L2 norm and count — oracle-checkable

@@ -136,6 +136,41 @@ class SimilaritySpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("served IVFADC is bit-identical to the in-memory path; scan pruning changes nothing") {
+    val all = Similarity.corpus(spark, sf0001).cache()
+    // same trained artifacts through both paths: the served path reads
+    // them back from the persisted side tables (parquet round-trips
+    // doubles exactly), so any divergence is a serve-path bug
+    val served = Similarity.ivfpqServedTopK(spark, sf0001).collect().toSeq
+    val (cent, books) = Similarity.ivfpqTrain(all)
+    val inMem = Similarity.ivfpqTopKWith(all, cent, books).collect().toSeq
+    assert(served === inMem, "served IVFADC diverged from the in-memory path")
+    // second execution serves from the already-built index (the memo
+    // is the catalog) and must be identical again
+    assert(Similarity.ivfpqServedTopK(spark, sf0001).collect().toSeq === inMem)
+    all.unpersist()
+  }
+
+  test("autoNlist: 4√n clamped to ≥32 occupancy, floor 16; occupancy sublinear at 10x") {
+    // small corpora (every driver testdata scale) resolve to the
+    // historical 16, so oracle/recall anchors are unchanged
+    assert(Similarity.autoNlist(500L) === 16)
+    assert(Similarity.autoNlist(512L) === 16)
+    // growth: nlist rises with the corpus, occupancy n/nlist grows as
+    // √n/4 — at 10x rows, per-list occupancy (the per-query scoring
+    // cost at fixed nProbe) grows ≤ ~√10, never 10x
+    for (n <- Seq(2000L, 20000L, 200000L, 2000000L)) {
+      val nl = Similarity.autoNlist(n)
+      val nl10 = Similarity.autoNlist(10 * n)
+      assert(nl10 > nl, s"nlist must grow with the corpus (n=$n)")
+      val occRatio = (10 * n / nl10.toDouble) / (n / nl.toDouble)
+      assert(occRatio <= 3.5, s"occupancy ratio $occRatio at 10x of n=$n")
+      assert(n / nl.toDouble >= 31.0, s"occupancy below the k-means floor at n=$n")
+    }
+    // the 4√n regime: at 1M vectors nlist is ~4000, not n/32
+    assert(math.abs(Similarity.autoNlist(1000000L) - 4000) <= 1)
+  }
+
   test("near-dup pairs find exactly the planted duplicate pair") {
     // 8-dim: two near-identical vectors (cos > 0.999) among orthogonal-ish noise.
     val base = Seq(1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.0)

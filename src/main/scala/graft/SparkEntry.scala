@@ -157,6 +157,10 @@ object SparkEntry {
     "txt_chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlapQuery(s, d)),
     // tf × ln(N/df) keyword extraction, top-3 per doc
     "txt_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTopQuery(s, d)),
+    // BPE merge-pair vocab induction, k=10 rounds, deterministic
+    // tie-break — the merge table is exactly reproducible in SQL
+    // (greedy-overlap rule and all), so it is oracled end to end
+    "txt_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergesQuery(s, d)),
     "txt_lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "txt_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).select("doc_id", "md5_fp")),
     // rows-only by nature: language ID is a scored n-gram heuristic with
@@ -235,6 +239,58 @@ object SparkEntry {
       |FROM bands a JOIN bands b
       |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)
+
+  /** Unrolled k-round BPE oracle: per round, MATERIALIZED CTEs (each
+    * is referenced twice downstream — without materialization DuckDB
+    * re-inlines them and the plan blows up exponentially in k), the
+    * same (count DESC, lhs, rhs) argmax, and greedy left-to-right
+    * merge application via gaps-and-islands: within each run of
+    * consecutive matching positions, even offsets are merge starts
+    * ("aaa" merges once) and lag(start) marks the consumed right
+    * halves. */
+  private def bpeOracleSql(k: Int): String = {
+    val head =
+      """WITH w AS (
+        |  SELECT token AS word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY 1),
+        |t0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    list_transform(generate_series(1, len(word)), i -> substr(word, i, 1)) AS syms
+        |  FROM w)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s""",
+         |q$r AS MATERIALIZED (
+         |  SELECT word, freq, i, syms[i] AS sym, syms[i+1] AS nxt FROM (
+         |    SELECT word, freq, syms,
+         |      unnest(generate_series(1, len(syms))) AS i FROM t${r - 1})),
+         |b$r AS MATERIALIZED (
+         |  SELECT sym AS lhs, nxt AS rhs, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM q$r WHERE nxt IS NOT NULL GROUP BY 1, 2
+         |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |s$r AS (
+         |  SELECT word, freq, i, sym, nxt,
+         |    CASE WHEN mtch THEN ((i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0)
+         |         ELSE false END AS strt
+         |  FROM (
+         |    SELECT *, CASE WHEN mtch
+         |        THEN i - row_number() OVER (PARTITION BY word, mtch ORDER BY i)
+         |        ELSE NULL END AS grp
+         |    FROM (SELECT q.*, (q.sym = b.lhs AND q.nxt = b.rhs) AS mtch
+         |          FROM q$r q CROSS JOIN b$r b))),
+         |t$r AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    list(CASE WHEN strt THEN sym || nxt ELSE sym END ORDER BY i) AS syms
+         |  FROM (SELECT *,
+         |      coalesce(lag(strt) OVER (PARTITION BY word ORDER BY i), false) AS consumed
+         |    FROM s$r)
+         |  WHERE NOT consumed GROUP BY word, freq)""".stripMargin
+    }.mkString
+    val tail = (1 to k).map { r =>
+      s"SELECT $r AS merge_idx, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM b$r"
+    }.mkString("\n", "\nUNION ALL ", "\nORDER BY merge_idx")
+    head + rounds + tail
+  }
 
   def oracleSql: Map[String, String] = Map(
     "s2_point_lookup" ->
@@ -1054,6 +1110,7 @@ object SparkEntry {
         |  CAST(sum(oov) AS BIGINT) AS n_oov,
         |  round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_bpe_merges" -> bpeOracleSql(10),
     "txt_tfidf_top" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

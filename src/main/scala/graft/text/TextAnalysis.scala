@@ -288,4 +288,90 @@ object TextAnalysis {
 
   def packSequencesQuery(spark: SparkSession, dir: String, maxLen: Int = 512): DataFrame =
     packSequences(Tables(spark, dir, "documents"), maxLen)
+
+  /** BPE merge-pair vocabulary induction — the tokenizer-training
+    * kernel (Sennrich's algorithm): start from words as character
+    * sequences, repeatedly (1) count adjacent symbol pairs weighted by
+    * word frequency, (2) pick the most frequent pair with a
+    * DETERMINISTIC tie-break (count DESC, lhs ASC, rhs ASC — the
+    * vocabOov rule), (3) greedily merge left-to-right non-overlapping
+    * occurrences in every word. Emits the merge table
+    * (merge_idx, lhs, rhs, merged, pair_count) — the artifact a BPE
+    * tokenizer IS; it is exactly reproducible in SQL, so the query is
+    * oracled end to end, tie-breaks, overlap rule and all.
+    *
+    * Scale: the corpus is scanned ONCE into the word-frequency
+    * relation; everything after is vocabulary-sized (Heaps' law —
+    * sublinear in corpus tokens). Each round shuffles the vocab table
+    * on pair keys and pulls exactly ONE argmax row to the driver (the
+    * sanctioned iterative-driver pattern: HMRF's K-row param pulls);
+    * merge application is pure codegen'd HOF map work, and a per-round
+    * localCheckpoint truncates the k-deep lineage. Overlap semantics:
+    * pair counting counts every adjacent position (so "aaa" gives
+    * (a,a) weight 2 — Sennrich's get_stats), while application merges
+    * greedily left-to-right (so "aaa" -> ["aa", "a"]). */
+  def bpeMerges(docs: DataFrame, k: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs
+      .select(explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var cur = words.withColumn("syms",
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))))
+      .select("freq", "syms")
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val best = cur
+        .select(col("freq"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((r, l, rr, l + rr, cnt))
+        // greedy left-to-right merge as a codegen'd fold over
+        // positions: skip consumes the right half of a just-merged
+        // pair, so overlapping occurrences ("aaa") merge only once
+        val n = size(col("syms"))
+        cur = cur.withColumn("syms", aggregate(
+            sequence(lit(1), n),
+            struct(array().cast("array<string>").as("out"),
+              lit(false).as("skip")),
+            (acc, i) => {
+              // get() is 0-based and yields null (not an ANSI error)
+              // past the end, exactly what the lookahead needs
+              val s = get(col("syms"), i - 1)
+              val isMatch = s === lit(l) &&
+                (get(col("syms"), i) <=> lit(rr))
+              when(acc.getField("skip"),
+                struct(acc.getField("out").as("out"), lit(false).as("skip")))
+                .when(isMatch,
+                  struct(concat(acc.getField("out"), array(lit(l + rr))).as("out"),
+                    lit(true).as("skip")))
+                .otherwise(
+                  struct(concat(acc.getField("out"), array(s)).as("out"),
+                    lit(false).as("skip")))
+            },
+            acc => acc.getField("out")))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    merges.result()
+      .toDF("merge_idx", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_idx")
+  }
+
+  def bpeMergesQuery(spark: SparkSession, dir: String): DataFrame =
+    bpeMerges(Tables(spark, dir, "documents"))
 }

@@ -91,9 +91,16 @@ object ScaleProbe {
 
     val probeQueries = Seq("dedup_minhash_pairs", "dedup_clusters",
       "emb_lsh_topk", "emb_near_dup", "dedup_simhash_pairs", "txt_pack_sequences",
-      "emb_ivfpq_topk", "w_sessionize", "j_asof_prior_view", "j_range_window_count",
+      "emb_ivfpq_topk", "emb_ivfpq_served", "w_sessionize", "j_asof_prior_view",
+      "j_range_window_count",
       "funnel_stages", "retention_cohorts", "txt_vocab_oov", "txt_tfidf_top",
       "j_attr_first_touch", "txt_curation_keep", "f9_json_quarantine")
+    // queries whose FIRST execution per dir includes a one-time index
+    // build (the serving layout's whole point is build-once): pre-run
+    // untimed on BOTH dirs so the timed runs measure steady-state
+    // serving, not index construction — that cost is emb_ivfpq_topk's
+    // row, which re-encodes per run by design
+    val prebuilt = Set("emb_ivfpq_served")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -104,6 +111,7 @@ object ScaleProbe {
 
     // one untimed warmup per query at base scale primes codegen/JIT
     probeQueries.foreach(time(_, baseDir))
+    prebuilt.foreach(time(_, bigDir))
     val results = probeQueries.map { q =>
       val tBase = time(q, baseDir)
       val tBig = time(q, bigDir)

@@ -133,4 +133,37 @@ class TextSpec extends AnyFunSuite {
       assert(r.getAs[Int]("n_subwords") >= r.getAs[Int]("n_tokens"))
     }
   }
+
+  test("BPE merges: greedy overlap rule, merge-on-merged, exhaustion stop") {
+    // "aaa" holds TWO (a,a) positions (Sennrich pair counting) but
+    // greedy application merges only the first: ["aa", "a"]
+    val docs = Seq((1L, "aa aa aaa"), (2L, "")).toDF("doc_id", "text")
+    val m = TextAnalysis.bpeMerges(docs, k = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    // round 1: (a,a) weight 4 = 1+1 from the two "aa" + 2 from "aaa";
+    // round 2: the leftover ["aa","a"] pairs (aa,a) once; then no
+    // pairs remain anywhere -> the loop stops short of k
+    assert(m === Array((1, "a", "a", "aa", 4L), (2, "aa", "a", "aaa", 1L)))
+  }
+
+  test("BPE on the corpus: k rounds, non-increasing counts, chained merges well-formed") {
+    val m = TextAnalysis.bpeMerges(
+      Tables(spark, sf0001, "documents"), k = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(m.length === 10)
+    assert(m.map(_._1).toSeq === (1 to 10))
+    // the argmax count can never rise round over round: every pair a
+    // merge creates occurs at most as often as the pair just merged
+    m.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 <= a._5, s"counts must be non-increasing: $a then $b") }
+    // merged symbol is the concatenation, and any multi-char side must
+    // itself be a previously produced merge (the BPE vocab property)
+    val produced = scala.collection.mutable.Set[String]()
+    m.foreach { case (_, l, r, merged, _) =>
+      assert(merged === l + r)
+      Seq(l, r).filter(_.length > 1).foreach(s =>
+        assert(produced.contains(s), s"side $s not a prior merge"))
+      produced += merged
+    }
+  }
 }

@@ -42,6 +42,15 @@ object Dicom {
   val ExplicitVrLe = "1.2.840.10008.1.2.1"
   val JpegBaseline = "1.2.840.10008.1.2.4.50"
   val RleLossless = "1.2.840.10008.1.2.5"
+  /** JPEG Lossless, non-hierarchical, first-order prediction (process
+    * 14, selection value 1) — the common CT archive transfer syntax
+    * (reference reads it via pydicom+pylibjpeg,
+    * hough_heart_detector.py:42-84). Decoded by a from-scratch ITU-T
+    * T.81 Annex-H walk below: SOF3 frame, DC-style Huffman categories,
+    * SV1 prediction (left; above at each row start), mod-2^16
+    * arithmetic — pure JVM and, being lossless, bit-exact against the
+    * native leg. */
+  val JpegLossless = "1.2.840.10008.1.2.4.70"
 
   /** Parse one explicit-VR-LE DICOM file (native or JPEG-baseline
     * encapsulated); pixels are already rescaled (slope·raw +
@@ -131,11 +140,19 @@ object Dicom {
         raw = Array.tabulate(rows * cols)(i => raster.getSample(i % cols, i / cols, 0))
       case RleLossless =>
         raw = decodeRle(encapsulated, rows * cols)
+      case JpegLossless =>
+        val (jr, jc, px) = decodeJpegLossless(encapsulated)
+        if (rows == 0) rows = jr
+        if (cols == 0) cols = jc
+        require(rows == jr && cols == jc,
+          s"PixelData ${jr}x$jc disagrees with header ${rows}x$cols")
+        raw = px
       case other =>
         throw new IllegalArgumentException(
           s"unsupported compressed transfer syntax '$other' — only JPEG " +
-            s"baseline ($JpegBaseline) and RLE Lossless ($RleLossless) decode " +
-            "here; swap in a fuller codec at this point for other syntaxes")
+            s"baseline ($JpegBaseline), JPEG Lossless SV1 ($JpegLossless) " +
+            s"and RLE Lossless ($RleLossless) decode here; swap in a fuller " +
+            "codec at this point for other syntaxes")
     }
     require(raw != null && rows > 0 && cols > 0, "no PixelData / dimensions")
     Slice(rows, cols, zPos, instance, slope, intercept,
@@ -209,6 +226,207 @@ object Dicom {
     hdr.putInt(8, 64 + seg0.size())
     val out = new ByteArrayOutputStream()
     out.write(hdr.array()); seg0.writeTo(out); seg1.writeTo(out)
+    out.toByteArray
+  }
+
+  // ---------- JPEG Lossless SV1 (T.81 Annex H, process 14) ----------
+
+  /** Canonical Huffman decode tables (T.81 F.2.2.3): per code length,
+    * the smallest/largest code and the HUFFVAL offset. maxCode = -1
+    * marks lengths with no codes. */
+  private final case class HuffTable(minCode: Array[Int], maxCode: Array[Int],
+                                     valPtr: Array[Int], vals: Array[Int])
+
+  private def buildHuff(bits: Array[Int], vals: Array[Int]): HuffTable = {
+    val minCode = new Array[Int](17)
+    val maxCode = Array.fill(17)(-1)
+    val valPtr = new Array[Int](17)
+    var code = 0
+    var k = 0
+    for (l <- 1 to 16) {
+      if (bits(l - 1) > 0) {
+        valPtr(l) = k
+        minCode(l) = code
+        code += bits(l - 1)
+        k += bits(l - 1)
+        maxCode(l) = code - 1
+      }
+      code <<= 1
+    }
+    HuffTable(minCode, maxCode, valPtr, vals)
+  }
+
+  /** MSB-first bit reader over entropy-coded data: 0xFF00 unstuffs to
+    * a data 0xFF; any other marker mid-scan fails fast (no restart
+    * intervals in this subset). */
+  private final class JBitReader(cs: Array[Byte], start: Int) {
+    private var p = start
+    private var cur = 0
+    private var nbits = 0
+    def nextBit(): Int = {
+      if (nbits == 0) {
+        require(p < cs.length, "JPEG-lossless: ran out of entropy data")
+        val b = cs(p) & 0xff; p += 1
+        if (b == 0xff) {
+          val nxt = if (p < cs.length) cs(p) & 0xff else 0xd9
+          require(nxt == 0x00,
+            f"JPEG-lossless: unexpected marker FF$nxt%02X inside the scan")
+          p += 1
+        }
+        cur = b; nbits = 8
+      }
+      nbits -= 1
+      (cur >> nbits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+  }
+
+  private def huffDecode(r: JBitReader, t: HuffTable): Int = {
+    var l = 1
+    var code = r.nextBit()
+    while (code > t.maxCode(l) || t.maxCode(l) < 0) {
+      l += 1
+      require(l <= 16, "JPEG-lossless: invalid Huffman code")
+      code = (code << 1) | r.nextBit()
+    }
+    t.vals(t.valPtr(l) + code - t.minCode(l))
+  }
+
+  /** Single-component SOF3 codestream → (rows, cols, unsigned
+    * samples). SV1 prediction: left neighbor; the row start predicts
+    * from above; the very first sample from 2^(P-1). Differences are
+    * Huffman categories + sign-extended magnitude bits (T.81 H.1.2),
+    * reconstruction is mod-2^16 (lossless by construction). Fails
+    * fast on any feature outside the subset (other SOFs, restart
+    * intervals, point transform, multi-component scans). */
+  private def decodeJpegLossless(cs: Array[Byte]): (Int, Int, Array[Int]) = {
+    def u8(i: Int) = cs(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    require(cs.length > 4 && u16(0) == 0xffd8, "JPEG-lossless: missing SOI")
+    var p = 2
+    var precision, rows, cols = 0
+    var predictor, pt = -1
+    val tables = scala.collection.mutable.Map[Int, HuffTable]()
+    var scanTable: HuffTable = null
+    var dataStart = -1
+    while (dataStart < 0) {
+      require(p + 3 < cs.length && u8(p) == 0xff,
+        s"JPEG-lossless: expected a marker at offset $p")
+      val m = u8(p + 1)
+      val segEnd = p + 2 + u16(p + 2)
+      m match {
+        case 0xc3 => // SOF3: lossless, non-hierarchical
+          precision = u8(p + 4); rows = u16(p + 5); cols = u16(p + 7)
+          require(u8(p + 9) == 1,
+            s"JPEG-lossless: ${u8(p + 9)} components (grayscale subset is 1)")
+          require(precision >= 2 && precision <= 16,
+            s"JPEG-lossless: precision $precision")
+        case 0xc4 => // DHT (possibly several tables in one segment)
+          var q = p + 4
+          while (q < segEnd) {
+            val id = u8(q) & 0x0f
+            val bits = Array.tabulate(16)(i => u8(q + 1 + i))
+            val nsym = bits.sum
+            tables(id) = buildHuff(bits, Array.tabulate(nsym)(i => u8(q + 17 + i)))
+            q += 17 + nsym
+          }
+        case 0xda => // SOS
+          require(u8(p + 4) == 1, "JPEG-lossless: multi-component scan")
+          scanTable = tables.getOrElse(u8(p + 6) >> 4,
+            throw new IllegalArgumentException("JPEG-lossless: missing DHT"))
+          predictor = u8(p + 7) // Ss reinterpreted as predictor selection
+          pt = u8(p + 9) & 0x0f // Al reinterpreted as point transform
+          require(predictor == 1,
+            s"JPEG-lossless: only selection value 1 decodes here, got $predictor")
+          require(pt == 0, s"JPEG-lossless: point transform $pt unsupported")
+          dataStart = segEnd
+        case 0xdd =>
+          throw new IllegalArgumentException(
+            "JPEG-lossless: restart intervals unsupported in this subset")
+        case app if app >= 0xe0 && app <= 0xef => () // APPn: skip
+        case 0xfe => () // COM: skip
+        case other =>
+          throw new IllegalArgumentException(
+            f"JPEG-lossless: unsupported marker FF$other%02X (SOF3 subset)")
+      }
+      p = segEnd
+    }
+    require(rows > 0 && cols > 0, "JPEG-lossless: SOS before SOF3")
+    val out = new Array[Int](rows * cols)
+    val r = new JBitReader(cs, dataStart)
+    var i = 0
+    while (i < out.length) {
+      val ssss = huffDecode(r, scanTable)
+      val diff =
+        if (ssss == 0) 0
+        else if (ssss == 16) 32768 // category 16 carries no extra bits
+        else {
+          val v = r.bits(ssss)
+          if (v < (1 << (ssss - 1))) v - (1 << ssss) + 1 else v // EXTEND
+        }
+      val px =
+        if (i == 0) 1 << (precision - 1)
+        else if (i % cols == 0) out(i - cols) // row start: above
+        else out(i - 1) // SV1: left
+      out(i) = (px + diff) & 0xffff
+      i += 1
+    }
+    (rows, cols, out)
+  }
+
+  /** JPEG-Lossless SV1 codestream for encapsulated fixtures: 16-bit
+    * precision, one fixed 17-symbol Huffman table (all categories at
+    * length 5, so canonical code(v) = v), byte stuffing included.
+    * Lossless, so specs assert bit-exact parity with the native leg —
+    * the decoder above round-trips these bytes exactly. */
+  def encodeJpegLossless16(raw: Array[Int], rows: Int, cols: Int): Array[Byte] = {
+    require(raw.length == rows * cols, "raw length != rows*cols")
+    val out = new ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    w16(0xffd8) // SOI
+    w16(0xffc3); w16(11); w8(16); w16(rows); w16(cols) // SOF3, P=16
+    w8(1); w8(1); w8(0x11); w8(0) // 1 component: id 1, 1x1 sampling
+    w16(0xffc4); w16(2 + 1 + 16 + 17); w8(0x00) // DHT class 0 id 0
+    for (l <- 1 to 16) w8(if (l == 5) 17 else 0)
+    for (v <- 0 to 16) w8(v)
+    w16(0xffda); w16(8); w8(1); w8(1); w8(0x00) // SOS: comp 1, table 0
+    w8(1); w8(0); w8(0) // Ss=1 (SV1), Se=0, Ah/Al=0
+    var acc = 0; var nacc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nacc += 1
+        if (nacc == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nacc = 0
+        }
+        i -= 1
+      }
+    }
+    var i = 0
+    while (i < raw.length) {
+      val px =
+        if (i == 0) 1 << 15
+        else if (i % cols == 0) raw(i - cols)
+        else raw(i - 1)
+      val diff = (((raw(i) - px) + 32768) & 0xffff) - 32768 // mod-2^16 wrap
+      if (diff == 0) putBits(0, 5)
+      else if (diff == -32768) putBits(16, 5)
+      else {
+        val ssss = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        putBits(ssss, 5)
+        putBits(if (diff >= 0) diff else diff + (1 << ssss) - 1, ssss)
+      }
+      i += 1
+    }
+    if (nacc > 0) putBits((1 << (8 - nacc)) - 1, 8 - nacc) // pad with 1s
+    w16(0xffd9) // EOI
     out.toByteArray
   }
 

@@ -61,6 +61,52 @@ class DicomSpec extends AnyFunSuite {
     assert(s.pixels.toSeq === raw.map(_ * 0.5 - 3.0).toSeq)
   }
 
+  test("JPEG-Lossless SV1 encapsulated PixelData round-trips bit-exact") {
+    val (rows, cols) = (16, 24)
+    // exercises every predictor path (first sample from 2^15, row
+    // starts from above, interior from left), the full category range
+    // including 16 (the 32768 -> 0 jump), negative diffs, and values
+    // whose magnitude bits are long 1-runs (to provoke 0xFF bytes and
+    // the stuffing path)
+    val raw = Array.tabulate(rows * cols) { i =>
+      if (i == 0) 32768
+      else if (i == 1) 0 // diff -32768: category 16
+      else if (i < 100) 40000 // big positive jump then flat
+      else if (i < 200) (i * 2654435761L % 65536).toInt // pseudo-random walk
+      else i % 7 // small diffs
+    }
+    val s = Dicom.parse(Dicom.synthesizeEncapsulated(rows, cols, zPos = 1.5,
+      instance = 4, slope = 2.0, intercept = 1.0,
+      fragment = Dicom.encodeJpegLossless16(raw, rows, cols),
+      transferSyntax = Dicom.JpegLossless))
+    assert((s.rows, s.cols, s.instance) === ((rows, cols, 4)))
+    // lossless: exact rescaled values, no approximate decoder in the loop
+    assert(s.pixels.toSeq === raw.map(_ * 2.0 + 1.0).toSeq)
+  }
+
+  test("JPEG-Lossless rejects other predictors and restart intervals by name") {
+    val raw = Array.tabulate(16)(identity)
+    val good = Dicom.encodeJpegLossless16(raw, 4, 4)
+    // patch Ss (predictor) from 1 to 2: byte layout is fixed by the
+    // encoder, SOS payload starts 5 bytes before the entropy data
+    val sosIdx = {
+      var i = 2
+      var at = -1
+      while (at < 0) {
+        if ((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda) at = i
+        else i += 1
+      }
+      at
+    }
+    val patched = good.clone()
+    patched(sosIdx + 7) = 2 // Ss byte
+    val e = intercept[IllegalArgumentException] {
+      Dicom.parse(Dicom.synthesizeEncapsulated(4, 4, 0.0, 1, 1.0, 0.0,
+        fragment = patched, transferSyntax = Dicom.JpegLossless))
+    }
+    assert(e.getMessage.contains("selection value 1"))
+  }
+
   test("unsupported compressed transfer syntax fails fast with the UID") {
     val jpeg2000 = "1.2.840.10008.1.2.4.90"
     val bytes = Dicom.synthesizeEncapsulated(4, 4, 0.0, 1, 1.0, 0.0,

@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // a 90-query bench/verify suite JIT-compiles thousands of Janino
+  // codegen classes; the JVM default 240m code cache fills near the
+  // tail of the suite, disabling compilation and inflating late
+  // queries (u2_otsu 0.25->0.95s r6->r7 on unchanged code)
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -161,6 +161,9 @@ object SparkEntry {
     // tie-break — the merge table is exactly reproducible in SQL
     // (greedy-overlap rule and all), so it is oracled end to end
     "txt_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergesQuery(s, d)),
+    // BPE apply: replay the learned merges over the corpus (pure map,
+    // shuffle only at the per-doc aggregate) — train-then-tokenize
+    "txt_bpe_tokenize" -> ((s, d) => TextAnalysis.bpeTokenizeQuery(s, d)),
     "txt_lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "txt_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).select("doc_id", "md5_fp")),
     // rows-only by nature: language ID is a scored n-gram heuristic with
@@ -290,6 +293,25 @@ object SparkEntry {
       s"SELECT $r AS merge_idx, lhs, rhs, lhs || rhs AS merged, cnt AS pair_count FROM b$r"
     }.mkString("\n", "\nUNION ALL ", "\nORDER BY merge_idx")
     head + rounds + tail
+  }
+
+  /** BPE apply oracle: the same k unrolled rounds, but the final
+    * select joins each document's words to the round-k tokenization
+    * t{k} (one row per distinct word) and aggregates per-doc subword
+    * stats — exactly the train-then-tokenize composition. */
+  private def bpeTokenizeOracleSql(k: Int): String = {
+    val merges = bpeOracleSql(k)
+    val cut = merges.lastIndexOf("\nSELECT 1 AS merge_idx")
+    merges.substring(0, cut) +
+      s""",
+         |dtok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT doc_id, CAST(sum(len(t.syms)) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_words,
+         |  round(sum(len(t.syms)) * 1.0 / count(*), 4) AS tokens_per_word
+         |FROM (SELECT doc_id, word FROM dtok WHERE len(word) > 0) d
+         |JOIN t$k t USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1111,6 +1133,7 @@ object SparkEntry {
         |  round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_bpe_merges" -> bpeOracleSql(10),
+    "txt_bpe_tokenize" -> bpeTokenizeOracleSql(10),
     "txt_tfidf_top" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

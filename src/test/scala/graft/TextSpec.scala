@@ -166,4 +166,24 @@ class TextSpec extends AnyFunSuite {
       produced += merged
     }
   }
+
+  test("BPE apply: merges shrink token counts, bounds hold, ordered replay matters") {
+    // "abab": merge list ((a,b) then (ab,ab)) tokenizes to ONE symbol
+    // only if replayed in order; chars = 4, so 1 < n_bpe < chars
+    val docs = Seq((1L, "abab ab cd")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTokenize(docs, Seq(("a", "b"), ("ab", "ab"))).collect()
+    assert(out.length === 1)
+    // abab -> [abab]; ab -> [ab]; cd -> [c, d]  => 4 subwords, 3 words
+    assert(out.head.getAs[Long]("n_bpe_tokens") === 4L)
+    assert(out.head.getAs[Long]("n_words") === 3L)
+    // corpus: every doc's subword count is between its word count
+    // (full merges) and its character count (no merges)
+    val docsCorpus = Tables(spark, sf0001, "documents")
+    val stats = TextAnalysis.bpeTokenizeQuery(spark, sf0001).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("n_bpe_tokens") >= r.getAs[Long]("n_words"))
+      assert(r.getAs[Double]("tokens_per_word") >= 1.0)
+    }
+  }
 }

@@ -37,6 +37,9 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     // last-writer-wins change application (MERGE INTO kernel)
     "cdc_apply" -> ((s, d) => Relational.cdcApply(s, d)),
+    // ANALYZE-style per-column profile (nulls / exact distinct /
+    // typed min-max) in long format — one aggregation pass
+    "profile_orders" -> ((s, d) => Relational.profileOrders(s, d)),
     // per-class balanced sample (cap docs per lang by hash rank)
     "sample_balanced" -> ((s, d) =>
       Relational.balancedSample(graft.Tables(s, d, "documents")
@@ -469,6 +472,24 @@ object SparkEntry {
         |      ORDER BY md5('bal:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) t
         |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin,
+    "profile_orders" -> Seq(
+      ("o_custkey", "num"), ("o_orderdate", "ts"), ("o_orderkey", "num"),
+      ("o_orderpriority", "str"), ("o_orderstatus", "str"), ("o_totalprice", "num"))
+      .map { case (c, k) =>
+        val (minN, maxN) = k match {
+          case "num" => (s"round(CAST(min($c) AS DOUBLE), 4)", s"round(CAST(max($c) AS DOUBLE), 4)")
+          case "ts" => (s"CAST(epoch_us(min($c)) AS DOUBLE)", s"CAST(epoch_us(max($c)) AS DOUBLE)")
+          case _ => ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        }
+        val (minS, maxS) =
+          if (k == "str") (s"min($c)", s"max($c)")
+          else ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  $minN AS min_num, $maxN AS max_num,
+           |  $minS AS min_str, $maxS AS max_str FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL ", "\nORDER BY col_name"),
     "cdc_apply" ->
       """WITH changes AS (
         |  SELECT o_custkey AS key,

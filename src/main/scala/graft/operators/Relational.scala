@@ -399,6 +399,73 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Table profiling — the ANALYZE-style per-column statistics pass a
+    * pipeline runs before trusting a new dataset: per column, null
+    * count, exact distinct count, and min/max (numerics as rounded
+    * doubles, timestamps as epoch micros, strings verbatim — each
+    * exactly reproducible cross-engine). Long format: one row per
+    * column, so downstream checks are joins, not schema surgery.
+    *
+    * Scale: ONE aggregation pass; the exact per-column distincts make
+    * Catalyst expand the scan ~once per profiled column (the standard
+    * exact-ANALYZE cost — grouping-set expansion, all map-side until
+    * the final agg). For a cheap continuous profile swap
+    * approx_count_distinct in — the same trade the a4 HLL rung
+    * documents; this query keeps exact counts because the oracle can
+    * then check them bit-for-bit. */
+  def profileColumns(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields.toSeq
+    // parquet timestamps without isAdjustedToUTC read as TIMESTAMP_NTZ
+    // (Spark 4 inference) — both flavors profile as epoch micros; the
+    // NTZ cast is deterministic under the fixed UTC session timezone
+    def kind(dt: DataType): String = dt match {
+      case _: NumericType => "num"
+      case _: TimestampType | _: TimestampNTZType => "ts"
+      case _: StringType => "str"
+      case _ => "other"
+    }
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        sum(c.isNull.cast("long")).as(s"${f.name}__nulls"),
+        countDistinct(c).as(s"${f.name}__distinct")) ++ (kind(f.dataType) match {
+        case "num" => Seq(
+          round(min(c).cast("double"), 4).as(s"${f.name}__min_num"),
+          round(max(c).cast("double"), 4).as(s"${f.name}__max_num"))
+        case "ts" => Seq(
+          unix_micros(min(c).cast("timestamp")).cast("double").as(s"${f.name}__min_num"),
+          unix_micros(max(c).cast("timestamp")).cast("double").as(s"${f.name}__max_num"))
+        case "str" => Seq(
+          min(c).as(s"${f.name}__min_str"),
+          max(c).as(s"${f.name}__max_str"))
+        case _ => Seq.empty
+      })
+    }
+    val entries = fields.map { f =>
+      val k = kind(f.dataType)
+      struct(
+        lit(f.name).as("col_name"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        col(s"${f.name}__distinct").as("n_distinct"),
+        (if (k == "num" || k == "ts") col(s"${f.name}__min_num")
+         else lit(null).cast("double")).as("min_num"),
+        (if (k == "num" || k == "ts") col(s"${f.name}__max_num")
+         else lit(null).cast("double")).as("max_num"),
+        (if (k == "str") col(s"${f.name}__min_str")
+         else lit(null).cast("string")).as("min_str"),
+        (if (k == "str") col(s"${f.name}__max_str")
+         else lit(null).cast("string")).as("max_str"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+
+  def profileOrders(spark: SparkSession, dir: String): DataFrame =
+    profileColumns(Tables(spark, dir, "orders"))
+
   /** S5 — update-rewrite: read → conditional column rewrite → (would be
     * an overwrite sink; here the projected view). routers.py:124-136. */
   def updateRewrite(spark: SparkSession, dir: String): DataFrame =

@@ -654,12 +654,10 @@ object Similarity {
     * artifacts (SimilaritySpec asserts it): parquet round-trips
     * doubles and ints exactly, and serve-side expressions are shared
     * code. */
-  def ivfpqServedTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
-                      nProbe: Int = 8, nlist: Int = 0, m: Int = 16, ksub: Int = 16): DataFrame = {
-    VectorExpressions.register(spark)
-    val prefix = indexPrefix(dir, nlist, m, ksub)
-    if (!spark.catalog.tableExists(s"${prefix}_codes"))
-      ivfpqBuildIndex(corpus(spark, dir), prefix, nlist, m, ksub)
+  /** Read the frozen centroid/codebook artifacts back from an index's
+    * side tables (nlist and m·ksub rows — driver-safe by contract). */
+  def readIndexArtifacts(spark: SparkSession, prefix: String):
+      (Array[Array[Double]], Seq[Array[Array[Double]]]) = {
     val cent = spark.table(s"${prefix}_centroids").orderBy("list_id").collect()
       .map(_.getAs[scala.collection.Seq[Double]]("cvec").toArray)
     val books = spark.table(s"${prefix}_books").orderBy("subspace", "code").collect()
@@ -667,8 +665,42 @@ object Similarity {
       .map { case (_, rows) =>
         rows.sortBy(_.getAs[Int]("code"))
           .map(_.getAs[scala.collection.Seq[Double]]("cvec").toArray) }
-    ivfpqServe(spark.table(s"${prefix}_codes"), queriesOf(corpus(spark, dir), nQueries),
+    (cent, books)
+  }
+
+  /** Serve top-k from a persisted index by prefix: read-back artifacts
+    * + ADC over the probed buckets of the catalog code table. */
+  def ivfpqServeIndex(spark: SparkSession, prefix: String, queries: DataFrame,
+                      k: Int = 3, nProbe: Int = 8): DataFrame = {
+    VectorExpressions.register(spark)
+    val (cent, books) = readIndexArtifacts(spark, prefix)
+    ivfpqServe(spark.table(s"${prefix}_codes"), queries,
       cent, books, k, nProbe, pruneScan = true)
+  }
+
+  /** Incremental index maintenance — the append path a live corpus
+    * needs: residual-encode ONLY the delta with the index's FROZEN
+    * artifacts (centroids/codebooks are immutable once built — the
+    * standard serving contract; retraining is a rebuild under a new
+    * prefix) and append into the bucketed code table. Spark validates
+    * the bucketing spec against the catalog, so appended codes land in
+    * the same list_id hash layout and the probed-bucket pruning keeps
+    * working. Cost is O(|delta|), never O(corpus) — the whole point of
+    * the persisted layout. */
+  def ivfpqAppend(spark: SparkSession, prefix: String, delta: DataFrame,
+                  nBuckets: Int = 16): Unit = {
+    val (cent, books) = readIndexArtifacts(spark, prefix)
+    graft.sources.Bucketed.writeBucketed(
+      ivfpqEncode(delta, cent, books), s"${prefix}_codes", "list_id", nBuckets,
+      mode = "append")
+  }
+
+  def ivfpqServedTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
+                      nProbe: Int = 8, nlist: Int = 0, m: Int = 16, ksub: Int = 16): DataFrame = {
+    val prefix = indexPrefix(dir, nlist, m, ksub)
+    if (!spark.catalog.tableExists(s"${prefix}_codes"))
+      ivfpqBuildIndex(corpus(spark, dir), prefix, nlist, m, ksub)
+    ivfpqServeIndex(spark, prefix, queriesOf(corpus(spark, dir), nQueries), k, nProbe)
   }
 
   /** Per-label embedding stats: mean L2 norm and count — oracle-checkable

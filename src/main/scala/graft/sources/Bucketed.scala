@@ -20,10 +20,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketed {
 
   /** Write `df` as a bucketed (and optionally bucket-sorted) parquet
-    * table in the session catalog. */
+    * table in the session catalog. `mode` "append" adds files to an
+    * existing bucketed table — Spark verifies the bucketing spec
+    * matches the catalog's, so appended data lands in the same hash
+    * layout and downstream zero-exchange plans stay valid. */
   def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int,
-                    sorted: Boolean = true): Unit = {
-    val w = df.write.mode("overwrite").format("parquet").bucketBy(nBuckets, key)
+                    sorted: Boolean = true, mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode).format("parquet").bucketBy(nBuckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 

@@ -128,6 +128,25 @@ class RelationalSpec extends AnyFunSuite {
     assert(outMap.size === out.size, "keys unique after apply")
   }
 
+  test("profile: null/distinct/min-max accounting per column kind") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(2.5), Some("b"), Some(java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))),
+      (Some(1L), None, Some("a"), None),
+      (None, Some(7.25), None, Some(java.sql.Timestamp.valueOf("2026-01-02 00:00:00"))))
+      .toDF("k", "v", "s", "t")
+    val p = Relational.profileColumns(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("k").getLong(1) === 1L && p("k").getLong(2) === 1L) // 1 null, 1 distinct
+    assert(p("k").getDouble(3) === 1.0 && p("k").getDouble(4) === 1.0)
+    assert(p("v").getLong(1) === 1L && p("v").getLong(2) === 2L)
+    assert(p("v").getDouble(3) === 2.5 && p("v").getDouble(4) === 7.25)
+    assert(p("s").getLong(1) === 1L && p("s").getString(5) === "a" && p("s").getString(6) === "b")
+    assert(p("s").isNullAt(3) && p("s").isNullAt(4)) // strings carry no numeric range
+    assert(p("t").getLong(2) === 2L &&
+      p("t").getDouble(3) === java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime * 1000.0)
+  }
+
   test("set ops tags partition the furniture segment") {
     val counts = Relational.setOps(spark, sf0001)
       .groupBy("tag").count().collect()

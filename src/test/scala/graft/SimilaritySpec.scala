@@ -171,6 +171,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(Similarity.autoNlist(1000000L) - 4000) <= 1)
   }
 
+  test("ivfpqAppend: delta encode under frozen artifacts == full-corpus encode") {
+    val all = Similarity.corpus(spark, sf0001).cache()
+    val evens = all.filter(col("vec_id") % 2 === 0)
+    val odds = all.filter(col("vec_id") % 2 =!= 0)
+    val prefix = "graft_test_append"
+    // build on the evens only; artifacts freeze at build time
+    Similarity.ivfpqBuildIndex(evens, prefix)
+    Similarity.ivfpqAppend(spark, prefix, odds)
+    val queries = all.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val served = Similarity.ivfpqServeIndex(spark, prefix, queries).collect().toSeq
+    // reference: encode the FULL corpus in one pass with the SAME
+    // frozen artifacts — append must be indistinguishable from it
+    val (cent, books) = Similarity.readIndexArtifacts(spark, prefix)
+    val reference = Similarity.ivfpqServe(
+      Similarity.ivfpqEncode(all, cent, books).localCheckpoint(),
+      queries, cent, books).collect().toSeq
+    assert(served === reference,
+      "append-built index diverged from a one-shot encode under the same artifacts")
+    all.unpersist()
+  }
+
   test("near-dup pairs find exactly the planted duplicate pair") {
     // 8-dim: two near-identical vectors (cos > 0.999) among orthogonal-ish noise.
     val base = Seq(1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.0)

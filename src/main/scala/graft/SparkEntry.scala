@@ -63,6 +63,13 @@ object SparkEntry {
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
     "q5_local_supplier" -> ((s, d) => Relational.localSupplierVolume(s, d)),
+    // classic decision-support shapes over the available schema subset
+    "q4_priority_late" -> ((s, d) => Relational.priorityLateOrders(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(s, d)),
+    "q7_volume_shipping" -> ((s, d) => Relational.volumeShipping(s, d)),
+    "q8_market_share" -> ((s, d) => Relational.marketShare(s, d)),
+    "q14_promo_revenue" -> ((s, d) => Relational.promoRevenue(s, d)),
+    "q19_bounded_or" -> ((s, d) => Relational.boundedOrRevenue(s, d)),
     "q10_returned_revenue" -> ((s, d) => Relational.returnedItemRevenue(s, d)),
     "a3_top_event_types" -> ((s, d) => Events.topEventTypes(s, d)),
     "a4_distinct_users" -> ((s, d) => Events.distinctUsersPerType(s, d)),
@@ -542,6 +549,66 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q4_priority_late" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_1'
+        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |        / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(sum(CASE WHEN p_type = 'PROMO'
+        |                 THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |        * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'""".stripMargin,
+    "q19_bounded_or" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |        AND l_quantity BETWEEN 10 AND 30)""".stripMargin,
     "q10_returned_revenue" ->
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal, n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -90,6 +90,126 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** TPC-H Q4-style: order counts by priority for orders with at least
+    * one LATE lineitem (shipped after the order date) — the classic
+    * EXISTS shape, planned as a left-semi join whose extra range
+    * predicate rides the join condition (no post-join filter, no
+    * row duplication from multi-lineitem orders). */
+  def priorityLateOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1996-04-01"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q6: the forecast-revenue single-scan aggregate — every
+    * predicate (date range, discount band, quantity cap) pushes into
+    * the parquet scan; the plan is scan → partial agg → final agg,
+    * zero joins, zero shuffles beyond the 1-row exchange. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** TPC-H Q7-style volume shipping: bidirectional nation pair over a
+    * 5-table join, yearly buckets. The nation dimension broadcasts
+    * twice under different role aliases (supplier side / customer
+    * side) — the same relation, two join roles. */
+  def volumeShipping(spark: SparkSession, dir: String,
+                     nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val suppNation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val custNation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    li.join(Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables(spark, dir, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .filter(
+        (col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+        (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** TPC-H Q8-style national market share: one nation's share of
+    * ECONOMY-part revenue among one region's customers, per order
+    * year. The share is a conditional-sum ratio inside the same
+    * aggregation — one pass over the joined relation. */
+  def marketShare(spark: SparkSession, dir: String, nation: String = "NATION_1",
+                  region: String = "ASIA", ptype: String = "ECONOMY"): DataFrame = {
+    val reg = Tables(spark, dir, "region").filter(col("r_name") === region)
+    val custNation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+    val suppNation = Tables(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val part = Tables(spark, dir, "part").filter(col("p_type") === ptype).select("p_partkey")
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(part, col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables(spark, dir, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(custNation), col("c_nationkey") === col("cn_key"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === nation, col("volume")).otherwise(0.0)) / sum(col("volume")),
+        4).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q14: promo revenue share for one ship month — conditional
+    * ratio over a part⋈lineitem join, date predicate on the scan. */
+  def promoRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-02-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(Tables(spark, dir, "part").select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO", col("rev")).otherwise(0.0)) * 100.0 / sum(col("rev")),
+        4).as("promo_share"))
+
+  /** TPC-H Q19-style bounded-OR revenue: disjunction of (brand, size
+    * band, quantity band) triples — the pushdown stress shape: every
+    * disjunct is sargable, so the whole OR reaches the scans. */
+  def boundedOrRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(Tables(spark, dir, "part").select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+        (col("p_brand") === "Brand#2" &&
+          col("p_size").between(10, 30) && col("l_quantity").between(10, 30)))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
   /** A14/J4 — TPC-H Q10-style: returned-item revenue per customer, top 20. */
   def returnedItemRevenue(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir, "customer")

@@ -56,6 +56,34 @@ class PlanContractSpec extends AnyFunSuite {
     }
   }
 
+  test("q6 is a pure pushed-down scan-aggregate: no join, predicates at the reader") {
+    val p = plan("q6_forecast_revenue")
+    assert(!p.contains("Join"), "q6 must plan no join")
+    assert(p.contains("PushedFilters: [IsNotNull"), "q6 predicates must push")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(!read.contains("l_orderkey") && !read.contains("l_returnflag"),
+      s"q6 must prune to the 4 touched columns: $read")
+  }
+
+  test("q4 EXISTS plans as a semi join, never a row-duplicating inner join") {
+    val p = plan("q4_priority_late")
+    assert(p.contains("LeftSemi"), s"q4 must stay a semi join:\n$p")
+  }
+
+  test("q19 bounded-OR reaches the part scan as a pushed Or filter") {
+    val p = plan("q19_bounded_or")
+    assert(p.contains("Or(EqualTo(p_brand,Brand#1)") || p.contains("Or(And(EqualTo(p_brand"),
+      "the brand/size disjunction must push into the part scan")
+  }
+
+  test("new decision-support queries plan no cartesian products") {
+    Seq("q4_priority_late", "q6_forecast_revenue", "q7_volume_shipping",
+      "q8_market_share", "q14_promo_revenue", "q19_bounded_or", "profile_orders")
+      .foreach { n =>
+        assert(!plan(n).contains("CartesianProduct"), s"$n plans a cartesian product")
+      }
+  }
+
   test("dedup candidate generation joins on band keys, not payloads") {
     val p = plan("dedup_minhash_pairs")
     // the self-join must be an equality join (SortMergeJoin or

@@ -171,6 +171,10 @@ object SparkEntry {
     // tie-break — the merge table is exactly reproducible in SQL
     // (greedy-overlap rule and all), so it is oracled end to end
     "txt_bpe_merges" -> ((s, d) => TextAnalysis.bpeMergesQuery(s, d)),
+    // window-granular exact substring dedup + eval-set decontamination
+    // on the shared n-gram fingerprint relation
+    "txt_substring_dup" -> ((s, d) => TextAnalysis.substringDupQuery(s, d)),
+    "txt_decontaminate" -> ((s, d) => TextAnalysis.decontaminateQuery(s, d)),
     // BPE apply: replay the learned merges over the corpus (pure map,
     // shuffle only at the per-doc aggregate) — train-then-tokenize
     "txt_bpe_tokenize" -> ((s, d) => TextAnalysis.bpeTokenizeQuery(s, d)),
@@ -1221,6 +1225,34 @@ object SparkEntry {
         |  round(sum(oov) * 1.0 / count(*), 4) AS oov_rate
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_bpe_merges" -> bpeOracleSql(10),
+    "txt_substring_dup" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, md5(array_to_string(toks[i:i+19], ' ')) AS fp
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 19)) AS i
+        |        FROM tok WHERE len(toks) >= 20)),
+        |dup AS (SELECT fp FROM grams GROUP BY fp HAVING count(DISTINCT doc_id) > 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |  CAST(sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+        |  round(sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+        |    AS dup_rate
+        |FROM grams g LEFT JOIN dup d ON g.fp = d.fp
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "txt_decontaminate" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS fp
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM tok WHERE len(toks) >= 13)),
+        |bench AS (SELECT DISTINCT fp FROM grams WHERE doc_id % 10 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM grams JOIN bench USING (fp)
+        |WHERE doc_id % 10 != 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_bpe_tokenize" -> bpeTokenizeOracleSql(10),
     "txt_tfidf_top" ->
       """WITH tok AS (

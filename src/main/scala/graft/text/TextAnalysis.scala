@@ -428,6 +428,79 @@ object TextAnalysis {
           .as("tokens_per_word"))
   }
 
+  /** Per-document sliding token n-grams as md5 fingerprints:
+    * (doc_id, widx, fp) — one row per window position. The shared
+    * candidate relation under exact-substring dedup and eval-set
+    * decontamination; pure map work (sequence + slice + hash), no
+    * shuffle. */
+  private def ngramFingerprints(docs: DataFrame, w: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        filter(tokens(col("text")), t => length(t) > 0).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("toks")) - (w - 1)),
+          i => struct(i.as("widx"),
+            md5(concat_ws(" ", slice(col("toks"), i, lit(w)))).as("fp")))).as("g"))
+      .select(col("doc_id"), col("g.widx"), col("g.fp"))
+
+  /** Exact substring dedup (the Lee-et-al. training-data move,
+    * window-granular): a token window is DUPLICATED when the same
+    * w-gram appears in more than one document; per document, report
+    * how much of it is made of cross-document duplicated spans. High
+    * dup_rate = boilerplate/mirrored text that survives doc-level
+    * near-dup because the surrounding page differs.
+    *
+    * Scale: one shuffle on the w-gram fingerprint (16-byte md5, never
+    * the text); the duplicated-gram relation carries fp only and
+    * semi-joins back — O(windows) end to end, all narrow columns. */
+  def substringDup(docs: DataFrame, w: Int = 20): DataFrame = {
+    val grams = ngramFingerprints(docs, w)
+    val dup = grams.groupBy("fp")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select("fp")
+    grams
+      .join(dup.withColumn("is_dup", lit(1)), Seq("fp"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_rate",
+        round(col("n_dup_windows") / col("n_windows").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
+  def substringDupQuery(spark: SparkSession, dir: String): DataFrame =
+    substringDup(Tables(spark, dir, "documents"))
+
+  /** Eval-set decontamination: flag corpus documents sharing any
+    * w-gram (w=13, the common contamination window) with a benchmark
+    * holdout. The stand-in eval set is every `benchEvery`-th doc
+    * (doc_id ≡ 0 mod benchEvery) — a simulated leak: the corpus
+    * contains exact/near duplicates of some holdout docs, so the
+    * check demonstrably FIRES (empty results validate nothing).
+    * Emits one row per CONTAMINATED corpus doc with its hit count;
+    * clean docs are absent (the keep-list is the complement).
+    *
+    * Scale: the benchmark gram relation is eval-set-sized — tiny
+    * against any training corpus — so the contamination check is a
+    * broadcast semi-ish join against distinct benchmark fingerprints;
+    * the corpus side stays one map + one aggregate. */
+  def decontaminate(docs: DataFrame, w: Int = 13, benchEvery: Int = 10): DataFrame = {
+    val grams = ngramFingerprints(docs, w)
+    val benchFps = grams.filter(pmod(col("doc_id"), lit(benchEvery)) === 0)
+      .select("fp").distinct()
+    grams.filter(pmod(col("doc_id"), lit(benchEvery)) =!= 0)
+      .join(benchFps, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateQuery(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(Tables(spark, dir, "documents"))
+
   /** Train-then-tokenize composition on one corpus: learn k merges,
     * apply them, report per-doc subword counts. */
   def bpeTokenizeQuery(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {

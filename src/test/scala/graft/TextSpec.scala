@@ -167,6 +167,35 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("substring dedup: planted cross-doc span flagged window-exactly, self-repeats are not dups") {
+    val span = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span unique1 filler " + (1 to 30).map(i => s"a$i").mkString(" ")),
+      (2L, s"prefix1 prefix2 $span tail " + (1 to 30).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 60).map(i => s"c$i").mkString(" "))) // no shared spans
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.substringDup(docs, w = 20).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // the 25-token shared span holds exactly 6 complete 20-gram
+    // positions (25 - 20 + 1); both carriers flag exactly those
+    assert(out(1L)._2 === 6L, s"doc 1 dup windows: ${out(1L)}")
+    assert(out(2L)._2 === 6L, s"doc 2 dup windows: ${out(2L)}")
+    assert(out(3L)._2 === 0L, "distinct doc must carry no dup windows")
+  }
+
+  test("decontamination: only docs sharing a 13-gram with the holdout are flagged") {
+    val bench = (1 to 20).map(i => s"q$i").mkString(" ")
+    val docs = Seq(
+      (0L, bench), // the "benchmark" doc (doc_id ≡ 0 mod 10)
+      (7L, s"stolen $bench answer " + (1 to 20).map(i => s"x$i").mkString(" ")),
+      (8L, (1 to 40).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.decontaminate(docs, w = 13, benchEvery = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.contains(7L) && out(7L) >= 1L, "contaminated doc must be flagged")
+    assert(!out.contains(8L), "clean doc must be absent from the flag list")
+  }
+
   test("BPE apply: merges shrink token counts, bounds hold, ordered replay matters") {
     // "abab": merge list ((a,b) then (ab,ab)) tokenizes to ONE symbol
     // only if replayed in order; chars = 4, so 1 < n_bpe < chars

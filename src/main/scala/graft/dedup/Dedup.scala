@@ -107,9 +107,10 @@ object Dedup {
   def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame =
     minhashPairsOf(shingles(docs), numHashes, bands)
 
-  /** Band-join candidate pairs from an existing shingle relation (lets
-    * callers that also need the shingles materialize them once). */
-  def minhashPairsOf(sh: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+  /** The long banded relation (doc_id, band_idx, band_key) from a
+    * shingle relation — the unit the in-memory pair join and the
+    * persisted band index both consume. */
+  def bandedOf(sh: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     val sigs = sh
       .groupBy("doc_id")
@@ -118,28 +119,110 @@ object Dedup {
       val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
       md5(concat(parts: _*)).as(s"band$b")
     }
-    val banded = sigs.select(col("doc_id") +: bandCols: _*)
-    // materialized: the self-join below references this relation on BOTH
-    // sides, and without the checkpoint correctness-of-cost rests on
-    // ReusedExchange recognizing the two subtrees — when it doesn't
-    // (observed in the round-5 driver bench: 2.4 s → 6.0 s), the
-    // 16-md5-agg shingle pipeline runs twice. The banded relation is
-    // tiny ((doc_id, band_idx, band_key) ids only), so pinning it costs
-    // O(docs) rows and guarantees the signature build runs exactly once.
-    val long = banded.select(col("doc_id"), explode(array(
-      (0 until bands).map(b => struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))): _*
-    )).as("bk")).select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
-      .localCheckpoint()
-    val a = long.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
-    val b = long.select(col("doc_id").as("doc_b"), col("band_idx").as("band_idx_b"), col("band_key").as("band_key_b"))
-    a.join(b,
+    sigs.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"), explode(array(
+        (0 until bands).map(b =>
+          struct(lit(b).as("band_idx"), col(s"band$b").as("band_key"))): _*
+      )).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+  }
+
+  /** Normalized candidate pairs from two band relations: equality join
+    * on (band_idx, band_key), ordered pair key, shared-band count. */
+  private def pairsFromBands(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("doc_id").as("doc_a"), col("band_idx"), col("band_key"))
+      .join(b.select(col("doc_id").as("doc_b"),
+          col("band_idx").as("band_idx_b"), col("band_key").as("band_key_b")),
         col("band_idx") === col("band_idx_b") &&
         col("band_key") === col("band_key_b") &&
         col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
+
+  /** Band-join candidate pairs from an existing shingle relation (lets
+    * callers that also need the shingles materialize them once). */
+  def minhashPairsOf(sh: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    // materialized: the self-join references this relation on BOTH
+    // sides, and without the checkpoint correctness-of-cost rests on
+    // ReusedExchange recognizing the two subtrees — when it doesn't
+    // (observed in the round-5 driver bench: 2.4 s → 6.0 s), the
+    // 16-md5-agg shingle pipeline runs twice. The banded relation is
+    // tiny ((doc_id, band_idx, band_key) ids only), so pinning it costs
+    // O(docs) rows and guarantees the signature build runs exactly once.
+    val long = bandedOf(sh, numHashes, bands).localCheckpoint()
+    pairsFromBands(long, long)
   }
+
+  /** Persisted near-dup band index — the serving layout for continuous
+    * dedup (the IVFADC move applied to MinHash LSH): write the banded
+    * relation ONCE as a catalog table bucketed by band_key, so (a) the
+    * corpus is never re-shingled to generate pairs, and (b) the
+    * index⋈index and delta⋈index joins are zero-exchange — hash
+    * partitioning on band_key satisfies the (band_idx, band_key)
+    * clustering both joins require. */
+  def minhashBuildIndex(docs: DataFrame, table: String, numHashes: Int = 16,
+                        bands: Int = 4, nBuckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      // clear a previous JVM's orphaned location (ivfpqBuildIndex contract)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+    graft.sources.Bucketed.writeBucketed(
+      bandedOf(shingles(docs), numHashes, bands), table, "band_key", nBuckets)
+  }
+
+  /** Incremental near-dup — the nightly-delta shape a live corpus
+    * runs: shingle ONLY the new documents, emit every candidate pair
+    * they form (delta×index against the CURRENT index + delta×delta),
+    * then append the delta's bands so the index stays current.
+    * O(delta) hashing; the index side is read, never rebuilt. Pair
+    * semantics match `minhashPairs` on the union corpus exactly:
+    * pairs(old ∪ delta) = servedPairs(old index) ∪ this call's result
+    * (delta doc_ids must be fresh — the immutable-id contract). */
+  def minhashAppendPairs(spark: SparkSession, table: String,
+                         delta: DataFrame, numHashes: Int = 16,
+                         bands: Int = 4, nBuckets: Int = 16): DataFrame = {
+    val dl = bandedOf(shingles(delta), numHashes, bands).localCheckpoint()
+    val idx = spark.table(table)
+    // old⋈delta pairs normalize through least/greatest (delta ids can
+    // sort either side of old ids); delta⋈delta uses the plain ordered
+    // self-join — splitting keeps every pair counted exactly once
+    val oldNew = dl.select(col("doc_id").as("d_id"),
+        col("band_idx").as("d_band_idx"), col("band_key").as("d_band_key"))
+      .join(idx,
+        col("d_band_idx") === col("band_idx") &&
+        col("d_band_key") === col("band_key") &&
+        col("d_id") =!= col("doc_id"))
+      .select(
+        least(col("d_id"), col("doc_id")).as("doc_a"),
+        greatest(col("d_id"), col("doc_id")).as("doc_b"),
+        col("band_idx"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val newNew = pairsFromBands(dl, dl)
+    // materialize BEFORE the append: the pair plan reads the index
+    // table, and deferring execution past the append would double-count
+    // delta⋈delta pairs through the freshly appended rows
+    val result = oldNew.unionByName(newNew)
+      .groupBy("doc_a", "doc_b")
+      .agg(sum(col("n_shared_bands")).cast("long").as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+      .localCheckpoint()
+    graft.sources.Bucketed.writeBucketed(dl, table, "band_key", nBuckets,
+      mode = "append")
+    spark.catalog.refreshTable(table)
+    result
+  }
+
+  /** Candidate pairs straight from the persisted index — no shingling,
+    * no signature build; with matched bucketing the self-join plans
+    * zero exchanges. */
+  def minhashPairsServed(spark: SparkSession, table: String): DataFrame =
+    pairsFromBands(spark.table(table), spark.table(table))
 
   /** Duplicate-cluster resolution — the step AFTER pair generation in a
     * real dedup pipeline: LSH emits candidate PAIRS, but dedup acts on

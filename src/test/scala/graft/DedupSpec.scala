@@ -79,4 +79,38 @@ class DedupSpec extends AnyFunSuite {
     // collide on at least one band for this fixed hash family
     assert(rows.contains((1L, 4L)))
   }
+
+  test("persisted band index: served pairs == in-memory; delta append completes the union") {
+    import org.apache.spark.sql.functions.col
+    val table = "graft_test_bandidx"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val docs = Tables(spark, SparkTestSession.sf0001, "documents")
+    val old = docs.filter(col("doc_id") < 250)
+    val delta = docs.filter(col("doc_id") >= 250)
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    Dedup.minhashBuildIndex(old, table)
+    val servedOld = pairSet(Dedup.minhashPairsServed(spark, table))
+    assert(servedOld === pairSet(Dedup.minhashPairs(old)),
+      "served pairs must equal the in-memory band join on the indexed corpus")
+
+    val deltaPairs = pairSet(Dedup.minhashAppendPairs(spark, table, delta))
+    val fullPairs = pairSet(Dedup.minhashPairs(docs))
+    // the delta call emits EXACTLY the pairs the union corpus adds
+    assert(servedOld ++ deltaPairs === fullPairs,
+      "old-index pairs + delta pairs must reconstruct the full-corpus pairs")
+    assert(deltaPairs.keySet.intersect(servedOld.keySet).isEmpty,
+      "delta pairs must all involve a delta doc")
+    // and the appended index now serves the full corpus directly
+    assert(pairSet(Dedup.minhashPairsServed(spark, table)) === fullPairs)
+    // the bucketed layout's point: the index self-join plans NO
+    // exchange on the band key (hash partitioning on band_key from the
+    // catalog satisfies the (band_idx, band_key) clustering); the only
+    // shuffle left is the pair-count aggregate
+    val plan = Dedup.minhashPairsServed(spark, table)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(band"),
+      s"band self-join must be zero-exchange over the bucketed index:\n$plan")
+  }
 }

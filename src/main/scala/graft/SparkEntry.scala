@@ -71,6 +71,11 @@ object SparkEntry {
     "q14_promo_revenue" -> ((s, d) => Relational.promoRevenue(s, d)),
     "q19_bounded_or" -> ((s, d) => Relational.boundedOrRevenue(s, d)),
     "q10_returned_revenue" -> ((s, d) => Relational.returnedItemRevenue(s, d)),
+    "q13_order_distribution" -> ((s, d) => Relational.customerOrderDistribution(s, d)),
+    "q15_top_supplier" -> ((s, d) => Relational.topSupplier(s, d)),
+    "q17_small_qty_revenue" -> ((s, d) => Relational.smallQuantityRevenue(s, d)),
+    "q18_large_volume_cust" -> ((s, d) => Relational.largeVolumeCustomers(s, d)),
+    "q22_wealthy_inactive" -> ((s, d) => Relational.wealthyInactiveCustomers(s, d)),
     "a3_top_event_types" -> ((s, d) => Events.topEventTypes(s, d)),
     "a4_distinct_users" -> ((s, d) => Events.distinctUsersPerType(s, d)),
     "a7_value_stats" -> ((s, d) => Events.valueStats(s, d)),
@@ -621,6 +626,48 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2, 3, 4 ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q13_order_distribution" ->
+      """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey) c_orders
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q18_large_volume_cust" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2) AS totalprice, round(sum(l_quantity), 2) AS sum_qty
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q22_wealthy_inactive" ->
+      """SELECT c_nationkey AS nation, CAST(count(*) AS BIGINT) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_nationkey ORDER BY nation""".stripMargin,
     "a3_top_event_types" ->
       """SELECT event_type, count(*) AS n FROM events
         |GROUP BY 1 ORDER BY n DESC, event_type LIMIT 5""".stripMargin,

@@ -228,6 +228,109 @@ object Relational {
       .limit(20)
   }
 
+  /** TPC-H Q13: customer order-count distribution. The outer join
+    * carries its filter IN the join condition (not a post-filter —
+    * that would turn the left join into an inner one), then two
+    * cascaded aggregations. Both aggs are partial+final hash aggs;
+    * the second one is tiny (distinct counts ≤ max orders/customer). */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer").select("c_custkey")
+    val ord = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderpriority")
+    cust.join(ord,
+        col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "1-URGENT",
+        "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q15: top supplier by quarterly revenue. The scalar max is
+    * a 1-row aggregate broadcast back onto the revenue relation — no
+    * empty-partitionBy window (which would serialize the whole
+    * relation through one task at scale). Revenue is rounded BEFORE
+    * the max-equality so both engines compare identical doubles. */
+  def topSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1998-01-01") && col("l_shipdate") < lit("1998-04-01"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
+    val maxRev = revenue.agg(max("total_revenue").as("max_revenue"))
+    revenue
+      .join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(Tables(spark, dir, "supplier").select("s_suppkey", "s_name"),
+        col("s_suppkey") === col("supplier_no"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q17: small-quantity-order revenue. The correlated scalar
+    * subquery (per-part average quantity) is decorrelated by hand into
+    * a grouped aggregate over the SEMI-JOINED lineitem — only parts
+    * passing the brand filter are averaged, and the avg relation
+    * (one row per surviving part) broadcasts back onto the same join. */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#13")
+      .select("p_partkey")
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+    val partAvg = li.groupBy(col("p_partkey").as("a_partkey"))
+      .agg((avg("l_quantity") * 0.5).as("half_avg_qty"))
+    li.join(broadcast(partAvg), col("p_partkey") === col("a_partkey"))
+      .filter(col("l_quantity") < col("half_avg_qty"))
+      .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"))
+  }
+
+  /** TPC-H Q18: large-volume customers. The HAVING subquery is a
+    * grouped filter on lineitem whose surviving keys SEMI-join orders
+    * before the wide customer join — at 100 TB the semi-join prunes
+    * the fact table down to the ~1% of qualifying orders before any
+    * dimension data moves. */
+  def largeVolumeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+    val bigOrders = li.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("tot_qty"))
+      .filter(col("tot_qty") > 250)
+      .select(col("l_orderkey").as("big_orderkey"))
+    val ord = Tables(spark, dir, "orders")
+      .join(bigOrders, col("o_orderkey") === col("big_orderkey"), "left_semi")
+    val cust = Tables(spark, dir, "customer").select("c_custkey", "c_name")
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(li, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"),
+        col("sum_qty"))
+      .orderBy(col("totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22-shaped: wealthy customers with no urgent orders. A
+    * 1-row scalar aggregate (average positive balance) broadcasts as
+    * the filter bound; the NOT EXISTS is a left-anti join against the
+    * pre-filtered urgent orders — both sides pruned before the
+    * shuffle. */
+  def wealthyInactiveCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables(spark, dir, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val avgBal = cust.filter(col("c_acctbal") > 0.0)
+      .agg(avg("c_acctbal").as("avg_bal"))
+    val urgent = Tables(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    cust.join(broadcast(avgBal), col("c_acctbal") > col("avg_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).as("numcust"), round(sum("c_acctbal"), 2).as("totacctbal"))
+      .orderBy("nation")
+  }
+
   /** S2 — point lookup by primary key (reference routers.py:105
     * `db.query(User).get(uid)`). Predicate is pushed to the parquet scan. */
   def pointLookup(spark: SparkSession, dir: String): DataFrame =

@@ -84,6 +84,40 @@ class PlanContractSpec extends AnyFunSuite {
       }
   }
 
+  test("q13/q15/q17/q18/q22 plan no cartesian products") {
+    Seq("q13_order_distribution", "q15_top_supplier", "q17_small_qty_revenue",
+      "q18_large_volume_cust", "q22_wealthy_inactive")
+      .foreach { n =>
+        assert(!plan(n).contains("CartesianProduct"), s"$n plans a cartesian product")
+      }
+  }
+
+  test("q13 keeps the priority predicate inside the outer join") {
+    // a post-join filter would silently turn the left join inner and
+    // drop zero-order customers from the distribution
+    val p = plan("q13_order_distribution")
+    assert(p.contains("LeftOuter"), s"q13 must stay a left outer join:\n$p")
+  }
+
+  test("q15 scalar max broadcasts — no single-partition window") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("BroadcastExchange"), "the 1-row max must broadcast")
+    assert(!p.contains("Window"),
+      "q15 must not plan an empty-partitionBy window (single-task at scale)")
+  }
+
+  test("q18 HAVING subquery prunes orders via a semi join") {
+    val p = plan("q18_large_volume_cust")
+    assert(p.contains("LeftSemi"), s"q18 must semi-join the qualifying orders:\n$p")
+  }
+
+  test("q22 NOT EXISTS plans as an anti join with the urgent filter pushed") {
+    val p = plan("q22_wealthy_inactive")
+    assert(p.contains("LeftAnti"), s"q22 must stay an anti join:\n$p")
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      "the priority filter must reach the orders scan, not run post-join")
+  }
+
   test("dedup candidate generation joins on band keys, not payloads") {
     val p = plan("dedup_minhash_pairs")
     // the self-join must be an equality join (SortMergeJoin or

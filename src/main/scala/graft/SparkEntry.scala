@@ -164,6 +164,7 @@ object SparkEntry {
     // prefix sum (range partitions + broadcast base offsets)
     "txt_pack_sequences" -> ((s, d) => TextAnalysis.packSequencesQuery(s, d)),
     "txt_quality" -> ((s, d) => TextAnalysis.qualityScores(s, d)),
+    "txt_repetition_stats" -> ((s, d) => TextAnalysis.repetitionStatsQuery(s, d)),
     // vocab build (top-V, deterministic tie-break) + per-doc OOV rate
     "txt_vocab_oov" -> ((s, d) => TextAnalysis.vocabOovQuery(s, d)),
     // composed curation keep-list: exact-dedup keepers x quality gate
@@ -1214,6 +1215,45 @@ object SparkEntry {
         |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
         |      / len(string_split(text, ' ')), 4) AS type_token_ratio
         |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    // Gopher repetition replay: same tie rule (cnt DESC, gram DESC ⇔
+    // Spark max(struct(cnt, gram))); DuckDB slices are 1-based
+    // inclusive-end so toks[i : i+n-1] is Spark's slice(toks, i, n).
+    "txt_repetition_stats" ->
+      """WITH t AS (SELECT doc_id, n_chars,
+        |  list_filter(string_split(text, ' '), x -> len(x) > 0) AS toks FROM documents),
+        |g2 AS (SELECT doc_id, array_to_string(toks[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 1], ' ') AS gram
+        |       FROM t, LATERAL unnest(range(1, len(toks))) u(i)),
+        |g3 AS (SELECT doc_id, array_to_string(toks[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 2], ' ') AS gram
+        |       FROM t, LATERAL unnest(range(1, len(toks) - 1)) u(i)),
+        |g4 AS (SELECT doc_id, array_to_string(toks[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 3], ' ') AS gram
+        |       FROM t, LATERAL unnest(range(1, len(toks) - 2)) u(i)),
+        |g5 AS (SELECT doc_id, array_to_string(toks[CAST(i AS INTEGER) : CAST(i AS INTEGER) + 4], ' ') AS gram
+        |       FROM t, LATERAL unnest(range(1, len(toks) - 3)) u(i)),
+        |c2 AS (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY ALL),
+        |c3 AS (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY ALL),
+        |c4 AS (SELECT doc_id, gram, count(*) AS cnt FROM g4 GROUP BY ALL),
+        |c5 AS (SELECT doc_id, gram, count(*) AS cnt FROM g5 GROUP BY ALL),
+        |top2 AS (SELECT doc_id, cnt * len(gram) AS top2_mass FROM
+        |  (SELECT doc_id, cnt, gram, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn FROM c2) WHERE rn = 1),
+        |top3 AS (SELECT doc_id, cnt * len(gram) AS top3_mass FROM
+        |  (SELECT doc_id, cnt, gram, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn FROM c3) WHERE rn = 1),
+        |top4 AS (SELECT doc_id, cnt * len(gram) AS top4_mass FROM
+        |  (SELECT doc_id, cnt, gram, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) AS rn FROM c4) WHERE rn = 1),
+        |dup5 AS (SELECT doc_id,
+        |    sum(CASE WHEN cnt >= 2 THEN cnt * len(gram) ELSE 0 END) AS dup5_mass
+        |  FROM c5 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  round(coalesce(top2_mass, 0) / d.n_chars, 4) AS top2_frac,
+        |  round(coalesce(top3_mass, 0) / d.n_chars, 4) AS top3_frac,
+        |  round(coalesce(top4_mass, 0) / d.n_chars, 4) AS top4_frac,
+        |  round(coalesce(dup5_mass, 0) / d.n_chars, 4) AS dup5_frac
+        |FROM documents d
+        |LEFT JOIN top2 USING (doc_id) LEFT JOIN top3 USING (doc_id)
+        |LEFT JOIN top4 USING (doc_id) LEFT JOIN dup5 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "txt_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,

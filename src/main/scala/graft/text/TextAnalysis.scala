@@ -80,6 +80,63 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition filters (Rae et al. 2021, arXiv:2112.11446
+    * Table A1), word-level: these documents carry no line/paragraph
+    * structure, so the repetition family collapses to the word n-gram
+    * rules. Per document:
+    *  - top{2,3,4}gram_frac — character mass of the single most
+    *    frequent n-gram (count × joined gram length / n_chars), ties
+    *    resolved to the lexicographically largest gram so both engines
+    *    pick the same winner;
+    *  - dup5gram_frac — character mass of all 5-grams occurring ≥2
+    *    times (count × length, overlaps counted per occurrence, so a
+    *    degenerate loop document can exceed 1.0 — the filter thresholds
+    *    low, the metric need not be a true fraction).
+    *
+    * Scale: one (doc_id, gram) shuffle per n; the gram relation is
+    * never wider than (doc_id, gram, cnt) and each per-doc reduction is
+    * a partial+final hash agg. Four small aggregates left-join back to
+    * the doc spine on doc_id — at 100 TB each is independently
+    * AQE-planned and the doc spine never carries text. */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    def gramCounts(n: Int): DataFrame =
+      docs.select(col("doc_id"),
+          filter(tokens(col("text")), t => length(t) > 0).as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(count(lit(1)).as("cnt"))
+
+    def topMass(n: Int): DataFrame =
+      gramCounts(n)
+        .groupBy("doc_id")
+        .agg(max(struct(col("cnt"), col("gram"))).as("top"))
+        .select(col("doc_id"),
+          (col("top.cnt") * length(col("top.gram"))).as(s"top${n}_mass"))
+
+    val dup5 = gramCounts(5)
+      .groupBy("doc_id")
+      .agg(sum(when(col("cnt") >= 2, col("cnt") * length(col("gram")))
+        .otherwise(0L)).as("dup5_mass"))
+
+    docs.select("doc_id", "n_chars")
+      .join(topMass(2), Seq("doc_id"), "left")
+      .join(topMass(3), Seq("doc_id"), "left")
+      .join(topMass(4), Seq("doc_id"), "left")
+      .join(dup5, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("top2_mass"), lit(0L)) / col("n_chars"), 4).as("top2_frac"),
+        round(coalesce(col("top3_mass"), lit(0L)) / col("n_chars"), 4).as("top3_frac"),
+        round(coalesce(col("top4_mass"), lit(0L)) / col("n_chars"), 4).as("top4_frac"),
+        round(coalesce(col("dup5_mass"), lit(0L)) / col("n_chars"), 4).as("dup5_frac"))
+      .orderBy("doc_id")
+  }
+
+  def repetitionStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    repetitionStats(Tables(spark, dir, "documents"))
+
   /** Per-language corpus stats (lang column is ground truth; the
     * heuristic language-ID below is compared against it in tests). */
   def langStats(spark: SparkSession, dir: String): DataFrame =

@@ -215,4 +215,28 @@ class TextSpec extends AnyFunSuite {
       assert(r.getAs[Double]("tokens_per_word") >= 1.0)
     }
   }
+
+  test("repetition stats: hand-checked fractions on crafted docs, zero on too-short docs") {
+    // doc 1: "x y x y x y" (11 chars) — top 2-gram "x y" appears 3×,
+    // mass 3*3=9 → 9/11; "y x" appears only 2× and loses on count.
+    // top 3-gram "y x y" (beats "x y x" lexicographically at
+    // equal count 2): mass 2*5=10 → 10/11. No 5-gram repeats (grams
+    // "x y x y x" and "y x y x y" once each) → dup5 = 0.
+    // doc 2: 4 tokens — no 5-grams at all → dup5 coalesces to 0.
+    val docs = Seq(
+      (1L, "x y x y x y", 11L),
+      (2L, "p q r s", 7L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = TextAnalysis.repetitionStats(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("top2_frac") === math.rint(9.0 / 11 * 1e4) / 1e4)
+    assert(out(1L).getAs[Double]("top3_frac") === math.rint(10.0 / 11 * 1e4) / 1e4)
+    assert(out(1L).getAs[Double]("dup5_frac") === 0.0)
+    assert(out(2L).getAs[Double]("dup5_frac") === 0.0)
+    // a degenerate loop doc CAN exceed 1.0 (overlaps counted per
+    // occurrence) — the documented non-fraction case
+    val loop = Seq((3L, "a a a a a a a a a a", 19L)).toDF("doc_id", "text", "n_chars")
+    val l = TextAnalysis.repetitionStats(loop).collect().head
+    assert(l.getAs[Double]("dup5_frac") > 1.0)
+  }
 }

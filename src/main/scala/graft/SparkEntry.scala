@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BlockMatch, Canny, Components, Ellipse, Events, HMRF, Hough, Motion, Relational, Temporal, Vision}
+import graft.operators.{BlockMatch, Canny, Components, Ellipse, Events, Graph, HMRF, Hough, Motion, Relational, Temporal, Vision}
 import graft.sources.{Avi, ImageSource}
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
@@ -239,6 +239,32 @@ object SparkEntry {
     // collisions gate candidate pairs); SimilaritySpec asserts the
     // planted duplicates are found.
     "emb_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(s, d, threshold = 0.3)),
+    // --- graph analytics (north star) ---
+    // 5-iteration PageRank over the part<->supplier bipartite graph;
+    // oracle unrolls the iteration into MATERIALIZED CTEs
+    "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    // degree-oriented triangle count over the (hash-sampled)
+    // co-purchase graph — O(m^1.5) wedge join, never Σ deg²
+    "graph_triangles" -> ((s, d) => Graph.triangleCount(s, d)),
+    // --- relational completions (§2.4/§2.5) ---
+    // 2-D Pareto frontier as a single window sort (not O(n²) NOT EXISTS)
+    "skyline_parts" -> ((s, d) => Relational.skyline2d(s, d)),
+    // equi-depth histogram via ntile over a total order
+    "w_ntile_quartiles" -> ((s, d) => Relational.ntileQuartiles(s, d)),
+    // GROUPING SETS margins in one Expand pass (rollup/cube's general form)
+    "gsets_revenue" -> ((s, d) => Relational.groupingSetsRevenue(s, d)),
+    // incremental MV maintenance: persisted partial aggregates + delta
+    // scan, merged; oracle recomputes from scratch
+    "mv_incremental" -> ((s, d) => Relational.mvIncrementalRevenue(s, d)),
+    // --- anomaly detection (events) ---
+    "ts_anomaly_hourly" -> ((s, d) => Events.anomalyQuery(s, d)),
+    // strictly-prior expanding-window z-score (streaming twin in
+    // StreamAnomalySpec)
+    "w_expanding_zscore" -> ((s, d) => Events.expandingZscoreQuery(s, d)),
+    // --- fuzzy entity matching (north star) ---
+    // blocked levenshtein join over DISTINCT names with counts joined
+    // back (the tokenize-once-join-back shape)
+    "dedup_fuzzy_names" -> ((s, d) => Dedup.fuzzyPartNames(s, d)),
   )
 
   /** MinHash band-join pair oracle, shared by dedup_minhash_pairs and
@@ -1490,5 +1516,54 @@ object SparkEntry {
       """SELECT label, count(*) AS n,
         |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_l2_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_pagerank" -> Graph.pageRankOracle(),
+    "graph_triangles" -> Graph.triangleOracle,
+    "skyline_parts" ->
+      """WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
+        |f AS (SELECT price, size,
+        |        max(size) OVER (ORDER BY price ASC, size DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cm
+        |      FROM pts)
+        |SELECT p.p_partkey, round(p.p_retailprice, 2) AS price, p.p_size AS size
+        |FROM part p JOIN (SELECT price, size FROM f WHERE cm IS NULL OR size > cm) k
+        |  ON p.p_retailprice = k.price AND p.p_size = k.size
+        |ORDER BY p.p_partkey""".stripMargin,
+    "w_ntile_quartiles" ->
+      """WITH t AS (SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q FROM orders)
+        |SELECT q, count(*) AS n, round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi, round(sum(o_totalprice), 2) AS total
+        |FROM t GROUP BY q ORDER BY q""".stripMargin,
+    "gsets_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "mv_incremental" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "ts_anomaly_hourly" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hour, h.n, round((h.n - s.mu) / s.sd, 4) AS z
+        |FROM h JOIN s USING (event_type)
+        |WHERE s.sd > 0 AND abs((h.n - s.mu) / s.sd) > 2
+        |ORDER BY h.event_type, h.hour""".stripMargin,
+    "w_expanding_zscore" ->
+      """WITH w AS (SELECT event_id, event_type, value,
+        |    avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mu,
+        |    stddev_samp(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sd
+        |  FROM events)
+        |SELECT event_id, event_type, round((value - mu) / sd, 4) AS z
+        |FROM w WHERE sd IS NOT NULL AND sd > 0 AND abs((value - mu) / sd) > 3
+        |ORDER BY event_id""".stripMargin,
+    "dedup_fuzzy_names" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, count(*) AS cnt, (string_split(p_name, ' '))[-1] AS block
+        |  FROM part GROUP BY p_name)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  levenshtein(a.name, b.name) AS dist, a.cnt * b.cnt AS n_pairs
+        |FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
   )
 }

@@ -259,4 +259,49 @@ object Events {
 
   def retentionQuery(spark: SparkSession, dir: String): DataFrame =
     retentionCohorts(Tables(spark, dir, "events"))
+
+  /** Time-series anomaly detection on arrival rates: hourly event
+    * counts per type, z-scored against that type's own hourly mean/σ;
+    * rows beyond `sigma` are the anomalies. Two hash aggregations plus
+    * one small join (per-type stats are #types rows — broadcast by AQE)
+    * — no window sort, so it scales as a pure scan+agg. The z ratio is
+    * computed once in the projection and once in the filter; Catalyst's
+    * common-subexpression elimination keeps it single-evaluation. */
+  def hourlyRateAnomalies(events: DataFrame, sigma: Double = 2.0): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(avg("n").as("mu"), stddev_pop("n").as("sd"))
+    val z = (col("n") - col("mu")) / col("sd")
+    hourly.join(stats, "event_type")
+      .filter(col("sd") > 0 && abs(z) > sigma)
+      .select(col("event_type"), col("hour"), col("n"), round(z, 4).as("z"))
+      .orderBy("event_type", "hour")
+  }
+
+  def anomalyQuery(spark: SparkSession, dir: String): DataFrame =
+    hourlyRateAnomalies(Tables(spark, dir, "events"))
+
+  /** Prequential (expanding-window) z-score per event value: each
+    * event's `value` scored against the mean/σ of all STRICTLY PRIOR
+    * events of its type — the batch twin of streaming anomaly
+    * detection, where state at arrival time never sees the future.
+    * ROWS frame over the total order (ts, event_id) is deterministic
+    * and engine-portable (the tie-break makes peers impossible).
+    * One window sort per partition key; no joins. */
+  def expandingZscore(events: DataFrame, sigma: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val z = (col("value") - col("mu")) / col("sd")
+    events
+      .withColumn("mu", avg("value").over(w))
+      .withColumn("sd", stddev_samp("value").over(w))
+      .filter(col("sd").isNotNull && col("sd") > 0 && abs(z) > sigma)
+      .select(col("event_id"), col("event_type"), round(z, 4).as("z"))
+      .orderBy("event_id")
+  }
+
+  def expandingZscoreQuery(spark: SparkSession, dir: String): DataFrame =
+    expandingZscore(Tables(spark, dir, "events"))
 }

@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Iterative graph analytics over relations (north-star surface — the
+  * reference has per-image connected components in `Components`; this
+  * module adds the corpus-level graph algorithms a 100 TB pipeline
+  * runs over entity/link graphs: PageRank centrality and triangle
+  * counting for community structure).
+  *
+  * Scale design:
+  *  - Graphs are edge RELATIONS (never adjacency collected to the
+  *    driver). Each PageRank iteration is one equality join on the
+  *    source vertex + one hash aggregation on the destination — the
+  *    classic Pregel-as-relational-algebra shape, AQE-skew-handled.
+  *  - The edge+degree relation is `localCheckpoint`ed once so the
+  *    k-iteration loop re-reads a materialized relation instead of
+  *    re-deriving the dedup'd edge list k times (and the logical plan
+  *    stays O(1) deep per iteration, not O(k)).
+  *  - Triangle counting orients every edge from its lower-(degree, id)
+  *    endpoint to the higher one, which bounds the wedge join to
+  *    O(m^1.5) work (standard node-iterator++ bound) instead of the
+  *    unoriented Σ deg² blowup on hub vertices.
+  *  - The co-purchase graph is built over a deterministic md5
+  *    hash-sample of orders (same seed-stable sampling rung as
+  *    `Relational.hashSample`) so graph density — and therefore wedge
+  *    cost — is tunable without losing cross-engine reproducibility.
+  */
+object Graph {
+
+  /** Undirected part↔supplier bipartite edges from lineitem, namespaced
+    * as string node ids (`p:<partkey>` / `s:<suppkey>`) so both vertex
+    * families live in one relation. Symmetrized for undirected walks. */
+  private def bipartiteEdges(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "lineitem")
+      .select(
+        concat(lit("p:"), col("l_partkey")).as("a"),
+        concat(lit("s:"), col("l_suppkey")).as("b"))
+      .distinct()
+    base.union(base.select(col("b").as("a"), col("a").as("b")))
+  }
+
+  /** PageRank over the part↔supplier graph, `iters` synchronous
+    * iterations at damping 0.85. Every node has degree ≥ 1 by
+    * construction (it appears via an edge), so there is no dangling
+    * mass and Σ pr = 1 is invariant. Output is normalized to mean 1
+    * (`pr · N`) and rounded so cross-engine summation-order noise
+    * (~1e-15) cannot flip the hash compare.
+    *
+    * The single driver-side value is N (one scalar count — the same
+    * bounded-pull contract as Ellipse's shape gate); everything else
+    * stays relational. */
+  def pageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val edges = bipartiteEdges(spark, dir)
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+    // one materialization feeds all iterations; join key pre-computed
+    val linked = edges.join(deg, "a")
+      .select(col("a"), col("b"), col("deg"))
+      .localCheckpoint()
+    val n = linked.select(countDistinct(col("a"))).head().getLong(0)
+    val teleport = lit(0.15).cast("double") / lit(n.toDouble)
+    var pr = linked.select(col("a").as("node")).distinct()
+      .withColumn("pr", lit(1.0).cast("double") / lit(n.toDouble))
+    for (_ <- 1 to iters) {
+      pr = linked.join(pr, linked("a") === pr("node"))
+        .groupBy(col("b"))
+        .agg((teleport + lit(0.85) * sum(col("pr") / col("deg"))).as("pr"))
+        .select(col("b").as("node"), col("pr"))
+    }
+    pr.select(col("node"), round(col("pr") * lit(n.toDouble), 6).as("pr_norm"))
+      .orderBy("node")
+  }
+
+  /** Lower-(degree, id) endpoint first — the orientation that makes
+    * every triangle counted exactly once and bounds out-degrees. */
+  private def orientLow(u: Column, v: Column, du: Column, dv: Column): Column =
+    (du < dv) || (du === dv && u < v)
+
+  /** Oriented triangle count over the co-purchase graph (parts
+    * appearing in the same order, orders hash-sampled at ~50%).
+    * Returns one row: (n_edges, n_triangles). */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val pp = Tables(spark, dir, "lineitem")
+      .filter(
+        substring(md5(concat(lit("tri:"), col("l_orderkey").cast("string"))), 1, 2) < "80")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val x = pp.as("x"); val y = pp.as("y")
+    val e = x.join(y, col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // oriented edge carries the HEAD's degree: the wedge pair (b, c)
+    // under vertex a must be ordered by the same (degree, id) rank the
+    // orientation uses — ordering by raw id would look for closing
+    // edges against their orientation and silently undercount (caught
+    // by GraphSpec's K4 hand-count before the shared-formulation
+    // oracle could hide it)
+    val oriented = e
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+      .select(
+        when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("v"))
+          .otherwise(col("u")).as("b"),
+        when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("dv"))
+          .otherwise(col("du")).as("bd"))
+      .localCheckpoint()
+    val e1 = oriented.as("e1"); val e2 = oriented.as("e2"); val e3 = oriented.as("e3")
+    val wedges = e1.join(e2,
+        col("e1.a") === col("e2.a") &&
+        (col("e1.bd") < col("e2.bd") ||
+          (col("e1.bd") === col("e2.bd") && col("e1.b") < col("e2.b"))))
+      .select(col("e1.b").as("wb"), col("e2.b").as("wc"))
+    val tri = wedges.join(e3, col("wb") === col("e3.a") && col("wc") === col("e3.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+  }
+
+  /** Oracle SQL for `pageRank` — the iteration unrolled into one
+    * MATERIALIZED CTE per round (same move as the BPE oracle: DuckDB
+    * inlines plain CTEs, and pr{i} is referenced per-edge, so the
+    * un-materialized plan grows exponentially in rounds). */
+  def pageRankOracle(iters: Int = 5): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH base AS MATERIALIZED (SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b FROM lineitem),\n"
+    sb ++= "edges AS MATERIALIZED (SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base),\n"
+    sb ++= "deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM edges GROUP BY a),\n"
+    sb ++= "nn AS (SELECT count(*) AS n FROM deg),\n"
+    sb ++= "pr0 AS MATERIALIZED (SELECT a AS node, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS pr FROM deg),\n"
+    for (i <- 1 to iters)
+      sb ++= s"pr$i AS MATERIALIZED (SELECT e.b AS node, CAST(0.15 AS DOUBLE)/(SELECT n FROM nn) + CAST(0.85 AS DOUBLE)*sum(p.pr/d.deg) AS pr " +
+        s"FROM edges e JOIN pr${i - 1} p ON e.a = p.node JOIN deg d ON e.a = d.a GROUP BY e.b),\n"
+    sb ++= s"fin AS (SELECT node, round(pr*(SELECT n FROM nn), 6) AS pr_norm FROM pr$iters)\n"
+    sb ++= "SELECT node, pr_norm FROM fin ORDER BY node"
+    sb.toString
+  }
+
+  /** Oracle SQL for `triangleCount` — identical sampling, edge
+    * construction, orientation, AND rank-ordered wedge pairing (the
+    * id-ordered variant undercounts; see triangleCount). */
+  val triangleOracle: String =
+    """WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |  WHERE substring(md5('tri:' || CAST(l_orderkey AS VARCHAR)), 1, 2) < '80'),
+      |e AS MATERIALIZED (SELECT DISTINCT x.p AS u, y.p AS v FROM pp x JOIN pp y ON x.o = y.o AND x.p < y.p),
+      |deg AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY node),
+      |oe AS MATERIALIZED (
+      |  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS a,
+      |         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS b,
+      |         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN dv.d ELSE du.d END AS bd
+      |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node)
+      |SELECT (SELECT count(*) FROM e) AS n_edges,
+      |       (SELECT count(*) FROM (SELECT e1.a FROM oe e1
+      |          JOIN oe e2 ON e1.a = e2.a AND ((e1.bd < e2.bd) OR (e1.bd = e2.bd AND e1.b < e2.b))
+      |          JOIN oe e3 ON e3.a = e1.b AND e3.b = e2.b)) AS n_triangles""".stripMargin
+}

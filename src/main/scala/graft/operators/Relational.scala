@@ -697,4 +697,106 @@ object Relational {
         col("c_custkey"),
         round(when(col("c_acctbal") < 0, 0.0).otherwise(col("c_acctbal")), 2).as("acctbal_clamped"))
       .orderBy("c_custkey")
+
+  /** 2-D skyline (Pareto frontier): parts minimizing retail price while
+    * maximizing size. The naive formulation is a quadratic NOT EXISTS
+    * anti-join; on two dimensions the frontier is a SINGLE SORT — order
+    * by (price asc, size desc) and keep a point iff its size strictly
+    * exceeds the running max over all points seen so far (cheaper or
+    * equal-priced). Equal-(price,size) duplicates are mutually
+    * non-dominating, so the frontier is computed on distinct value
+    * pairs and semi-joined back to keep every witnessing part row.
+    * One shuffle (the window sort) at any scale vs O(n²) pair checks. */
+  def skyline2d(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part")
+    val pts = part.select(col("p_retailprice").as("price"), col("p_size").as("size")).distinct()
+    val w = Window.orderBy(col("price").asc, col("size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = pts
+      .withColumn("cm", max("size").over(w))
+      .filter(col("cm").isNull || col("size") > col("cm"))
+      .select("price", "size")
+    part.join(frontier,
+        part("p_retailprice") === frontier("price") && part("p_size") === frontier("size"),
+        "left_semi")
+      .select(col("p_partkey"), round(col("p_retailprice"), 2).as("price"), col("p_size").as("size"))
+      .orderBy("p_partkey")
+  }
+
+  /** Equi-depth histogram via ntile: quartiles of order totals with
+    * per-bucket census. The tie-break on o_orderkey makes the bucket
+    * assignment deterministic and engine-portable (ntile splits purely
+    * by row position, so the ORDER BY must be a total order). One
+    * window sort + one hash agg. */
+  def ntileQuartiles(spark: SparkSession, dir: String, buckets: Int = 4): DataFrame =
+    Tables(spark, dir, "orders")
+      .withColumn("q", ntile(buckets).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+      .groupBy("q")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("o_totalprice"), 2).as("lo"),
+        round(max("o_totalprice"), 2).as("hi"),
+        round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("q")
+
+  /** GROUPING SETS — the general form completing the rollup/cube trio:
+    * independent per-returnflag and per-linestatus margins plus the
+    * grand total in ONE pass (a single Expand + hash agg; three
+    * separate scans-and-unions would read the fact table three times
+    * at 100 TB). */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"), col("revenue"))
+      .orderBy("rf", "ls")
+
+  /** Deterministic catalog-safe MV name per source dir. */
+  private def mvName(dir: String, split: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$split".getBytes("UTF-8"))
+    "graft_mv_rev_" + md.take(5).map("%02x".format(_)).mkString
+  }
+
+  /** Incremental materialized-view maintenance: per-customer order
+    * count + revenue, maintained as persisted PARTIAL aggregates
+    * (sum/count commute with merge) plus a delta scan — the standard
+    * incremental-pipeline shape where yesterday's 100 TB is never
+    * re-aggregated, only the new partition is. The base aggregate over
+    * orders strictly before `split` is written once per source dir
+    * (catalog-memoized, same immutable-dir contract as the persisted
+    * ANN index); each run aggregates only the delta (>= split) and
+    * merges partials with a second tiny hash agg. The oracle recomputes
+    * the full aggregate from scratch — merged partials must match it
+    * exactly. */
+  def mvIncrementalRevenue(spark: SparkSession, dir: String,
+                           split: String = "1998-07-01"): DataFrame = {
+    val table = mvName(dir, split)
+    if (!spark.catalog.tableExists(table)) {
+      // clear a stray warehouse dir left by a previous JVM (the
+      // in-memory catalog forgets tables across sessions)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") < lit(split))
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_part"), sum("o_totalprice").as("rev_part"))
+        .write.mode("overwrite").format("parquet").saveAsTable(table)
+    }
+    val delta = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(split))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_part"), sum("o_totalprice").as("rev_part"))
+    spark.table(table).unionByName(delta)
+      .groupBy("o_custkey")
+      .agg(sum("n_part").as("n_orders"), round(sum("rev_part"), 2).as("revenue"))
+      .orderBy("o_custkey")
+  }
 }

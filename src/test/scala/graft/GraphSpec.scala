@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Graph, Relational, Events}
+import graft.dedup.Dedup
+
+/** Graph analytics + the round-8 relational/anomaly additions:
+  * hand-computable invariants that the DuckDB oracle (which shares the
+  * formulation) cannot independently witness. */
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+  import spark.implicits._
+
+  test("pageRank conserves probability mass and ranks hubs first") {
+    val pr = Graph.pageRank(spark, sf0001).collect()
+    // Σ pr = 1 → mean of (pr·N) = 1 exactly (up to the 1e-6 rounding)
+    val meanNorm = pr.map(_.getDouble(1)).sum / pr.length
+    assert(math.abs(meanNorm - 1.0) < 1e-4, s"mass not conserved: $meanNorm")
+    // suppliers each serve many parts (TPC-H fan-in) — the top-ranked
+    // node must be a supplier, and every pr must be positive
+    assert(pr.forall(_.getDouble(1) > 0))
+    val top = pr.maxBy(_.getDouble(1)).getString(0)
+    assert(top.startsWith("s:"), s"expected a supplier hub at top, got $top")
+  }
+
+  test("triangleCount counts K3 and K4 exactly on a known graph") {
+    // orders as cliques: an order containing k parts contributes C(k,3)
+    // triangles once edges are deduped. Build two overlapping cliques
+    // via a fake lineitem relation and count by hand:
+    //   order A = {1,2,3}   -> 1 triangle
+    //   order B = {2,3,4,5} -> C(4,3) = 4 triangles
+    //   overlap creates no extra triangles (edge {2,3} shared).
+    // Sampling keeps an order iff md5('tri:'||o) first byte < 0x80 —
+    // choose order ids that pass (probe a few small ints).
+    val passing = (1L to 50L).filter { o =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tri:$o".getBytes("UTF-8"))
+      (h(0) & 0xff) < 0x80
+    }
+    val (oa, ob) = (passing(0), passing(1))
+    val li = Seq(
+      (oa, 1L), (oa, 2L), (oa, 3L),
+      (ob, 2L), (ob, 3L), (ob, 4L), (ob, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val tmp = java.nio.file.Files.createTempDirectory("graphspec").toString
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val row = Graph.triangleCount(spark, tmp).head()
+    assert(row.getAs[Long]("n_edges") === 8L)     // 3 + C(4,2)=6, minus shared {2,3}
+    assert(row.getAs[Long]("n_triangles") === 5L)
+  }
+
+  test("skyline keeps exactly the non-dominated points") {
+    val got = Relational.skyline2d(spark, sf0001).collect()
+      .map(r => (r.getDouble(1), r.getInt(2)))
+    // no frontier point dominates another (strict Pareto check)
+    for (p <- got; q <- got if p != q)
+      assert(!(q._1 <= p._1 && q._2 >= p._2 && (q._1 < p._1 || q._2 > p._2)),
+        s"$q dominates $p inside the frontier")
+    assert(got.nonEmpty)
+  }
+
+  test("expanding z-score only sees the strict past") {
+    // first event of a type can never be emitted (no history), and a
+    // constant-valued prefix (sd=0) is skipped
+    val z = Events.expandingZscore(
+      Seq(
+        (1L, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), "a", 5.0),
+        (2L, java.sql.Timestamp.valueOf("2026-01-01 10:01:00"), "a", 6.0),
+        (3L, java.sql.Timestamp.valueOf("2026-01-01 10:02:00"), "a", 5.0),
+        (4L, java.sql.Timestamp.valueOf("2026-01-01 10:03:00"), "a", 100.0))
+        .toDF("event_id", "ts", "event_type", "value"),
+      sigma = 3.0).collect()
+    // event 1 has no history, 2 has sd=null (single point), 3 is mild
+    // (z≈-0.7); only 4's spike clears 3σ against its strict past
+    assert(z.map(_.getLong(0)).toSeq === Seq(4L))
+  }
+
+  test("fuzzy name pairs recover count products and respect blocking") {
+    val names = Seq(
+      "red widget", "red widget", "rad widget",      // dist 1, 2x1 pairs
+      "blue anvil", "glue anvil",                    // dist 1
+      "red gizmo")                                   // alone in its block
+      .toDF("name")
+    val got = Dedup.fuzzyNamePairs(names, "name", maxDist = 2).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got === Set(
+      ("rad widget", "red widget", 1, 2L),
+      ("blue anvil", "glue anvil", 1, 1L)))
+  }
+
+  test("incremental MV merge equals the from-scratch aggregate") {
+    val merged = Relational.mvIncrementalRevenue(spark, sf0001)
+    val scratch = graft.Tables(spark, sf0001, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_custkey")
+    assert(merged.collect().toSeq === scratch.collect().toSeq)
+  }
+}

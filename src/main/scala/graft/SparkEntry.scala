@@ -173,6 +173,11 @@ object SparkEntry {
     "txt_chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlapQuery(s, d)),
     // tf × ln(N/df) keyword extraction, top-3 per doc
     "txt_tfidf_top" -> ((s, d) => TextAnalysis.tfidfTopQuery(s, d)),
+    // collocations ranked by lift (= e^PMI: same order, but one
+    // exactly-rounded division instead of libm ln — hash-safe)
+    "txt_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigramsQuery(s, d)),
+    // hashing-trick sparse TF vectors in md5-bucket space
+    "txt_feature_hash" -> ((s, d) => TextAnalysis.featureHashQuery(s, d)),
     // BPE merge-pair vocab induction, k=10 rounds, deterministic
     // tie-break — the merge table is exactly reproducible in SQL
     // (greedy-overlap rule and all), so it is oracled end to end
@@ -194,6 +199,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
     "dedup_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopPairs(s, d)),
+    // EXACT Jaccard-threshold join via prefix filtering (all-pairs /
+    // PPJoin family); oracle is the brute-force all-pairs join, so
+    // any false negative from the pruning fails the gate
+    "dedup_jaccard_prefix" -> ((s, d) => Dedup.jaccardPrefixQuery(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d, "documents")).orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables(s, d, "documents"))),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(Tables(s, d, "documents"))),
@@ -246,6 +255,11 @@ object SparkEntry {
     // degree-oriented triangle count over the (hash-sampled)
     // co-purchase graph — O(m^1.5) wedge join, never Σ deg²
     "graph_triangles" -> ((s, d) => Graph.triangleCount(s, d)),
+    // min-label propagation to CONVERGENCE (oracle unrolls a safe
+    // fixed bound; idempotent past the fixpoint)
+    "graph_components" -> ((s, d) => Graph.connectedComponents(s, d)),
+    // bounded k-hop BFS distances (the bound is the semantics)
+    "graph_bfs_hops" -> ((s, d) => Graph.bfsHops(s, d)),
     // --- relational completions (§2.4/§2.5) ---
     // 2-D Pareto frontier as a single window sort (not O(n²) NOT EXISTS)
     "skyline_parts" -> ((s, d) => Relational.skyline2d(s, d)),
@@ -1385,6 +1399,26 @@ object SparkEntry {
         |FROM ranked WHERE rn <= 3 ORDER BY doc_id, token""".stripMargin,
     "txt_fingerprints" ->
       "SELECT doc_id, md5(text) AS md5_fp FROM documents ORDER BY doc_id",
+    "txt_pmi_bigrams" ->
+      """WITH tt AS (SELECT string_split(text, ' ') AS ws FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2 FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM tt)),
+        |uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM tt) GROUP BY w),
+        |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+        |tot AS (SELECT CAST((SELECT sum(c) FROM uc) AS BIGINT) AS utot,
+        |               CAST((SELECT sum(c12) FROM bc) AS BIGINT) AS btot),
+        |r AS (SELECT w1, w2, c12,
+        |        CAST(c12 * utot * utot AS DOUBLE) / CAST(btot * u1.c * u2.c AS DOUBLE) AS lift
+        |      FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w CROSS JOIN tot
+        |      WHERE c12 >= 5),
+        |sel AS (SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS INTEGER) AS rk,
+        |               w1, w2, c12, round(lift, 4) AS lift FROM r)
+        |SELECT rk, w1, w2, c12, lift FROM sel WHERE rk <= 50 ORDER BY rk""".stripMargin,
+    "txt_feature_hash" ->
+      """SELECT doc_id,
+        |  CAST(CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 256 AS INTEGER) AS bucket,
+        |  count(*) AS tf
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_md5, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
@@ -1449,6 +1483,22 @@ object SparkEntry {
         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
         |SELECT u AS doc_id, min(v) AS cluster, min(v) = u AS is_canonical
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin),
+    "dedup_jaccard_prefix" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(t) < 3 THEN [text]
+        |      ELSE list_transform(range(0, len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) END) AS shingle
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) raw),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_inter AS BIGINT) AS inter,
+        |  CAST(sa.n + sb.n - n_inter AS BIGINT) AS uni
+        |FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE 2 * n_inter >= (sa.n + sb.n - n_inter)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,
@@ -1518,6 +1568,8 @@ object SparkEntry {
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> Graph.pageRankOracle(),
     "graph_triangles" -> Graph.triangleOracle,
+    "graph_components" -> Graph.componentsOracle(),
+    "graph_bfs_hops" -> Graph.bfsOracle(),
     "skyline_parts" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
         |f AS (SELECT price, size,

@@ -422,4 +422,63 @@ object Dedup {
 
   def fuzzyPartNames(spark: SparkSession, dir: String): DataFrame =
     fuzzyNamePairs(Tables(spark, dir, "part"), "p_name")
+
+  /** EXACT Jaccard-threshold self-join over distinct 3-shingle sets
+    * with prefix filtering (Bayardo/Chaudhuri "all-pairs" / PPJoin
+    * family) — the exact rung between hash-exact dedup and the
+    * probabilistic MinHash/SimHash rungs: every pair with
+    * J(a,b) ≥ tNum/tDen is returned, with its true intersection and
+    * union sizes, no estimation.
+    *
+    * Scale design:
+    *  - Candidate generation explodes only each set's PREFIX — the
+    *    sz - ⌈t·sz⌉ + 1 globally RAREST shingles (rarest-first is the
+    *    canonical prefix order: it makes prefix postings short).
+    *    Correctness of the pruning does not rest on this code: the
+    *    DuckDB oracle is the brute-force all-pairs join, so a false
+    *    negative fails the gate.
+    *  - The self-join is an equality join on the prefix shingle —
+    *    shuffle volume is O(Σ posting²) over rare tokens, never the
+    *    O(n²) cross join; the length filter t·max(|a|,|b|) ≤
+    *    min(|a|,|b|) prunes size-incompatible candidates before dedup.
+    *  - Exact verification joins the full sets back by doc id
+    *    (tokenize-once-join-back) and compares in INTEGER arithmetic
+    *    (tDen·inter ≥ tNum·uni) — no float threshold to disagree
+    *    across engines.
+    *
+    * Threshold default 1/2: on the synthetic corpus this isolates
+    * exactly the planted near-dup pairs (25 at sf0.01), the same set
+    * the MinHash rung estimates. */
+  def jaccardPrefixPairs(docs: DataFrame, tNum: Int = 1, tDen: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(docs)
+    val sets = sh.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("shingle"))).as("arr"),
+        count(lit(1)).cast("int").as("sz"))
+      .localCheckpoint()
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, "shingle")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))))
+      .join(sets.select(col("doc_id"), col("sz")), "doc_id")
+      .filter(col("rk") <= expr(s"sz - (($tNum * sz + ${tDen - 1}) div $tDen) + 1"))
+      .select(col("doc_id"), col("shingle"), col("sz"))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id") &&
+          lit(tNum) * greatest(col("x.sz"), col("y.sz")) <=
+            lit(tDen) * least(col("x.sz"), col("y.sz")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"), col("sz").as("sz_b")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("uni", (col("sz_a") + col("sz_b") - col("inter")).cast("long"))
+      .filter(lit(tDen) * col("inter") >= lit(tNum) * col("uni"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def jaccardPrefixQuery(spark: SparkSession, dir: String): DataFrame =
+    jaccardPrefixPairs(Tables(spark, dir, "documents"))
 }

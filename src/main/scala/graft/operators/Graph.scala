@@ -122,6 +122,114 @@ object Graph {
     e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
   }
 
+  /** Connected components by min-label propagation over a sparsified
+    * part↔supplier graph (edges kept iff md5 of the lineitem order key
+    * lands in the low 1/32 of hash space — dense TPC-H bipartite
+    * graphs are one giant component; the sparse graph has real
+    * structure to find). Labels converge to the component's minimum
+    * node id.
+    *
+    * Scale notes: each round is one equality join + one min-aggregate
+    * on a localCheckpoint'ed edge relation — the same
+    * Pregel-as-relational shape as pageRank. Rounds needed = the
+    * longest shortest-path from a component's min-id node (≤ diameter);
+    * the loop stops on a CONVERGENCE count (one scalar per round, the
+    * bounded-pull contract), not a fixed round count, so small-world
+    * corpora stop in O(log n)-ish rounds while the oracle unrolls a
+    * fixed safe bound (extra rounds are idempotent after convergence —
+    * GraphSpec pins true components on a hand graph; `maxIters` is an
+    * assertion-failure guard, not a tuning knob). */
+  def connectedComponents(spark: SparkSession, dir: String,
+                          maxIters: Int = 20): DataFrame = {
+    val base = Tables(spark, dir, "lineitem")
+      .filter(
+        substring(md5(concat(lit("cc:"), col("l_orderkey").cast("string"))), 1, 2) < "08")
+      .select(
+        concat(lit("p:"), col("l_partkey")).as("a"),
+        concat(lit("s:"), col("l_suppkey")).as("b"))
+      .distinct()
+    val edges = base
+      .union(base.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIters) {
+      round += 1
+      val next = edges.join(labels, edges("a") === labels("node"))
+        .groupBy(col("b"))
+        .agg(min(col("lbl")).as("nlbl"))
+        .join(labels, col("b") === labels("node"))
+        .select(col("node"), least(col("lbl"), col("nlbl")).as("lbl"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).isEmpty
+      labels = next
+    }
+    require(converged, s"CC did not converge in $maxIters rounds")
+    labels.select(col("node"), col("lbl").as("component")).orderBy("node")
+  }
+
+  /** Min-hop BFS distance from supplier `s:1` over the full bipartite
+    * graph, bounded at `hops` rounds (relational Bellman-Ford on unit
+    * weights). Unreachable-within-bound nodes are absent. The bound is
+    * part of the SEMANTICS (k-hop neighborhood), so a fixed unroll is
+    * the oracle — no convergence question. */
+  def bfsHops(spark: SparkSession, dir: String, source: String = "s:1",
+              hops: Int = 4): DataFrame = {
+    val edges = bipartiteEdges(spark, dir).localCheckpoint()
+    var dist = spark.createDataFrame(Seq(Tuple2(source, 0)))
+      .toDF("node", "hops")
+    for (_ <- 1 to hops) {
+      val relaxed = edges.join(dist, edges("a") === dist("node"))
+        .groupBy(col("b"))
+        .agg((min(col("hops")) + lit(1)).as("hops"))
+        .select(col("b").as("node"), col("hops"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min("hops").as("hops"))
+        .localCheckpoint()
+    }
+    dist.orderBy("node")
+  }
+
+  /** Oracle SQL for `connectedComponents` — min-label propagation
+    * unrolled to `iters` MATERIALIZED rounds. Safe as long as the
+    * Spark side converged in ≤ iters rounds (it asserts so): rounds
+    * past convergence are idempotent. */
+  def componentsOracle(iters: Int = 20): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH base AS MATERIALIZED (SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b FROM lineitem\n"
+    sb ++= "  WHERE substring(md5('cc:' || CAST(l_orderkey AS VARCHAR)), 1, 2) < '08'),\n"
+    sb ++= "edges AS MATERIALIZED (SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base),\n"
+    sb ++= "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM edges),\n"
+    for (i <- 1 to iters)
+      sb ++= s"l$i AS MATERIALIZED (SELECT p.node, least(p.lbl, min(q.lbl)) AS lbl " +
+        s"FROM l${i - 1} p JOIN edges e ON e.b = p.node JOIN l${i - 1} q ON q.node = e.a " +
+        "GROUP BY p.node, p.lbl),\n"
+    sb ++= s"fin AS (SELECT node, lbl AS component FROM l$iters)\n"
+    sb ++= "SELECT node, component FROM fin ORDER BY node"
+    sb.toString
+  }
+
+  /** Oracle SQL for `bfsHops` — unit-weight relaxation unrolled to the
+    * same fixed bound. */
+  def bfsOracle(source: String = "s:1", hops: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH base AS MATERIALIZED (SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b FROM lineitem),\n"
+    sb ++= "edges AS MATERIALIZED (SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base),\n"
+    sb ++= s"d0 AS MATERIALIZED (SELECT '$source' AS node, 0 AS hops),\n"
+    for (i <- 1 to hops)
+      sb ++= s"d$i AS MATERIALIZED (SELECT node, CAST(min(hops) AS INTEGER) AS hops FROM (" +
+        s"SELECT node, hops FROM d${i - 1} UNION ALL " +
+        s"SELECT e.b AS node, min(d.hops) + 1 AS hops FROM edges e JOIN d${i - 1} d ON e.a = d.node GROUP BY e.b" +
+        ") GROUP BY node),\n"
+    sb ++= s"fin AS (SELECT node, hops FROM d$hops)\n"
+    sb ++= "SELECT node, hops FROM fin ORDER BY node"
+    sb.toString
+  }
+
   /** Oracle SQL for `pageRank` — the iteration unrolled into one
     * MATERIALIZED CTE per round (same move as the BPE oracle: DuckDB
     * inlines plain CTEs, and pr{i} is referenced per-edge, so the

@@ -566,4 +566,72 @@ object TextAnalysis {
       .map(r => (r.getString(1), r.getString(2))).toSeq
     bpeTokenize(docs, merges).orderBy("doc_id")
   }
+
+  /** Collocation mining: top-k adjacent bigrams by pointwise mutual
+    * information. PMI = ln(lift); since ln is monotone the RANKING by
+    * the lift ratio (c12·U²)/(B·c1·c2) is identical, and lift — unlike
+    * ln, which is libm and 1-ulp engine-dependent (the F5 lesson) — is
+    * one exactly-rounded IEEE division of two exact integers, so it is
+    * bit-identical in Spark and DuckDB and safe to hash-compare AND to
+    * rank on.
+    *
+    * Scale design: bigrams come from a per-row zip of the token array
+    * with itself shifted by one (pure map work inside codegen — no
+    * positional self-join, which would shuffle the corpus on (doc,
+    * pos)); uni/bigram counts are two hash aggregations; the corpus
+    * totals U and B broadcast as 1-row literals via crossJoin. Counts
+    * stay BIGINT; at web scale the products approach 2^63 before the
+    * doubles lose monotonicity, at which point rank on
+    * ln-of-doubles instead (ordering ties at 1-ulp are then real
+    * ties). */
+  def pmiBigrams(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bi = toks.select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uniCnt = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val biCnt = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val totals = uniCnt.agg(sum(col("c")).as("u"))
+      .crossJoin(biCnt.agg(sum(col("c12")).as("btot")))
+    biCnt.filter(col("c12") >= minCount)
+      .join(uniCnt.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uniCnt.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(totals)
+      .withColumn("lift",
+        (col("c12") * col("u") * col("u")).cast("double") /
+          (col("btot") * col("c1") * col("c2")).cast("double"))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("lift").desc, col("w1"), col("w2"))))
+      .filter(col("rk") <= k)
+      .select(col("rk"), col("w1"), col("w2"), col("c12"),
+        round(col("lift"), 4).as("lift"))
+      .orderBy("rk")
+  }
+
+  def pmiBigramsQuery(spark: SparkSession, dir: String): DataFrame =
+    pmiBigrams(Tables(spark, dir, "documents"))
+
+  /** Feature hashing (the "hashing trick"): each document becomes a
+    * sparse term-frequency vector in a fixed `dim`-bucket space, with
+    * the bucket = the first 8 md5 hex digits of the token mod dim —
+    * engine-portable (md5 is bit-identical everywhere), unlike
+    * Murmur-based hashingTF whose seed/implementation is
+    * engine-specific. Output is the exploded sparse form (doc_id,
+    * bucket, tf) — the join-friendly layout for downstream dot
+    * products; pure map + one hash aggregation, no shuffle wider than
+    * the output itself. Collisions are the technique's documented
+    * trade (dim=256 over a ~2.5k-word vocab ⇒ ~10 words/bucket). */
+  def featureHash(docs: DataFrame, dim: Int = 256): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % dim).cast("int"))
+      .groupBy("doc_id", "bucket")
+      .agg(count(lit(1)).as("tf"))
+      .orderBy("doc_id", "bucket")
+
+  def featureHashQuery(spark: SparkSession, dir: String): DataFrame =
+    featureHash(Tables(spark, dir, "documents"))
 }

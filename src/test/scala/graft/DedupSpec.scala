@@ -113,4 +113,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange hashpartitioning(band"),
       s"band self-join must be zero-exchange over the bucketed index:\n$plan")
   }
+
+  test("jaccard prefix join: exact sizes on a hand pair, no prune losses vs brute force") {
+    import org.apache.spark.sql.functions.{col, collect_set, size, array_intersect, lit}
+    // doc1/doc2 3-shingle sets {abc,bcd,cde} vs {abc,bcd,cdf}:
+    // inter 2, union 4, J = 0.5 — exactly at the >= 1/2 threshold
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d f"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val got = Dedup.jaccardPrefixPairs(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 2L, 2L, 4L)))
+    // prefix filtering is an OPTIMIZATION: on the real corpus its
+    // output must equal the brute-force all-pairs join bit for bit
+    val corpus = graft.Tables(spark, SparkTestSession.sf0001, "documents")
+    val sets = Dedup.shingles(corpus)
+      .groupBy("doc_id").agg(collect_set("shingle").as("s"))
+    val brute = sets.as("a").join(sets.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.s"), col("b.s"))).cast("long").as("inter"),
+        (size(col("a.s")) + size(col("b.s"))).cast("long").as("szsum"))
+      .withColumn("uni", col("szsum") - col("inter"))
+      .filter(lit(2) * col("inter") >= col("uni"))
+      .select("doc_a", "doc_b", "inter", "uni")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val pruned = Dedup.jaccardPrefixQuery(spark, SparkTestSession.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(pruned === brute)
+  }
 }

@@ -89,6 +89,45 @@ class GraphSpec extends AnyFunSuite {
       ("blue anvil", "glue anvil", 1, 1L)))
   }
 
+  test("connectedComponents finds true components on a known graph") {
+    // order ids must pass the 1/32 md5 sample gate (first byte < 0x08)
+    val passing = (1L to 2000L).filter { o =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cc:$o".getBytes("UTF-8"))
+      (h(0) & 0xff) < 0x08
+    }
+    val (oa, ob) = (passing(0), passing(1))
+    // component 1: {p:1, p:2, s:1} (min label p:1 — 'p:' < 's:')
+    // component 2: {p:3, s:2}      (min label p:3)
+    val li = Seq(
+      (oa, 1L, 1L), (oa, 2L, 1L),
+      (ob, 3L, 2L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val tmp = java.nio.file.Files.createTempDirectory("ccspec").toString
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = Graph.connectedComponents(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got === Set(
+      ("p:1", "p:1"), ("p:2", "p:1"), ("s:1", "p:1"),
+      ("p:3", "p:3"), ("s:2", "p:3")))
+  }
+
+  test("bfsHops walks a path graph to exactly the hop bound") {
+    // path s:1 - p:1 - s:2 - p:2 - s:3 built from one order per edge
+    val li = Seq(
+      (1L, 1L, 1L), (2L, 1L, 2L), (3L, 2L, 2L), (4L, 2L, 3L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+    val tmp = java.nio.file.Files.createTempDirectory("bfsspec").toString
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val d4 = Graph.bfsHops(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(d4 === Map("s:1" -> 0, "p:1" -> 1, "s:2" -> 2, "p:2" -> 3, "s:3" -> 4))
+    // a tighter bound truncates the frontier, not just the labels
+    val d2 = Graph.bfsHops(spark, tmp, hops = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toMap
+    assert(d2 === Map("s:1" -> 0, "p:1" -> 1, "s:2" -> 2))
+  }
+
   test("incremental MV merge equals the from-scratch aggregate") {
     val merged = Relational.mvIncrementalRevenue(spark, sf0001)
     val scratch = graft.Tables(spark, sf0001, "orders")

@@ -239,4 +239,32 @@ class TextSpec extends AnyFunSuite {
     val l = TextAnalysis.repetitionStats(loop).collect().head
     assert(l.getAs[Double]("dup5_frac") > 1.0)
   }
+
+  test("pmi lift ranks always-adjacent bigrams above incidental ones") {
+    // corpus "a b a b" + "c d c d": U=8 (each word count 2), B=6,
+    // c(a,b)=c(c,d)=2, c(b,a)=c(d,c)=1
+    // lift(a,b) = 2*64/(6*2*2) = 16/3 ≈ 5.3333; lift(b,a) half that
+    val docs = Seq((1L, "a b a b"), (2L, "c d c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiBigrams(docs, minCount = 1, k = 10).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq(
+      (1, "a", "b", 2L, 5.3333), (2, "c", "d", 2L, 5.3333),
+      (3, "b", "a", 1L, 2.6667), (4, "d", "c", 1L, 2.6667)))
+  }
+
+  test("feature hash: tf mass equals token count, buckets bounded, md5-pinned") {
+    val docs = Seq((1L, "hello world hello")).toDF("doc_id", "text")
+    val rows = TextAnalysis.featureHash(docs).collect()
+    assert(rows.map(_.getLong(2)).sum === 3L)
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) < 256))
+    // bucket is pinned to the md5 definition, not an engine hash
+    def bucket(w: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    }
+    val byBucket = rows.map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(byBucket(bucket("hello")) === 2L)
+    assert(byBucket(bucket("world")) === 1L)
+  }
 }

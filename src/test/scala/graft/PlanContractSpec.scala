@@ -194,4 +194,26 @@ class PlanContractSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       "sampling must be a scan-side filter, not a shuffled operator")
   }
+
+  test("jaccard prefix join generates candidates by shingle equality, never all pairs") {
+    val p = plan("dedup_jaccard_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix join must stay an equality join on the prefix shingle:\n$p")
+  }
+
+  test("graph iterations join on vertex keys, never a cross product") {
+    for (n <- Seq("graph_pagerank", "graph_components", "graph_bfs_hops")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n must stay equality-join shaped:\n$p")
+    }
+  }
+
+  test("pmi and feature hashing stay map-side until their aggregations") {
+    for (n <- Seq("txt_pmi_bigrams", "txt_feature_hash")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product (the totals crossJoin must broadcast 1 row):\n$p")
+    }
+  }
 }

@@ -37,6 +37,12 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     // last-writer-wins change application (MERGE INTO kernel)
     "cdc_apply" -> ((s, d) => Relational.cdcApply(s, d)),
+    // SCD Type-2: every update opens a validity interval, the next
+    // change closes it — point-in-time queryability with no table format
+    "cdc_scd2" -> ((s, d) => Relational.cdcScd2(s, d)),
+    // the payoff query: reconstruct a historical snapshot from the
+    // half-open intervals
+    "cdc_asof_snapshot" -> ((s, d) => Relational.cdcAsofSnapshot(s, d)),
     // ANALYZE-style per-column profile (nulls / exact distinct /
     // typed min-max) in long format — one aggregation pass
     "profile_orders" -> ((s, d) => Relational.profileOrders(s, d)),
@@ -561,6 +567,29 @@ object SparkEntry {
         |FROM customer c LEFT JOIN last_op l ON c.c_custkey = l.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY c.c_custkey""".stripMargin,
+    "cdc_scd2" ->
+      """WITH changes AS (
+        |  SELECT o_custkey AS key,
+        |    CASE WHEN o_orderstatus = 'F' AND o_totalprice < 5000.0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS new_bal, o_orderdate, o_orderkey,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM orders)
+        |SELECT key, o_orderkey AS version_id, round(new_bal, 2) AS bal,
+        |  o_orderdate AS valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM changes WHERE op = 'U'
+        |ORDER BY key, valid_from, version_id""".stripMargin,
+    "cdc_asof_snapshot" ->
+      """WITH changes AS (
+        |  SELECT o_custkey AS key,
+        |    CASE WHEN o_orderstatus = 'F' AND o_totalprice < 5000.0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS new_bal, o_orderdate, o_orderkey,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM orders)
+        |SELECT key, o_orderkey AS version_id, round(new_bal, 2) AS bal
+        |FROM changes
+        |WHERE op = 'U' AND o_orderdate <= DATE '1998-06-01'
+        |  AND (valid_to IS NULL OR valid_to > DATE '1998-06-01')
+        |ORDER BY key""".stripMargin,
     "a7_value_stats" ->
       """SELECT event_type, round(avg(value), 4) AS avg_value,
         |  round(stddev_pop(value), 4) AS std_pop,

@@ -622,6 +622,51 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** SCD Type-2 history build from the same change feed `cdcApply`
+    * collapses: instead of keeping only the last state, every update
+    * opens a validity interval that the NEXT change (update or
+    * delete) closes — `valid_to` is the lead change date, null marks
+    * the current version. Deletes open no interval but still close
+    * their predecessor, so a key ending in D has no current row: the
+    * warehouse-standard way to keep point-in-time queryability
+    * without a table format.
+    *
+    * Scale: one shuffle on the key for the lead window — the history
+    * is WRITTEN once per batch, never rewritten per change (contrast
+    * a MERGE-per-change loop, which is O(changes) table rewrites). */
+  def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    val changes = Tables(spark, dir, "orders").select(
+      col("o_custkey").as("key"),
+      when(col("o_orderstatus") === "F" && col("o_totalprice") < 5000.0, "D")
+        .otherwise("U").as("op"),
+      col("o_totalprice").as("new_bal"),
+      col("o_orderdate"), col("o_orderkey"))
+    val w = Window.partitionBy("key").orderBy(col("o_orderdate"), col("o_orderkey"))
+    changes
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .filter(col("op") === "U")
+      .select(
+        col("key"), col("o_orderkey").as("version_id"),
+        round(col("new_bal"), 2).as("bal"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("key", "valid_from", "version_id")
+  }
+
+  /** Point-in-time snapshot from the SCD2 history: the balance each
+    * key had on `asOf` is the unique version whose half-open validity
+    * interval [valid_from, valid_to) contains the date (open-ended for
+    * the current version). THE query SCD2 exists to answer; half-open
+    * intervals mean a change ON the snapshot date is already visible,
+    * matching cdcApply's last-write-wins at that date. */
+  def cdcAsofSnapshot(spark: SparkSession, dir: String,
+                      asOf: String = "1998-06-01"): DataFrame =
+    cdcScd2(spark, dir)
+      .filter(col("valid_from") <= lit(asOf) &&
+        (col("valid_to").isNull || col("valid_to") > lit(asOf)))
+      .select(col("key"), col("version_id"), col("bal"))
+      .orderBy("key")
+
   /** Table profiling — the ANALYZE-style per-column statistics pass a
     * pipeline runs before trusting a new dataset: per column, null
     * count, exact distinct count, and min/max (numerics as rounded

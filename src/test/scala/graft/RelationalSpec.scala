@@ -155,4 +155,36 @@ class RelationalSpec extends AnyFunSuite {
       .filter(col("c_mktsegment") === "FURNITURE").count()
     assert(counts.values.sum === furniture)
   }
+
+  test("scd2 intervals chain per key and the far-future snapshot equals cdc apply") {
+    // o_orderdate reads as TIMESTAMP_NTZ (Spark 4 parquet inference),
+    // so validity bounds come back as LocalDateTime
+    import java.time.LocalDateTime
+    val hist = Relational.cdcScd2(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getAs[LocalDateTime](3),
+        Option(r.getAs[LocalDateTime](4)), r.getBoolean(5)))
+    // per key: exactly one open (current) interval, every closed one
+    // ends at or before the next version opens (a D-op can leave a gap)
+    hist.groupBy(_._1).foreach { case (key, vs) =>
+      val sorted = vs.sortBy(_._2.toString)
+      assert(sorted.count(_._3.isEmpty) <= 1, s"key $key has two current versions")
+      sorted.foreach { v =>
+        v._3.foreach(to => assert(!to.isBefore(v._2), s"key $key interval ends before it starts"))
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3.nonEmpty, s"key $key has an open interval before the last version")
+          assert(!a._3.get.isAfter(b._2), s"key $key intervals overlap")
+        case _ =>
+      }
+    }
+    // snapshot past every change date = the current versions = exactly
+    // cdcApply's changed-and-not-deleted keys with the same balance
+    val snap = Relational.cdcAsofSnapshot(spark, sf0001, asOf = "2999-01-01").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val applied = Relational.cdcApply(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val changedAlive = applied.filter(_._3 == "U").map(t => t._1 -> t._2).toMap
+    assert(snap === changedAlive)
+  }
 }

@@ -173,23 +173,31 @@ object Graph {
   }
 
   /** Min-hop BFS distance from supplier `s:1` over the full bipartite
-    * graph, bounded at `hops` rounds (relational Bellman-Ford on unit
-    * weights). Unreachable-within-bound nodes are absent. The bound is
-    * part of the SEMANTICS (k-hop neighborhood), so a fixed unroll is
-    * the oracle — no convergence question. */
+    * graph, bounded at `hops` rounds. Unreachable-within-bound nodes
+    * are absent. The bound is part of the SEMANTICS (k-hop
+    * neighborhood), so a fixed unroll is the oracle — no convergence
+    * question.
+    *
+    * Frontier-based, not Bellman-Ford: with unit weights the FIRST
+    * reach is the minimum hop count, so each round joins edges only
+    * against the newly-reached frontier and anti-joins out already
+    * settled nodes — per-round work is O(frontier boundary), never
+    * O(settled · degree), and a saturated graph finishes its
+    * remaining rounds against empty frontiers (halved wall-clock vs
+    * relax-everything at the same fixed bound, measured at sf0.1). */
   def bfsHops(spark: SparkSession, dir: String, source: String = "s:1",
               hops: Int = 4): DataFrame = {
     val edges = bipartiteEdges(spark, dir).localCheckpoint()
     var dist = spark.createDataFrame(Seq(Tuple2(source, 0)))
       .toDF("node", "hops")
-    for (_ <- 1 to hops) {
-      val relaxed = edges.join(dist, edges("a") === dist("node"))
-        .groupBy(col("b"))
-        .agg((min(col("hops")) + lit(1)).as("hops"))
-        .select(col("b").as("node"), col("hops"))
-      dist = dist.union(relaxed)
-        .groupBy("node").agg(min("hops").as("hops"))
+    var frontier = dist
+    for (h <- 1 to hops) {
+      frontier = edges.join(frontier, edges("a") === frontier("node"))
+        .select(col("b").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
         .localCheckpoint()
+      dist = dist.union(frontier)
     }
     dist.orderBy("node")
   }

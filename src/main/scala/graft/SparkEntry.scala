@@ -285,6 +285,9 @@ object SparkEntry {
     // blocked levenshtein join over DISTINCT names with counts joined
     // back (the tokenize-once-join-back shape)
     "dedup_fuzzy_names" -> ((s, d) => Dedup.fuzzyPartNames(s, d)),
+    // pair -> cluster -> golden record: CC over the fuzzy pairs keys
+    // every entity by its least member; singletons survive
+    "dedup_name_entities" -> ((s, d) => Dedup.nameEntities(s, d)),
   )
 
   /** MinHash band-join pair oracle, shared by dedup_minhash_pairs and
@@ -1646,5 +1649,24 @@ object SparkEntry {
         |FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
         |WHERE levenshtein(a.name, b.name) <= 2
         |ORDER BY name_a, name_b""".stripMargin,
+    "dedup_name_entities" ->
+      """WITH RECURSIVE names AS (
+        |  SELECT p_name AS name, count(*) AS cnt, (string_split(p_name, ' '))[-1] AS block
+        |  FROM part GROUP BY p_name),
+        |pairs AS (
+        |  SELECT a.name AS name_a, b.name AS name_b
+        |  FROM names a JOIN names b ON a.block = b.block AND a.name < b.name
+        |  WHERE levenshtein(a.name, b.name) <= 2),
+        |edges AS (SELECT name_a AS u, name_b AS v FROM pairs
+        |          UNION ALL SELECT name_b, name_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+        |comp AS (SELECT u AS name, min(v) AS entity FROM reach GROUP BY u)
+        |SELECT n.name, coalesce(c.entity, n.name) AS entity, n.cnt,
+        |  coalesce(c.entity, n.name) = n.name AS is_canonical
+        |FROM names n LEFT JOIN comp c ON n.name = c.name
+        |ORDER BY n.name""".stripMargin,
   )
 }

@@ -423,6 +423,32 @@ object Dedup {
   def fuzzyPartNames(spark: SparkSession, dir: String): DataFrame =
     fuzzyNamePairs(Tables(spark, dir, "part"), "p_name")
 
+  /** Entity resolution over the fuzzy matches: the blocked Levenshtein
+    * pairs become edges, connected components resolve TRANSITIVE
+    * matches (a~b~c lands in one entity even when dist(a,c) exceeds
+    * the pair threshold — the chain is the match), and each entity is
+    * keyed by its lexicographically least member: the standard
+    * pair → cluster → golden-record chain after any matcher, reusing
+    * the same pointer-jumping CC as dedup_clusters. Names with no
+    * match stay their own entity via the left join — never dropped.
+    * Row counts ride along so the entity rollup downstream is a plain
+    * aggregation, not a rescan. */
+  def nameEntities(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables(spark, dir, "part")
+    val counted = parts.groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("cnt"))
+    val labeled = Components.labelGraph(
+        fuzzyNamePairs(parts, "p_name")
+          .select(col("name_a").as("u"), col("name_b").as("v"))
+          .localCheckpoint())
+      .select(col("node").as("name"), col("component").as("entity"))
+    counted.join(labeled, Seq("name"), "left")
+      .withColumn("entity", coalesce(col("entity"), col("name")))
+      .select(col("name"), col("entity"), col("cnt"),
+        (col("name") === col("entity")).as("is_canonical"))
+      .orderBy("name")
+  }
+
   /** EXACT Jaccard-threshold self-join over distinct 3-shingle sets
     * with prefix filtering (Bayardo/Chaudhuri "all-pairs" / PPJoin
     * family) — the exact rung between hash-exact dedup and the

@@ -114,6 +114,29 @@ class DedupSpec extends AnyFunSuite {
       s"band self-join must be zero-exchange over the bucketed index:\n$plan")
   }
 
+  test("name entities resolve transitive chains past the pair threshold") {
+    import org.apache.spark.sql.functions.col
+    // chain aaaa ~1~ aaba ~1~ abba ~1~ bbba: the ends are 3 edits apart
+    // (past maxDist=2, so no direct pair) yet one entity via the chain
+    val parts = Seq(
+      "aaaa widget", "aaba widget", "abba widget", "bbba widget",
+      "zzzz anvil")                                  // singleton
+      .toDF("p_name")
+    val pairs = Dedup.fuzzyNamePairs(parts, "p_name").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pairs.contains(("aaaa widget", "bbba widget")),
+      "the chain ends must NOT pair directly")
+    val tmp = java.nio.file.Files.createTempDirectory("entspec").toString
+    parts.write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val ents = Dedup.nameEntities(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(3))).toList
+    val byName = ents.map(e => e._1 -> e._2).toMap
+    assert(Set("aaaa widget", "aaba widget", "abba widget", "bbba widget")
+      .map(byName) === Set("aaaa widget"), "chain must collapse to one entity")
+    assert(byName("zzzz anvil") === "zzzz anvil")
+    assert(ents.filter(_._3).map(_._1).toSet === Set("aaaa widget", "zzzz anvil"))
+  }
+
   test("jaccard prefix join: exact sizes on a hand pair, no prune losses vs brute force") {
     import org.apache.spark.sql.functions.{col, collect_set, size, array_intersect, lit}
     // doc1/doc2 3-shingle sets {abc,bcd,cde} vs {abc,bcd,cdf}:

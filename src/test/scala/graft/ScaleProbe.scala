@@ -171,7 +171,10 @@ object ScaleProbe {
       "profile_orders", "cdc_apply", "txt_bpe_merges", "txt_bpe_tokenize",
       "graph_pagerank", "graph_triangles", "skyline_parts",
       "w_ntile_quartiles", "gsets_revenue", "mv_incremental",
-      "ts_anomaly_hourly", "w_expanding_zscore", "dedup_fuzzy_names")
+      "ts_anomaly_hourly", "w_expanding_zscore", "dedup_fuzzy_names",
+      "graph_bfs_hops", "graph_components", "dedup_name_entities",
+      "cdc_scd2", "cdc_asof_snapshot", "txt_pmi_bigrams",
+      "txt_feature_hash", "dedup_jaccard_prefix")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state
@@ -184,8 +187,11 @@ object ScaleProbe {
     val specialBigDir = Map(
       "graph_pagerank" -> s"$bigDir/graph10",
       "graph_triangles" -> s"$bigDir/graph10",
+      "graph_bfs_hops" -> s"$bigDir/graph10",
+      "graph_components" -> s"$bigDir/graph10",
       "skyline_parts" -> s"$bigDir/part10",
-      "dedup_fuzzy_names" -> s"$bigDir/part10")
+      "dedup_fuzzy_names" -> s"$bigDir/part10",
+      "dedup_name_entities" -> s"$bigDir/part10")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -271,6 +271,10 @@ object SparkEntry {
     "skyline_parts" -> ((s, d) => Relational.skyline2d(s, d)),
     // equi-depth histogram via ntile over a total order
     "w_ntile_quartiles" -> ((s, d) => Relational.ntileQuartiles(s, d)),
+    // pairwise Pearson r / per-group OLS from explicit sufficient
+    // statistics (mergeable sums — the distributable regression shape)
+    "a_corr_matrix" -> ((s, d) => Relational.corrMatrix(s, d)),
+    "a_linreg_flag" -> ((s, d) => Relational.linregByFlag(s, d)),
     // GROUPING SETS margins in one Expand pass (rollup/cube's general form)
     "gsets_revenue" -> ((s, d) => Relational.groupingSetsRevenue(s, d)),
     // incremental MV maintenance: persisted partial aggregates + delta
@@ -1611,6 +1615,30 @@ object SparkEntry {
         |FROM part p JOIN (SELECT price, size FROM f WHERE cm IS NULL OR size > cm) k
         |  ON p.p_retailprice = k.price AND p.p_size = k.size
         |ORDER BY p.p_partkey""".stripMargin,
+    "a_corr_matrix" ->
+      """WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |  sum(l_quantity) AS sq, sum(l_extendedprice) AS se, sum(l_discount) AS sd,
+        |  sum(l_quantity*l_extendedprice) AS sqe, sum(l_quantity*l_discount) AS sqd,
+        |  sum(l_extendedprice*l_discount) AS sed,
+        |  sum(l_quantity*l_quantity) AS sqq, sum(l_extendedprice*l_extendedprice) AS see,
+        |  sum(l_discount*l_discount) AS sdd
+        |FROM lineitem)
+        |SELECT 'extendedprice_discount' AS pair,
+        |  round((n*sed - se*sd)/sqrt((n*see - se*se)*(n*sdd - sd*sd)), 4) AS r FROM s
+        |UNION ALL
+        |SELECT 'quantity_discount', round((n*sqd - sq*sd)/sqrt((n*sqq - sq*sq)*(n*sdd - sd*sd)), 4) FROM s
+        |UNION ALL
+        |SELECT 'quantity_extendedprice', round((n*sqe - sq*se)/sqrt((n*sqq - sq*sq)*(n*see - se*se)), 4) FROM s
+        |ORDER BY pair""".stripMargin,
+    "a_linreg_flag" ->
+      """WITH s AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |  sum(l_quantity) AS sx, sum(l_extendedprice) AS sy,
+        |  sum(l_quantity*l_extendedprice) AS sxy, sum(l_quantity*l_quantity) AS sxx
+        |FROM lineitem GROUP BY l_returnflag),
+        |k AS (SELECT l_returnflag, n, (n*sxy - sx*sy)/(n*sxx - sx*sx) AS slope, sx, sy FROM s)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n, round(slope, 4) AS slope,
+        |  round((sy - slope*sx)/n, 4) AS intercept
+        |FROM k ORDER BY l_returnflag""".stripMargin,
     "w_ntile_quartiles" ->
       """WITH t AS (SELECT o_totalprice, ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q FROM orders)
         |SELECT q, count(*) AS n, round(min(o_totalprice), 2) AS lo,

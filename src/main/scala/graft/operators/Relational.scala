@@ -555,6 +555,65 @@ object Relational {
       .agg(count(lit(1)).as("n_sampled"), round(sum("o_totalprice"), 2).as("sampled_price"))
       .orderBy("o_orderpriority")
 
+  /** Pairwise Pearson correlations between lineitem's numeric
+    * measures, computed from EXPLICIT sufficient statistics (n, Σx,
+    * Σy, Σxy, Σx², Σy²) rather than the engines' `corr()` aggregates.
+    * Plain sums agree across engines to summation-order noise (~1e-12
+    * relative, absorbed by the 4-decimal rounding); opaque corr
+    * implementations are free to use entirely different recurrences
+    * with no such bound, so the explicit form is what makes the oracle
+    * comparison meaningful. One scan, one 1-row aggregate; the
+    * sufficient statistics are the mergeable state, which is why this
+    * shape distributes (and incrementalizes) trivially. */
+  def corrMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Seq(
+      ("quantity_extendedprice", col("l_quantity"), col("l_extendedprice")),
+      ("quantity_discount", col("l_quantity"), col("l_discount")),
+      ("extendedprice_discount", col("l_extendedprice"), col("l_discount")))
+    val li = Tables(spark, dir, "lineitem")
+    val aggs = pairs.flatMap { case (k, x, y) => Seq(
+      count(lit(1)).cast("double").as(s"n_$k"),
+      sum(x).as(s"sx_$k"), sum(y).as(s"sy_$k"),
+      sum(x * y).as(s"sxy_$k"), sum(x * x).as(s"sxx_$k"), sum(y * y).as(s"syy_$k"))
+    }
+    val row = li.agg(aggs.head, aggs.tail: _*)
+    val legs = pairs.map { case (k, _, _) =>
+      val (n, sx, sy) = (col(s"n_$k"), col(s"sx_$k"), col(s"sy_$k"))
+      val (sxy, sxx, syy) = (col(s"sxy_$k"), col(s"sxx_$k"), col(s"syy_$k"))
+      val r = (n * sxy - sx * sy) /
+        sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      row.select(lit(k).as("pair"), round(r, 4).as("r"))
+    }
+    legs.reduce(_ unionByName _).orderBy("pair")
+  }
+
+  /** Single-feature OLS per group (the closed form): regress extended
+    * price on quantity within each return flag. slope = (nΣxy−ΣxΣy)/
+    * (nΣx²−(Σx)²), intercept = (Σy − slope·Σx)/n — the same explicit
+    * sufficient-statistics shape as corrMatrix (never the engines'
+    * regr_* aggregates, for the same bit-comparability reason). The
+    * group-wise closed form is the map-reduce-friendly regression:
+    * at 100 TB the sums partial-aggregate map-side and each group
+    * reduces to six numbers. */
+  def linregByFlag(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(col("l_quantity")).as("sx"),
+        sum(col("l_extendedprice")).as("sy"),
+        sum(col("l_quantity") * col("l_extendedprice")).as("sxy"),
+        sum(col("l_quantity") * col("l_quantity")).as("sxx"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n"),
+        round(col("slope"), 4).as("slope"),
+        round((col("sy") - col("slope") * col("sx")) / col("n"), 4).as("intercept"))
+      .orderBy("l_returnflag")
+
   /** A8 approximate variant (Greenwald-Khanna sketch via
     * `approx_percentile`) — the mergeable-state percentile for data
     * too large to sort exactly; not oracle-checked (approx),

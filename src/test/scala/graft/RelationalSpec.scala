@@ -156,6 +156,24 @@ class RelationalSpec extends AnyFunSuite {
     assert(counts.values.sum === furniture)
   }
 
+  test("OLS closed form recovers an exact line; corr is ±1 on exact (anti)lines") {
+    import spark.implicits._
+    // y = 2x + 3 exactly, and discount = -x (r = -1 vs quantity)
+    val li = Seq((1.0, 5.0, -1.0, "A"), (2.0, 7.0, -2.0, "A"),
+        (3.0, 9.0, -3.0, "A"), (4.0, 11.0, -4.0, "B"), (6.0, 15.0, -6.0, "B"))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_returnflag")
+    val tmp = java.nio.file.Files.createTempDirectory("olsspec").toString
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val reg = Relational.linregByFlag(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    assert(reg.toSeq === Seq(("A", 2.0, 3.0), ("B", 2.0, 3.0)))
+    val corr = Relational.corrMatrix(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toMap
+    assert(corr("quantity_extendedprice") === 1.0)
+    assert(corr("quantity_discount") === -1.0)
+    assert(corr("extendedprice_discount") === -1.0)
+  }
+
   test("scd2 intervals chain per key and the far-future snapshot equals cdc apply") {
     // o_orderdate reads as TIMESTAMP_NTZ (Spark 4 parquet inference),
     // so validity bounds come back as LocalDateTime

@@ -35,6 +35,9 @@ object SparkEntry {
     // samples — bit-identical across engines, runs, and cluster sizes)
     "sample_hash" -> ((s, d) => Relational.hashSample(s, d)),
     "sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
+    "sample_weighted" -> ((s, d) => Relational.weightedSample(s, d)),
+    "audit_fingerprint" -> ((s, d) => Relational.auditFingerprint(s, d)),
+    "mix_rebalance" -> ((s, d) => TextAnalysis.mixRebalance(s, d)),
     // last-writer-wins change application (MERGE INTO kernel)
     "cdc_apply" -> ((s, d) => Relational.cdcApply(s, d)),
     // SCD Type-2: every update opens a validity interval, the next
@@ -526,6 +529,59 @@ object SparkEntry {
         |WHERE substr(md5('str:' || CAST(o_orderkey AS VARCHAR)), 1, 2) <
         |  CASE WHEN o_orderpriority = '1-URGENT' THEN '80' ELSE '1a' END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // weight/rate thresholds are 8-char lowercase hex (lexicographic ==
+    // numeric at fixed width), so the kept SET matches Spark exactly
+    "sample_weighted" ->
+      """SELECT doc_id, source, round(least(1.0, n_chars / 400.0), 4) AS weight
+        |FROM documents
+        |WHERE least(1.0, n_chars / 400.0) >= 1.0
+        |   OR substr(md5('wsmp:' || CAST(doc_id AS VARCHAR)), 1, 8) <
+        |      lpad(lower(to_hex(CAST(floor(least(1.0, n_chars / 400.0) * 4294967296) AS BIGINT))), 8, '0')
+        |ORDER BY doc_id""".stripMargin,
+    "audit_fingerprint" ->
+      """WITH ofp AS (
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' ||
+        |    o_orderstatus || '|' ||
+        |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+        |    CAST(epoch_us(o_orderdate) AS VARCHAR) || '|' || o_orderpriority), 1, 15))::BIGINT AS fp
+        |  FROM orders),
+        |lfp AS (
+        |  SELECT ('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR) || '|' ||
+        |    CAST(l_suppkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR) || '|' ||
+        |    CAST(CAST(round(l_quantity * 100) AS BIGINT) AS VARCHAR) || '|' ||
+        |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+        |    CAST(CAST(round(l_discount * 100) AS BIGINT) AS VARCHAR) || '|' ||
+        |    CAST(CAST(round(l_tax * 100) AS BIGINT) AS VARCHAR) || '|' ||
+        |    l_returnflag || '|' || l_linestatus || '|' ||
+        |    CAST(epoch_us(l_shipdate) AS VARCHAR)), 1, 15))::BIGINT AS fp
+        |  FROM lineitem)
+        |SELECT 'lineitem' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |  bit_xor(fp) AS xor_fp, min(fp) AS min_fp, max(fp) AS max_fp FROM lfp
+        |UNION ALL
+        |SELECT 'orders', CAST(count(*) AS BIGINT), bit_xor(fp), min(fp), max(fp) FROM ofp
+        |ORDER BY table_name""".stripMargin,
+    "mix_rebalance" ->
+      """WITH by_src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_before
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(chars_before) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nsrc FROM by_src),
+        |rates AS (
+        |  SELECT source, n_docs, chars_before,
+        |    least(1.0, (total / (2.0 * nsrc)) / chars_before) AS rate
+        |  FROM by_src CROSS JOIN tot),
+        |kept AS (
+        |  SELECT d.source, CAST(count(*) AS BIGINT) AS n_kept, CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+        |  FROM documents d JOIN rates r ON d.source = r.source
+        |  WHERE r.rate >= 1.0
+        |     OR substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8) <
+        |        lpad(lower(to_hex(CAST(floor(r.rate * 4294967296) AS BIGINT))), 8, '0')
+        |  GROUP BY d.source)
+        |SELECT r.source, r.n_docs, r.chars_before, round(r.rate, 4) AS rate,
+        |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.chars_kept, 0) AS chars_kept
+        |FROM rates r LEFT JOIN kept k ON r.source = k.source
+        |ORDER BY r.source""".stripMargin,
     "cube_order_status" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -642,6 +642,72 @@ object Relational {
     df.withColumn("rn", row_number().over(byHash))
       .filter(col("rn") <= perClass)
       .drop("rn")
+  }
+
+  /** Deterministic WEIGHTED Bernoulli sampling — the importance /
+    * domain-reweighting primitive (keep each row with its own
+    * probability, e.g. quality-proportional downsampling before
+    * training). Keep a row iff uniform(key) < weight, where
+    * uniform(key) is the first 8 hex digits of md5(salt‖key) read as a
+    * 32-bit fraction. The comparison runs entirely on 8-char lowercase
+    * hex strings (lexicographic order == numeric order at fixed
+    * width), so it is seed-stable and bit-identical across engines —
+    * no float hashing, no RNG. Weight here is a length-proportional
+    * quality proxy capped at 1 (guarded explicitly: a weight ≥ 1 keeps
+    * unconditionally, since its 9-digit threshold would otherwise be
+    * lpad-truncated). Pure scan-side filter: no shuffle at any scale. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = least(lit(1.0), col("n_chars") / 400.0)
+    val thresh = lpad(lower(hex(floor(w * 4294967296L).cast("long"))), 8, "0")
+    Tables(spark, dir, "documents")
+      .filter(w >= 1.0 ||
+        substring(md5(concat(lit("wsmp:"), col("doc_id").cast("string"))), 1, 8) < thresh)
+      .select(col("doc_id"), col("source"), round(w, 4).as("weight"))
+      .orderBy("doc_id")
+  }
+
+  /** Order-independent table content fingerprint — the drift/integrity
+    * audit a data platform runs to compare two copies of a 100 TB
+    * table WITHOUT sorting either (replication checks, migration
+    * sign-off, cache invalidation). Each row is canonicalized to a
+    * string with engine-neutral formatting (integers verbatim, money
+    * and 2-dp rates as round(x·100) BIGINTs, timestamps as epoch
+    * micros), fingerprinted to 60 bits via an md5 prefix, and the
+    * per-table digest is the XOR of all row fingerprints plus row
+    * count and min/max fingerprint. XOR (not SUM) is the aggregate
+    * because it is commutative, associative, AND overflow-free at any
+    * row count; the trade is that an even number of identical
+    * duplicate rows cancels — min/max and n_rows are the cheap
+    * additional invariants that still move in that case. One scan per
+    * table, a 1-row partial+final aggregate, zero shuffles of data. */
+  def auditFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    def digest(df: DataFrame, name: String, canon: Column): DataFrame =
+      df.select(conv(substring(md5(canon), 1, 15), 16, 10).cast("bigint").as("fp"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          expr("bit_xor(fp)").as("xor_fp"),
+          min("fp").as("min_fp"),
+          max("fp").as("max_fp"))
+        .select(lit(name).as("table_name"),
+          col("n_rows"), col("xor_fp"), col("min_fp"), col("max_fp"))
+    // NTZ date columns are cast to TIMESTAMP before unix_micros; under
+    // the UTC session zone (set by Verify/Bench/tests) this reads the
+    // wall-clock as UTC — the same interpretation DuckDB's epoch_us
+    // gives the naive parquet value, so fingerprints agree.
+    val cents = (c: Column) => round(c * 100).cast("bigint")
+    val oCanon = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      cents(col("o_totalprice")), unix_micros(col("o_orderdate").cast("timestamp")),
+      col("o_orderpriority"))
+    val lCanon = concat_ws("|",
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      cents(col("l_quantity")), cents(col("l_extendedprice")),
+      cents(col("l_discount")), cents(col("l_tax")),
+      col("l_returnflag"), col("l_linestatus"),
+      unix_micros(col("l_shipdate").cast("timestamp")))
+    digest(Tables(spark, dir, "orders"), "orders", oCanon)
+      .unionByName(digest(Tables(spark, dir, "lineitem"), "lineitem", lCanon))
+      .orderBy("table_name")
   }
 
   /** CDC apply — the upsert/merge kernel of every incremental

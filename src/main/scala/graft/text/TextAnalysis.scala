@@ -634,4 +634,43 @@ object TextAnalysis {
 
   def featureHashQuery(spark: SparkSession, dir: String): DataFrame =
     featureHash(Tables(spark, dir, "documents"))
+
+  /** Source-mixture rebalancing — the data-mixing step every LLM
+    * pretraining pipeline runs (Pile/Dolma-style): given a per-source
+    * character budget, compute each source's keep-rate and apply
+    * deterministic hash sampling so the kept corpus matches the target
+    * mixture. The target here is "half the corpus, equal chars per
+    * source": rate_s = min(1, (Σchars / 2·n_sources) / chars_s) —
+    * over-represented sources are thinned hardest. Sampling reuses the
+    * engine-portable md5 hex-threshold trick from
+    * `Relational.weightedSample`, so the kept SET (not just its size)
+    * is identical across engines and across runs.
+    *
+    * Scale: pass 1 is a per-source aggregate (the mixture table —
+    * bounded by the number of named sources, a config-sized relation);
+    * pass 2 re-scans docs and joins that tiny relation on source (AQE
+    * broadcasts it by size, no hint needed) with the keep decision as
+    * a scan-side filter. No shuffle ever carries document text. */
+  def mixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "source", "n_chars")
+    val bySrc = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_before"))
+    val tot = bySrc.agg(sum("chars_before").as("total"), count(lit(1)).as("nsrc"))
+    val rates = bySrc.crossJoin(broadcast(tot))
+      .withColumn("rate",
+        least(lit(1.0), (col("total") / (lit(2.0) * col("nsrc"))) / col("chars_before")))
+    val thresh = lpad(lower(hex(floor(col("rate") * 4294967296L).cast("long"))), 8, "0")
+    val kept = docs.join(rates.select("source", "rate"), "source")
+      .filter(col("rate") >= 1.0 ||
+        substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 8) < thresh)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+    rates
+      .select(col("source"), col("n_docs"), col("chars_before"), round(col("rate"), 4).as("rate"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("chars_before"), col("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+      .orderBy("source")
+  }
 }

@@ -205,4 +205,51 @@ class RelationalSpec extends AnyFunSuite {
     val changedAlive = applied.filter(_._3 == "U").map(t => t._1 -> t._2).toMap
     assert(snap === changedAlive)
   }
+
+  test("weighted sample keeps weight-1 rows always and tracks expected mass") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val s1 = Relational.weightedSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val s2 = Relational.weightedSample(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(s1.toSeq === s2.toSeq, "hash sampling must be run-stable")
+    val kept = s1.map(_._1).toSet
+    // every certain row (weight capped at 1) survives
+    docs.filter(_._3 >= 400).foreach { case (id, _, _) =>
+      assert(kept.contains(id), s"doc $id has weight 1 and must be kept")
+    }
+    // realized mass within 4 sigma of the expected Poisson-binomial mean
+    val weights = docs.map(d => math.min(1.0, d._3 / 400.0))
+    val mean = weights.sum
+    val sd = math.sqrt(weights.map(w => w * (1 - w)).sum)
+    assert(math.abs(s1.length - mean) <= 4 * sd + 1,
+      s"kept ${s1.length}, expected $mean +- ${4 * sd}")
+  }
+
+  test("audit fingerprint is order-independent and change-sensitive") {
+    val base = Relational.auditFingerprint(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(base.map(_._1).toSeq === Seq("lineitem", "orders"))
+    // XOR digest of a shuffled copy of orders equals the original's
+    val shuffled = Tables(spark, sf0001, "orders").orderBy(rand(7))
+    val tmp = java.nio.file.Files.createTempDirectory("fp").toString
+    shuffled.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    Tables(spark, sf0001, "lineitem").write.mode("overwrite")
+      .parquet(s"$tmp/lineitem.parquet")
+    val re = Relational.auditFingerprint(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(re.toSeq === base.toSeq, "row order must not change the digest")
+    // dropping one row must change the orders digest
+    val n = Tables(spark, sf0001, "orders").count()
+    Tables(spark, sf0001, "orders").limit((n - 1).toInt)
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val dropped = Relational.auditFingerprint(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = base.map(r => (r._1, (r._2, r._3))).toMap
+    assert(dropped("orders")._1 === n - 1)
+    assert(dropped("orders") !== b("orders"), "digest must move when a row is dropped")
+    assert(dropped("lineitem") === b("lineitem"))
+  }
 }

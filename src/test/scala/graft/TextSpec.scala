@@ -267,4 +267,31 @@ class TextSpec extends AnyFunSuite {
     assert(byBucket(bucket("hello")) === 2L)
     assert(byBucket(bucket("world")) === 1L)
   }
+
+  test("mix rebalance: rates hit the equal-share budget and sampling tracks them") {
+    val out = TextAnalysis.mixRebalance(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    val total = out.map(_._3).sum.toDouble
+    val share = total / (2.0 * out.length)
+    out.foreach { case (src, nDocs, charsBefore, rate, nKept, charsKept) =>
+      val want = math.min(1.0, share / charsBefore)
+      assert(math.abs(rate - want) <= 5e-5, s"$src rate $rate != $want")
+      assert(nKept <= nDocs && charsKept <= charsBefore)
+      if (rate >= 1.0) {
+        assert(nKept === nDocs, s"$src at rate 1 must keep everything")
+        assert(charsKept === charsBefore)
+      } else {
+        // kept char mass ~ rate * charsBefore; docs are small so the
+        // binomial spread is wide at sf0.001 — allow a loose band
+        assert(charsKept > 0, s"$src kept nothing at rate $rate")
+        assert(math.abs(charsKept - rate * charsBefore) <=
+          0.5 * charsBefore * rate + 2000,
+          s"$src kept $charsKept vs expected ${rate * charsBefore}")
+      }
+    }
+    // the whole point: thinned corpus lands near half the original mass
+    val keptTotal = out.map(_._6).sum.toDouble
+    assert(keptTotal < total, "rebalance must shrink an imbalanced corpus")
+  }
 }

@@ -45,7 +45,14 @@ object StreamFunnel {
 
   /** events: streaming (user_id, ts, event_type). Emits one row per
     * (user, newly reached stage); aggregate counts per stage_idx
-    * downstream to recover the batch funnel's stage counts. */
+    * downstream to recover the batch funnel's stage counts.
+    *
+    * Memory: the PERSISTED state row is two scalars per user, but
+    * update() buffers each key's micro-batch slice transiently
+    * (`it.toArray` — sorting requires materialization), so one hot
+    * user in a huge trigger holds its arrivals in executor memory for
+    * the duration of the call. Bound trigger size at scale
+    * (maxOffsetsPerTrigger / maxFilesPerTrigger) if keys can be hot. */
   def funnelStream(events: DataFrame,
                    stages: Seq[String] = Seq("view", "click", "purchase"),
                    watermarkDelay: String = "1 hour",

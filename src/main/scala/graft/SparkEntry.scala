@@ -37,7 +37,12 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Relational.stratifiedSample(s, d)),
     "sample_weighted" -> ((s, d) => Relational.weightedSample(s, d)),
     "audit_fingerprint" -> ((s, d) => Relational.auditFingerprint(s, d)),
+    "audit_orphans" -> ((s, d) => Relational.auditOrphans(s, d)),
+    // recency-weighted engagement; libm-free power-of-two decay
+    "a_decay_engagement" -> ((s, d) => Temporal.decayedEngagementQuery(s, d)),
     "mix_rebalance" -> ((s, d) => TextAnalysis.mixRebalance(s, d)),
+    // supervised ML as relational algebra: NB train+score+confusion
+    "txt_nb_classify" -> ((s, d) => TextAnalysis.nbClassify(s, d)),
     // last-writer-wins change application (MERGE INTO kernel)
     "cdc_apply" -> ((s, d) => Relational.cdcApply(s, d)),
     // SCD Type-2: every update opens a validity interval, the next
@@ -94,6 +99,9 @@ object SparkEntry {
     // exact SQL oracle can exist); EventsSpec bounds the relative
     // error against the oracled exact a4 counts at < 5%.
     "a4_approx_distinct" -> ((s, d) => Events.approxDistinctUsersPerType(s, d)),
+    // KMV sketch: deterministic md5 hashing makes the approximation
+    // itself oracle-checkable, estimate and error included
+    "sketch_kmv_distinct" -> ((s, d) => Events.kmvDistinctUsers(s, d)),
     // rows-only by nature: GK-sketch percentiles are approximate;
     // RelationalSpec bounds them against the oracled exact a8 values.
     "a8_approx_percentiles" -> ((s, d) => Relational.approxQuantityPercentiles(s, d)),
@@ -582,6 +590,42 @@ object SparkEntry {
         |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.chars_kept, 0) AS chars_kept
         |FROM rates r LEFT JOIN kept k ON r.source = k.source
         |ORDER BY r.source""".stripMargin,
+    // argmax margins are O(1e-2)+ while cross-engine libm noise on the
+    // summed ln terms is ~1e-13, so the integer confusion matrix is
+    // stable; MATERIALIZED keeps DuckDB from re-expanding the token CTE
+    "txt_nb_classify" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' AS is_train,
+        |    unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |counts AS MATERIALIZED (
+        |  SELECT lang AS cand, token, CAST(count(*) AS BIGINT) AS c
+        |  FROM toks WHERE is_train GROUP BY 1, 2),
+        |totals AS (SELECT cand, CAST(sum(c) AS BIGINT) AS t FROM counts GROUP BY 1),
+        |vocab AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS v FROM toks WHERE is_train),
+        |priors AS (
+        |  SELECT lang AS cand, CAST(count(*) AS BIGINT) AS nd FROM documents
+        |  WHERE substr(md5('nb:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' GROUP BY 1),
+        |agg AS (
+        |  SELECT te.doc_id, te.lang AS true_lang, l.cand,
+        |    sum(ln(coalesce(co.c, 0) + 1)) AS s_tok, CAST(count(*) AS BIGINT) AS n_tok
+        |  FROM toks te
+        |  CROSS JOIN (SELECT cand FROM priors) l
+        |  LEFT JOIN counts co ON co.cand = l.cand AND co.token = te.token
+        |  WHERE NOT te.is_train
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT a.doc_id, a.true_lang, a.cand,
+        |    ln(p.nd) + a.s_tok - a.n_tok * ln(t.t + v.v) AS score
+        |  FROM agg a JOIN priors p ON p.cand = a.cand
+        |  JOIN totals t ON t.cand = a.cand CROSS JOIN vocab v),
+        |pred AS (
+        |  SELECT true_lang, cand,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rk
+        |  FROM scored)
+        |SELECT true_lang, cand AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM pred WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "cube_order_status" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,
@@ -808,6 +852,71 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "audit_orphans" ->
+      """SELECT 'orders.o_custkey->customer' AS relationship,
+        |  CAST(count(*) AS BIGINT) AS n_child,
+        |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        |FROM orders c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |  ON c.o_custkey = p.k
+        |UNION ALL
+        |SELECT 'lineitem.l_orderkey->orders', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem c LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |  ON c.l_orderkey = p.k
+        |UNION ALL
+        |SELECT 'lineitem.l_partkey->part', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem c LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |  ON c.l_partkey = p.k
+        |UNION ALL
+        |SELECT 'lineitem.l_suppkey->supplier', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM lineitem c LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |  ON c.l_suppkey = p.k
+        |UNION ALL
+        |SELECT 'events.user_id->customer', CAST(count(*) AS BIGINT),
+        |  CAST(sum(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |FROM events c LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |  ON c.user_id = p.k
+        |ORDER BY relationship""".stripMargin,
+    // decay weight 2^-age_weeks as 1.0/(1<<k): exact integer + one IEEE
+    // division, no libm; ages >= 60 weeks clamp to exactly 0
+    "a_decay_engagement" ->
+      """WITH tm AS (SELECT max(epoch_us(ts)) AS tmax_us FROM events),
+        |aged AS (
+        |  SELECT e.user_id, e.value,
+        |    (tm.tmax_us - epoch_us(e.ts)) // 604800000000 AS age_w
+        |  FROM events e CROSS JOIN tm)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  sum(CAST(round(value * CASE WHEN age_w >= 60 THEN 0.0
+        |    ELSE 1.0 / (CAST(1 AS BIGINT) << CAST(age_w AS INTEGER)) END * 10000)
+        |    AS BIGINT)) / 10000.0 AS decayed_score
+        |FROM aged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the estimate is 255·2^32 / h_k — one IEEE division of exact
+    // integers, so even the "approximate" column compares bit-equal
+    "sketch_kmv_distinct" ->
+      """WITH hashes AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM events),
+        |stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hashes FROM hashes GROUP BY 1),
+        |kth AS (
+        |  SELECT event_type, h AS hk FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        |    FROM hashes) r WHERE rk = 256),
+        |est AS (
+        |  SELECT s.event_type,
+        |    round(CASE WHEN s.n_hashes < 256 THEN CAST(s.n_hashes AS DOUBLE)
+        |               ELSE 255.0 * 4294967296.0 / k.hk END, 2) AS kmv_est
+        |  FROM stats s LEFT JOIN kth k USING (event_type)),
+        |exact AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, x.n_exact, e.kmv_est,
+        |  round(abs(e.kmv_est - x.n_exact) / x.n_exact, 4) AS rel_err
+        |FROM est e JOIN exact x USING (event_type)
+        |ORDER BY 1""".stripMargin,
     "a8_percentiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.4), 4) AS p40,

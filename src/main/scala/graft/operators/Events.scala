@@ -106,6 +106,51 @@ object Events {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("n_users_approx"))
       .orderBy("event_type")
 
+  /** KMV (k-minimum-values) distinct sketch — the approximate-distinct
+    * rung that, unlike HLL above, IS oracle-checkable: the sketch is a
+    * pure function of md5, so both engines build the identical hash
+    * set and the estimate (k−1)/frac(h_k) — here one exactly-rounded
+    * IEEE division of exact integers, 255·2³² / h_k — is bit-equal
+    * cross-engine (the rank-on-lift discipline applied to a sketch).
+    * Groups with fewer than k distinct hashes fall back to the exact
+    * hash count, the standard small-cardinality KMV degenerate case.
+    *
+    * KMV is MERGEABLE (union two sketches = keep the k smallest of the
+    * union), which is why real deployments run it as a partial
+    * aggregate: each partition keeps a bounded k-heap and the merge is
+    * associative — a TypedImperativeAggregate on a cluster. The
+    * relational shape here (distinct → per-group rank) trades that
+    * bounded-state merge for one shuffle of the DISTINCT hash set,
+    * which is already the cost of the exact answer it sits beside; the
+    * sketch's 100 TB win arrives when the exact leg is dropped and
+    * only (event_type, h) pairs under each group's running k-th value
+    * survive the map side. Output carries exact vs estimate vs
+    * relative error so the gate also pins the sketch's accuracy. */
+  def kmvDistinctUsers(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val hashes = events.select(col("event_type"), h.as("h")).distinct()
+    val stats = hashes.groupBy("event_type").agg(count(lit(1)).as("n_hashes"))
+    val kth = hashes
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rk") === k)
+      .select(col("event_type"), col("h").as("hk"))
+    val est = stats.join(kth, Seq("event_type"), "left")
+      .select(col("event_type"),
+        round(
+          when(col("n_hashes") < k, col("n_hashes").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("hk")),
+          2).as("kmv_est"))
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    est.join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"), col("kmv_est"),
+        round(abs(col("kmv_est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+      .orderBy("event_type")
+  }
+
   /** Corrupt-record quarantine — the bad-records path every ingest
     * pipeline needs: malformed payloads must land in a quarantine
     * count, never fail the job. A deterministic md5-selected ~10% of

@@ -710,6 +710,35 @@ object Relational {
       .orderBy("table_name")
   }
 
+  /** Referential-integrity audit — the FK orphan scan a warehouse runs
+    * before trusting joins: for each declared child→parent edge, count
+    * child rows whose key has no parent. One left join + one aggregate
+    * per edge (a single pass per child table — counting the child and
+    * the misses together, instead of a count plus a separate anti-join
+    * scan). Parent sides are reduced to DISTINCT keys first, so the
+    * dimension legs broadcast and the fact-to-fact leg
+    * (lineitem→orders) shuffles only the key column, never the row.
+    * The events→customer edge is a deliberately cross-domain probe:
+    * its orphan count documents that the event user space is NOT the
+    * customer space — exactly the finding such an audit exists for. */
+  def auditOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def leg(rel: String, child: DataFrame, key: String,
+            parent: DataFrame, pk: String): DataFrame =
+      child.select(col(key).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct().withColumn("hit", lit(1)),
+          Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(rel).as("relationship"), col("n_child"), col("n_orphans"))
+    val t = (n: String) => Tables(spark, dir, n)
+    leg("orders.o_custkey->customer", t("orders"), "o_custkey", t("customer"), "c_custkey")
+      .unionByName(leg("lineitem.l_orderkey->orders", t("lineitem"), "l_orderkey", t("orders"), "o_orderkey"))
+      .unionByName(leg("lineitem.l_partkey->part", t("lineitem"), "l_partkey", t("part"), "p_partkey"))
+      .unionByName(leg("lineitem.l_suppkey->supplier", t("lineitem"), "l_suppkey", t("supplier"), "s_suppkey"))
+      .unionByName(leg("events.user_id->customer", t("events"), "user_id", t("customer"), "c_custkey"))
+      .orderBy("relationship")
+  }
+
   /** CDC apply — the upsert/merge kernel of every incremental
     * pipeline: collapse a keyed change feed to its LAST operation per
     * key (event order = (change ts, change id), a window argmax, one

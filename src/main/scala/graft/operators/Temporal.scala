@@ -206,4 +206,52 @@ object Temporal {
 
   def gapFillQuery(spark: SparkSession, dir: String): DataFrame =
     gapFillHourly(Tables(spark, dir, "events")).orderBy("hour_us", "event_type")
+
+  /** Time-decayed engagement score — the recency-weighted aggregate
+    * behind feed ranking / churn features: per user,
+    * Σ value · 2^(−age_weeks), halving per week of age relative to the
+    * corpus max timestamp. The decay weight is deliberately a POWER OF
+    * TWO with an integer exponent: 2^−k is computed as
+    * 1.0 / (1 << k) — an exact integer and one exactly-rounded IEEE
+    * division — so there is NO libm call anywhere (the F5/PMI lesson:
+    * exp()-based decay differs by 1 ulp per element across engines).
+    * Ages ≥ 60 weeks clamp to weight 0 (2^−60 ≈ 8.7e−19 is far below
+    * the output rounding; the clamp also keeps the shift in range).
+    *
+    * The corpus max ts joins in as a broadcast 1-row relation, not a
+    * driver pull; the per-user aggregate is the only shuffle. Output
+    * is every user ordered by id — deliberately NOT ranked by score,
+    * which would let 1-ulp summation-order noise flip near-equal
+    * neighbors.
+    *
+    * The aggregate itself is FIXED-POINT: each contribution rounds to
+    * integer ten-thousandths FIRST (safe — a decimal .5 boundary is
+    * not exactly representable in binary, so a per-ELEMENT round never
+    * sits on the knife edge), the sum runs over BIGINTs (exact,
+    * order-free — sum order differs between engines and between
+    * partition counts), and one final IEEE division restores the
+    * scale. Rounding the float sum instead measurably flips the 4th
+    * decimal on real rows (2/150 at sf0.01) whenever a sum lands on a
+    * boundary. */
+  def decayedEngagement(events: DataFrame): DataFrame = {
+    val tmax = events.agg(max(unix_micros(col("ts"))).as("tmax_us"))
+    val weekUs = 7L * 86400L * 1000000L
+    events
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("t_us"))
+      .crossJoin(broadcast(tmax))
+      .withColumn("age_w",
+        ((col("tmax_us") - col("t_us")) - pmod(col("tmax_us") - col("t_us"), lit(weekUs)))
+          / lit(weekUs))
+      .withColumn("wt",
+        when(col("age_w") >= 60, lit(0.0))
+          .otherwise(lit(1.0) / expr("shiftleft(1L, cast(age_w as int))")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value") * col("wt") * 10000).cast("long")) / 10000.0)
+          .as("decayed_score"))
+      .orderBy("user_id")
+  }
+
+  def decayedEngagementQuery(spark: SparkSession, dir: String): DataFrame =
+    decayedEngagement(Tables(spark, dir, "events"))
 }

@@ -673,4 +673,70 @@ object TextAnalysis {
         coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
       .orderBy("source")
   }
+
+  /** Multinomial Naive Bayes classifier — supervised ML expressed
+    * PURELY as relational algebra: the train/score/evaluate loop of a
+    * classic distributed text classifier with no ML library, no UDF,
+    * no driver-side model object. The full pipeline is
+    *   1. deterministic 80/20 hash split (same md5 hex-threshold rung
+    *      as `Relational.hashSample`, so the split — hence the model —
+    *      is bit-identical across engines);
+    *   2. TRAIN = one groupBy: token counts per (label, token),
+    *      totals per label, doc priors, vocabulary size. The model IS
+    *      these four relations — Heaps-law bounded (vocab × |labels|),
+    *      which is what makes step 3 broadcastable at any corpus size;
+    *   3. SCORE = cross join the held-out tokens with the label set
+    *      (|labels| = 5 here), broadcast-left-join the count relation,
+    *      and one aggregate per (doc, label):
+    *      score = ln P(l) + Σ_t ln(c_tl + 1) − n_d · ln(T_l + V),
+    *      i.e. Laplace-smoothed multinomial log-likelihood;
+    *   4. PREDICT = argmax over the |labels| rows per doc (window
+    *      row_number, ties broken by label — scores are sums of
+    *      hundreds of O(1) log terms, so cross-engine libm noise
+    *      (~1e-13 absolute) cannot flip an argmax whose margins are
+    *      O(1e-2)+ on any non-degenerate corpus);
+    *   5. EVALUATE = the confusion matrix (true × predicted counts) —
+    *      an ALL-INTEGER output, so no float ever reaches the
+    *      correctness gate.
+    *
+    * Scale: the only shuffle that carries corpus-sized data is the
+    * per-(doc, label) aggregate, keyed by doc — everything joined into
+    * it (counts, priors, totals, vocab) is model-sized and broadcast.
+    * The synthetic labels are independent of the text, so the learned
+    * model is priors-dominated — the operator's value is the shape. */
+  def nbClassify(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    // 0xcc / 0x100 = 79.7% train
+    val isTrain = substring(md5(concat(lit("nb:"), col("doc_id").cast("string"))), 1, 2) < "cc"
+    val toks = docs
+      .select(col("doc_id"), col("lang"), isTrain.as("is_train"),
+        explode(tokens(col("text"))).as("token"))
+    val trainToks = toks.filter(col("is_train"))
+    val counts = trainToks.groupBy(col("lang").as("cand"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy("cand").agg(sum("c").as("t"))
+    val vocab = trainToks.agg(countDistinct("token").as("v"))
+    val priors = docs.filter(isTrain).groupBy(col("lang").as("cand"))
+      .agg(count(lit(1)).as("nd"))
+    val test = toks.filter(!col("is_train"))
+      .select(col("doc_id"), col("lang").as("true_lang"), col("token"))
+    val agg = test.crossJoin(broadcast(priors.select("cand")))
+      .join(broadcast(counts), Seq("cand", "token"), "left")
+      .groupBy("doc_id", "true_lang", "cand")
+      .agg(
+        sum(log(coalesce(col("c"), lit(0L)) + lit(1))).as("s_tok"),
+        count(lit(1)).as("n_tok"))
+    val scored = agg
+      .join(broadcast(priors), "cand")
+      .join(broadcast(totals), "cand")
+      .crossJoin(broadcast(vocab))
+      .withColumn("score",
+        log(col("nd")) + col("s_tok") - col("n_tok") * log(col("t") + col("v")))
+    val rk = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand"))
+    scored.withColumn("rk", row_number().over(rk)).filter(col("rk") === 1)
+      .groupBy(col("true_lang"), col("cand").as("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("true_lang", "predicted")
+  }
 }

@@ -116,4 +116,23 @@ class EventsSpec extends AnyFunSuite {
     val users = Tables(spark, sf0001, "events").select("user_id").distinct().count()
     assert(byCohort.values.map(_.find(_._2 == 0L).get._3).sum === users)
   }
+
+  test("kmv sketch: estimate within KMV error bound, exact below k") {
+    val rows = Events.kmvDistinctUsers(spark, sf0001, k = 256).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, exact, est, relErr) =>
+      // KMV std error ~ 1/sqrt(k-2) = 6.3%; 5 sigma guards flakiness
+      assert(relErr <= 0.32, s"$t: est $est vs exact $exact (rel $relErr)")
+      assert(math.abs(relErr - math.abs(est - exact) / exact) < 1e-3)
+    }
+    // tiny k degenerates sanely; large k on a small table goes exact:
+    // every group here has < 100000 users so n_hashes < k and the
+    // estimate IS the distinct-hash count (±32-bit collisions)
+    val big = Events.kmvDistinctUsers(spark, sf0001, k = 100000).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    big.foreach { case (exact, est) =>
+      assert(math.abs(est - exact) <= 2.0, "below k the sketch must be ~exact")
+    }
+  }
 }

@@ -252,4 +252,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(dropped("orders") !== b("orders"), "digest must move when a row is dropped")
     assert(dropped("lineitem") === b("lineitem"))
   }
+
+  test("orphan audit: TPC-H edges are clean, child counts match tables") {
+    val byRel = Relational.auditOrphans(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byRel.size === 5)
+    val nOrders = Tables(spark, sf0001, "orders").count()
+    val nLineitem = Tables(spark, sf0001, "lineitem").count()
+    val nEvents = Tables(spark, sf0001, "events").count()
+    assert(byRel("orders.o_custkey->customer") === ((nOrders, 0L)))
+    assert(byRel("lineitem.l_orderkey->orders") === ((nLineitem, 0L)))
+    assert(byRel("lineitem.l_partkey->part") === ((nLineitem, 0L)))
+    assert(byRel("lineitem.l_suppkey->supplier") === ((nLineitem, 0L)))
+    // the cross-domain probe reports its child count faithfully even
+    // when (as here) the key spaces genuinely differ
+    assert(byRel("events.user_id->customer")._1 === nEvents)
+  }
 }

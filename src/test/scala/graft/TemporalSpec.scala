@@ -221,4 +221,26 @@ class TemporalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("decayed engagement matches an exact scalar replay of the formula") {
+    val ev = Tables(spark, sf0001, "events")
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("t_us"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val tmax = ev.map(_._3).max
+    val weekUs = 7L * 86400L * 1000000L
+    val want = ev.groupBy(_._1).map { case (u, xs) =>
+      val fp = xs.map { case (_, v, t) =>
+        val ageW = (tmax - t) / weekUs
+        val wt = if (ageW >= 60) 0.0 else 1.0 / (1L << ageW.toInt)
+        math.round(v * wt * 10000)
+      }.sum
+      u -> (xs.length.toLong, fp / 10000.0)
+    }
+    val got = Temporal.decayedEngagementQuery(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got === want, "fixed-point replay must be bit-equal")
+    // weights are <= 1, so no score exceeds the plain value sum
+    val plain = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sum }
+    got.foreach { case (u, (_, s)) => assert(s <= plain(u) + 1e-6) }
+  }
 }

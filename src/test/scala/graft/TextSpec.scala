@@ -294,4 +294,29 @@ class TextSpec extends AnyFunSuite {
     val keptTotal = out.map(_._6).sum.toDouble
     assert(keptTotal < total, "rebalance must shrink an imbalanced corpus")
   }
+
+  test("naive bayes: confusion matrix covers exactly the held-out docs") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def hex2(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x"
+    }
+    val test = docs.filter { case (id, _) => hex2(s"nb:$id") >= "cc" }
+    val cm = TextAnalysis.nbClassify(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val labels = docs.map(_._2).toSet
+    // every cell uses known labels, counts partition the test split
+    assert(cm.forall { case (t, p, _) => labels.contains(t) && labels.contains(p) })
+    assert(cm.map(_._3).sum === test.length.toLong)
+    val perTrue = cm.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._3).sum }
+    val wantPerTrue = test.groupBy(_._2).map { case (l, xs) => l -> xs.length.toLong }
+    assert(perTrue === wantPerTrue, "rows per true label must match the held-out split")
+    // run-stable (the model is a deterministic function of the split)
+    val cm2 = TextAnalysis.nbClassify(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(cm.toSeq === cm2.toSeq)
+  }
 }

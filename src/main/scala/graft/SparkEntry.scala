@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{BlockMatch, Canny, Components, Ellipse, Events, Graph, HMRF, Hough, Motion, Relational, Temporal, Vision}
+import graft.operators.{BlockMatch, Canny, Components, Ellipse, Events, Graph, HMRF, Hough, Motion, Recommend, Relational, Temporal, Vision}
 import graft.sources.{Avi, ImageSource}
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
@@ -64,6 +64,9 @@ object SparkEntry {
     "j_outer_join" -> ((s, d) => Relational.outerJoinNationCustomers(s, d)),
     "j1_frequent_pairs" -> ((s, d) => Events.frequentPairs(s, d)),
     "fp_growth_pairs" -> ((s, d) => Events.frequentPairsFP(s, d)),
+    // item-item CF: basket cosine top-k (sqrt/div are IEEE-exact, so
+    // the float ranking is engine-stable — unlike ln-based scores)
+    "rec_item_neighbors" -> ((s, d) => Recommend.itemNeighbors(s, d)),
     // as-of join via the single-sort tagged-union pattern (no join
     // operator in the plan at all — see Temporal scaladoc)
     "j_asof_prior_view" -> ((s, d) => Temporal.asofQuery(s, d)),
@@ -435,6 +438,26 @@ object SparkEntry {
         |FROM ev a JOIN ev b ON a.user_id = b.user_id AND a.event_type < b.event_type
         |GROUP BY 1, 2 HAVING count(*) >= 5
         |ORDER BY support DESC, type_a, type_b""".stripMargin,
+    "rec_item_neighbors" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY 1),
+        |co AS (
+        |  SELECT a.p AS pi, b.p AS pj, CAST(count(*) AS BIGINT) AS c_ij
+        |  FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (
+        |  SELECT pi, pj, c_ij FROM co
+        |  UNION ALL SELECT pj, pi, c_ij FROM co),
+        |scored AS (
+        |  SELECT s.pi, s.pj, s.c_ij,
+        |    s.c_ij / sqrt(CAST(i.c * j.c AS DOUBLE)) AS cosine
+        |  FROM sym s JOIN ic i ON i.p = s.pi JOIN ic j ON j.p = s.pj),
+        |ranked AS (
+        |  SELECT pi, pj, c_ij, cosine,
+        |    CAST(row_number() OVER (PARTITION BY pi ORDER BY cosine DESC, pj) AS INTEGER) AS rk
+        |  FROM scored)
+        |SELECT pi AS part, rk, pj AS neighbor, c_ij AS n_co, round(cosine, 4) AS cosine
+        |FROM ranked WHERE rk <= 10 ORDER BY part, rk""".stripMargin,
     // Strictly-ordered funnel: each stage's earliest ts must FOLLOW the
     // previous stage's earliest (e.ts > prev stage min), replayed as
     // chained min-aggregate joins.

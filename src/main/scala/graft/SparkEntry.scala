@@ -198,6 +198,10 @@ object SparkEntry {
     "txt_pmi_bigrams" -> ((s, d) => TextAnalysis.pmiBigramsQuery(s, d)),
     // hashing-trick sparse TF vectors in md5-bucket space
     "txt_feature_hash" -> ((s, d) => TextAnalysis.featureHashQuery(s, d)),
+    // add-α bigram LM perplexity scoring — the CCNet/Gopher-style
+    // quality filter; one libm log per bigram of an exact ratio, so
+    // the score is hash-stable cross-engine (see scaladoc)
+    "txt_lm_perplexity" -> ((s, d) => TextAnalysis.lmPerplexityQuery(s, d)),
     // BPE merge-pair vocab induction, k=10 rounds, deterministic
     // tie-break — the merge table is exactly reproducible in SQL
     // (greedy-overlap rule and all), so it is oracled end to end
@@ -1637,6 +1641,26 @@ object SparkEntry {
         |sel AS (SELECT CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS INTEGER) AS rk,
         |               w1, w2, c12, round(lift, 4) AS lift FROM r)
         |SELECT rk, w1, w2, c12, lift FROM sel WHERE rk <= 50 ORDER BY rk""".stripMargin,
+    "txt_lm_perplexity" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2),
+        |inst AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |         FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tt)),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |       FROM (SELECT unnest(ws) AS w FROM tt) GROUP BY w),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM inst GROUP BY w1, w2),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+        |scored AS (
+        |  SELECT i.doc_id,
+        |    ln(CAST(u.c1 + 0.5 * v.v AS DOUBLE) / CAST(b.c12 + 0.5 AS DOUBLE)) AS nll_term
+        |  FROM inst i
+        |  JOIN bc b ON i.w1 = b.w1 AND i.w2 = b.w2
+        |  JOIN uc u ON i.w1 = u.w CROSS JOIN v),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |               round(avg(nll_term), 4) AS nll
+        |        FROM scored GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, nll, round(exp(nll), 4) AS ppl
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "txt_feature_hash" ->
       """SELECT doc_id,
         |  CAST(CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 256 AS INTEGER) AS bucket,

@@ -614,6 +614,58 @@ object TextAnalysis {
   def pmiBigramsQuery(spark: SparkSession, dir: String): DataFrame =
     pmiBigrams(Tables(spark, dir, "documents"))
 
+  /** Bigram language-model perplexity scoring — the perplexity-based
+    * quality filter every LLM pretraining pipeline runs (CCNet/Gopher
+    * style: train a small LM on the corpus, drop documents whose
+    * perplexity is anomalous). Train and score are the same two hash
+    * aggregations as `pmiBigrams` plus one join back onto the per-doc
+    * bigram instances:
+    *   p(w2|w1) = (c12 + α) / (c1 + α·V)    (add-α smoothing, α = 0.5)
+    *   nll(doc) = avg over its bigrams of −ln p,  ppl = exp(nll)
+    *
+    * Numeric portability (the F5/PMI lesson applied): −ln p is
+    * rewritten as ln((c1 + αV)/(c12 + α)) — ONE libm log per bigram of
+    * an exactly-computed double ratio of small exact values, so both
+    * engines take logs of bit-identical inputs; per-doc sums are ~30
+    * terms of magnitude ≤ ~10, keeping accumulated addition-order error
+    * ~1e-13 — far inside the 4-decimal round. exp is applied to the
+    * already-rounded nll so the ppl column is a deterministic function
+    * of a hash-stable value.
+    *
+    * Scale design: model "training" is two hash aggregations (bigram +
+    * unigram counts) over one corpus pass; V is a 1-row broadcast.
+    * Scoring joins the per-doc bigram instances to the model on the
+    * bigram key — the model relation is vocab²-bounded (in practice
+    * ~corpus-token-distinct², far smaller than the corpus), and the
+    * instance side carries only (doc_id, w1, w2), never text. No UDFs;
+    * everything stays in WholeStageCodegen. */
+  def lmPerplexity(docs: DataFrame, alpha: Double = 0.5): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val inst = toks.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val uniCnt = toks.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val biCnt = inst.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val vocab = uniCnt.agg(count(lit(1)).as("v"))
+    inst
+      .join(biCnt, Seq("w1", "w2"))
+      .join(uniCnt.withColumnRenamed("w", "w1"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll_term",
+        log((col("c1") + lit(alpha) * col("v")).cast("double") /
+          (col("c12") + lit(alpha)).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll_term")), 4).as("nll"))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"),
+        round(exp(col("nll")), 4).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  def lmPerplexityQuery(spark: SparkSession, dir: String): DataFrame =
+    lmPerplexity(Tables(spark, dir, "documents"))
+
   /** Feature hashing (the "hashing trick"): each document becomes a
     * sparse term-frequency vector in a fixed `dim`-bucket space, with
     * the bucket = the first 8 md5 hex digits of the token mod dim —

@@ -252,6 +252,31 @@ class TextSpec extends AnyFunSuite {
       (3, "b", "a", 1L, 2.6667), (4, "d", "c", 1L, 2.6667)))
   }
 
+  test("lm perplexity: hand-computed add-half bigram NLL on a symmetric corpus") {
+    // corpus "a b a b" + "c d c d": V=4 (αV=2 at α=0.5); every word
+    // count 2; c(a,b)=c(c,d)=2, c(b,a)=c(d,c)=1
+    // doc 1 terms: ln(4/2.5), ln(4/1.5), ln(4/2.5); doc 2 symmetric
+    val docs = Seq((1L, "a b a b"), (2L, "c d c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmPerplexity(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val nll = BigDecimal(
+      (2 * math.log(4 / 2.5) + math.log(4 / 1.5)) / 3.0)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ppl = BigDecimal(math.exp(nll))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq === Seq((1L, 3L, nll, ppl), (2L, 3L, nll, ppl)))
+  }
+
+  test("lm perplexity: a doc of corpus-frequent bigrams scores lower than a rare-bigram doc") {
+    val docs = Seq(
+      (1L, "x y x y x y x y"), (2L, "x y x y x y x y"),
+      (3L, "y x q z")).toDF("doc_id", "text")
+    val byDoc = TextAnalysis.lmPerplexity(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(byDoc(1L) === byDoc(2L))
+    assert(byDoc(1L) < byDoc(3L))
+  }
+
   test("feature hash: tf mass equals token count, buckets bounded, md5-pinned") {
     val docs = Seq((1L, "hello world hello")).toDF("doc_id", "text")
     val rows = TextAnalysis.featureHash(docs).collect()

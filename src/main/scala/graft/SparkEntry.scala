@@ -67,6 +67,9 @@ object SparkEntry {
     // item-item CF: basket cosine top-k (sqrt/div are IEEE-exact, so
     // the float ranking is engine-stable — unlike ln-based scores)
     "rec_item_neighbors" -> ((s, d) => Recommend.itemNeighbors(s, d)),
+    // per-customer top-3 from the neighbor model; score summed in
+    // integer basis points so ranking is addition-order independent
+    "rec_user_topn" -> ((s, d) => Recommend.userTopN(s, d)),
     // as-of join via the single-sort tagged-union pattern (no join
     // operator in the plan at all — see Temporal scaladoc)
     "j_asof_prior_view" -> ((s, d) => Temporal.asofQuery(s, d)),
@@ -462,6 +465,38 @@ object SparkEntry {
         |  FROM scored)
         |SELECT pi AS part, rk, pj AS neighbor, c_ij AS n_co, round(cosine, 4) AS cosine
         |FROM ranked WHERE rk <= 10 ORDER BY part, rk""".stripMargin,
+    "rec_user_topn" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY 1),
+        |co AS (
+        |  SELECT a.p AS pi, b.p AS pj, CAST(count(*) AS BIGINT) AS c_ij
+        |  FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT pi, pj, c_ij FROM co UNION ALL SELECT pj, pi, c_ij FROM co),
+        |nbr AS (
+        |  SELECT pi AS part, pj AS neighbor,
+        |    CAST(round(round(s.c_ij / sqrt(CAST(i.c * j.c AS DOUBLE)), 4) * 10000, 0) AS BIGINT) AS bp,
+        |    row_number() OVER (PARTITION BY pi
+        |      ORDER BY s.c_ij / sqrt(CAST(i.c * j.c AS DOUBLE)) DESC, pj) AS rk
+        |  FROM sym s JOIN ic i ON i.p = s.pi JOIN ic j ON j.p = s.pj),
+        |up AS (SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS p
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |scored AS (
+        |  SELECT up.cust, nbr.neighbor, sum(nbr.bp) AS score_bp,
+        |    CAST(count(*) AS BIGINT) AS n_contrib
+        |  FROM up JOIN nbr ON up.p = nbr.part AND nbr.rk <= 10
+        |  GROUP BY 1, 2),
+        |novel AS (
+        |  SELECT s.* FROM scored s
+        |  WHERE NOT EXISTS (SELECT 1 FROM up WHERE up.cust = s.cust AND up.p = s.neighbor)),
+        |ranked AS (
+        |  SELECT cust, neighbor, score_bp, n_contrib,
+        |    CAST(row_number() OVER (PARTITION BY cust
+        |      ORDER BY score_bp DESC, neighbor) AS INTEGER) AS rk
+        |  FROM novel)
+        |SELECT cust AS customer, rk, neighbor AS part, n_contrib,
+        |  score_bp / 10000.0 AS score
+        |FROM ranked WHERE rk <= 3 ORDER BY customer, rk""".stripMargin,
     // Strictly-ordered funnel: each stage's earliest ts must FOLLOW the
     // previous stage's earliest (e.ts > prev stage min), replayed as
     // chained min-aggregate joins.

@@ -55,4 +55,49 @@ object Recommend {
         col("c_ij").as("n_co"), round(col("cosine"), 4).as("cosine"))
       .orderBy("part", "rk")
   }
+
+  /** Per-customer top-N recommendations from the item-neighbor model:
+    * score(c, j) = Σ_{i ∈ basket(c), j ∈ neighbors(i)} cosine(i, j),
+    * excluding parts the customer already bought (the classic
+    * item-based CF serving aggregation).
+    *
+    * Engine-stable ranking: per-pair cosines are exact IEEE values,
+    * but a SUM of doubles depends on addition order, which neither
+    * Spark nor any other engine pins — so the score is accumulated in
+    * integer BASIS POINTS (round(cosine·10⁴) per neighbor edge, summed
+    * as BIGINT). Integer addition is associative, making the ranking
+    * and the emitted score (one exact ÷10⁴ at the end) bit-identical
+    * across engines and partitionings — the same determinism move as
+    * the scaled-integer scores elsewhere in the repo.
+    *
+    * Scale: the neighbor model is k rows per part (bounded, broadcast-
+    * sized for dimension-like catalogs; shuffle-joined otherwise); the
+    * customer×part incidence is the only corpus-sized relation and
+    * crosses the wire once, carrying ids only. The already-bought
+    * exclusion is a left-anti self-join on the same incidence. */
+  def userTopN(spark: SparkSession, dir: String,
+               n: Int = 3, k: Int = 10, minCo: Long = 2L): DataFrame = {
+    val nbr = itemNeighbors(spark, dir, k, minCo)
+      .select(col("part"), col("neighbor"),
+        round(col("cosine") * 10000).cast("long").as("bp"))
+    val ords = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val userParts = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+      .join(ords, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("cust"), col("l_partkey").as("p"))
+      .distinct()
+    val scored = userParts
+      .join(nbr, col("p") === col("part"))
+      .groupBy(col("cust"), col("neighbor"))
+      .agg(sum(col("bp")).as("score_bp"), count(lit(1)).as("n_contrib"))
+      .join(userParts.select(col("cust"), col("p").as("neighbor")),
+        Seq("cust", "neighbor"), "left_anti")
+    val rk = Window.partitionBy("cust")
+      .orderBy(col("score_bp").desc, col("neighbor"))
+    scored.withColumn("rk", row_number().over(rk)).filter(col("rk") <= n)
+      .select(col("cust").as("customer"), col("rk"),
+        col("neighbor").as("part"), col("n_contrib"),
+        (col("score_bp") / 10000.0).as("score"))
+      .orderBy("customer", "rk")
+  }
 }

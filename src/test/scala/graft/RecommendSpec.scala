@@ -37,6 +37,30 @@ class RecommendSpec extends AnyFunSuite {
     assert(by((1L, 2L))._4 === 3L && by((2L, 3L))._4 === 2L)
   }
 
+  test("user top-N: sums neighbor scores, excludes owned parts, ranks deterministically") {
+    // same baskets as above, mapped to customers: 100 owns {1,2,3}
+    // (orders 10,11), 200 owns {1,2} (order 12), 300 owns {2,3} (13)
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L),
+      (13L, 2L), (13L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val ords = Seq((10L, 100L), (11L, 100L), (12L, 200L), (13L, 300L))
+      .toDF("o_orderkey", "o_custkey")
+    val tmp = java.nio.file.Files.createTempDirectory("recu").toString
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    ords.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val out = Recommend.userTopN(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // neighbor model: (1,2)/(2,1) bp 8660, (2,3)/(3,2) bp 7071
+    // cust 100 owns everything -> no rows; 200 gets 3 via its part 2;
+    // 300 gets 1 via its part 2 (its part 3's only neighbor 2 is owned)
+    assert(out.toSeq === Seq(
+      (200L, 1, 3L, 1L, 0.7071),
+      (300L, 1, 1L, 1L, 0.866)))
+  }
+
   test("real data: every part's neighbor list is ranked and bounded") {
     val out = Recommend.itemNeighbors(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(4)))

@@ -303,6 +303,9 @@ object SparkEntry {
     "mv_incremental" -> ((s, d) => Relational.mvIncrementalRevenue(s, d)),
     // --- anomaly detection (events) ---
     "ts_anomaly_hourly" -> ((s, d) => Events.anomalyQuery(s, d)),
+    // Page's CUSUM drift detector as two windows (running sum +
+    // running min) in exact doubled-integer units — see scaladoc
+    "ts_cusum_changepoints" -> ((s, d) => Events.cusumQuery(s, d)),
     // strictly-prior expanding-window z-score (streaming twin in
     // StreamAnomalySpec)
     "w_expanding_zscore" -> ((s, d) => Events.expandingZscoreQuery(s, d)),
@@ -1907,6 +1910,28 @@ object SparkEntry {
         |FROM h JOIN s USING (event_type)
         |WHERE s.sd > 0 AND abs((h.n - s.mu) / s.sd) > 2
         |ORDER BY h.event_type, h.hour""".stripMargin,
+    "ts_cusum_changepoints" ->
+      """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |prm AS (SELECT event_type, CAST(round(avg(n), 0) AS BIGINT) AS c,
+        |               CAST(round(stddev_pop(n), 0) AS BIGINT) AS s FROM h GROUP BY 1),
+        |p AS (SELECT h.event_type, h.hour, h.n, prm.s,
+        |        CAST(sum(2 * (h.n - prm.c) - prm.s) OVER w AS BIGINT) AS p_hi,
+        |        CAST(sum(2 * (prm.c - h.n) - prm.s) OVER w AS BIGINT) AS p_lo
+        |      FROM h JOIN prm USING (event_type)
+        |      WINDOW w AS (PARTITION BY h.event_type ORDER BY h.hour
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s2 AS (SELECT event_type, hour, n, s,
+        |        p_hi - least(0, min(p_hi) OVER w2) AS s2_hi,
+        |        p_lo - least(0, min(p_lo) OVER w2) AS s2_lo
+        |      FROM p
+        |      WINDOW w2 AS (PARTITION BY event_type ORDER BY hour
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, hour, n,
+        |  s2_hi / 2.0 AS cusum_hi, s2_lo / 2.0 AS cusum_lo,
+        |  CAST(s2_hi > 8 * s AS INTEGER) AS shift_up,
+        |  CAST(s2_lo > 8 * s AS INTEGER) AS shift_down
+        |FROM s2 ORDER BY event_type, hour""".stripMargin,
     "w_expanding_zscore" ->
       """WITH w AS (SELECT event_id, event_type, value,
         |    avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mu,

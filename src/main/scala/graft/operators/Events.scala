@@ -328,6 +328,54 @@ object Events {
   def anomalyQuery(spark: SparkSession, dir: String): DataFrame =
     hourlyRateAnomalies(Tables(spark, dir, "events"))
 
+  /** Tabular CUSUM changepoint detection on hourly arrival rates: the
+    * sequential drift detector (Page 1954) that catches slow level
+    * shifts z-score thresholding misses. Per type, with reference
+    * level c ≈ μ and slack ≈ σ/2:
+    *   S⁺_t = max(0, S⁺_{t-1} + (n_t − c) − σ/2)   (upward drift)
+    *   S⁻_t = max(0, S⁻_{t-1} + (c − n_t) − σ/2)   (downward drift)
+    * flagged when S exceeds 4σ.
+    *
+    * The max(0, ·) recurrence looks inherently sequential, but has the
+    * classical prefix-sum closed form S_t = P_t − min(0, min_{j≤t} P_j)
+    * with P the running sum of the increments — so the whole detector
+    * is two window functions (running sum + running min) over one sort
+    * per type, no iteration, no UDAF, fully parallel across types.
+    *
+    * Engine stability: increments are held in DOUBLED INTEGER units
+    * (2·(n−c) − s with c = round(μ), s = round(σ), threshold 8s ≈ 4σ
+    * doubled), so prefix sums are exact BIGINT arithmetic — no
+    * float-addition-order hazard anywhere in the recurrence; μ/σ enter
+    * only through their once-per-type integer roundings. Emitted S
+    * columns divide by 2 exactly. Hours with zero events contribute no
+    * row (the series is the observed hours, identically in both
+    * engines). */
+  def cusumChangepoints(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))
+    val params = hourly.groupBy("event_type").agg(
+      round(avg("n")).cast("long").as("c"),
+      round(stddev_pop("n")).cast("long").as("s"))
+    val w = Window.partitionBy("event_type").orderBy("hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withP = hourly.join(params, "event_type")
+      .withColumn("p_hi", sum(lit(2) * (col("n") - col("c")) - col("s")).over(w))
+      .withColumn("p_lo", sum(lit(2) * (col("c") - col("n")) - col("s")).over(w))
+      .withColumn("s2_hi", col("p_hi") - least(lit(0L), min(col("p_hi")).over(w)))
+      .withColumn("s2_lo", col("p_lo") - least(lit(0L), min(col("p_lo")).over(w)))
+    withP.select(
+        col("event_type"), col("hour"), col("n"),
+        (col("s2_hi") / 2.0).as("cusum_hi"),
+        (col("s2_lo") / 2.0).as("cusum_lo"),
+        (col("s2_hi") > lit(8) * col("s")).cast("int").as("shift_up"),
+        (col("s2_lo") > lit(8) * col("s")).cast("int").as("shift_down"))
+      .orderBy("event_type", "hour")
+  }
+
+  def cusumQuery(spark: SparkSession, dir: String): DataFrame =
+    cusumChangepoints(Tables(spark, dir, "events"))
+
   /** Prequential (expanding-window) z-score per event value: each
     * event's `value` scored against the mean/σ of all STRICTLY PRIOR
     * events of its type — the batch twin of streaming anomaly

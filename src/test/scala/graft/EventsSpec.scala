@@ -68,6 +68,62 @@ class EventsSpec extends AnyFunSuite {
     assert(p.getStruct(p.fieldIndex("_links")).getString(0) === s"/events/${p.getLong(0)}")
   }
 
+  test("cusum: sustained small drift fires where z-scoring stays silent") {
+    import spark.implicits._
+    // 20 hours at 10 events, then 20 hours at 14: μ=12, σ=2 → c=12,
+    // s=2. Post-shift hourly z = +1 (never near the 2σ anomaly rule),
+    // but the CUSUM increment is +1/hr (doubled units +2), so S⁺ grows
+    // linearly and crosses the 4σ=8 threshold (doubled 16) at hour 29.
+    val ev = (for {
+      h <- 0 until 40
+      i <- 0 until (if (h < 20) 10 else 14)
+    } yield ("drift", h * 3600L + i))
+      .toDF("event_type", "sec")
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+    val out = Events.cusumChangepoints(ev).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("hour").getTime / 3600000L ->
+        (r.getDouble(3), r.getDouble(4), r.getInt(5), r.getInt(6)))
+      .toMap
+    // stable period: S⁺ pinned at 0 by the max(0,·) clamp
+    for (h <- 0L until 20L) assert(out(h)._1 === 0.0, s"hour $h")
+    // post-shift: S⁺ = (h−19) in count units, flag from hour 28 on
+    // (doubled S2 = 2(h−19) > 16 ⇔ h ≥ 28)
+    for (h <- 20L until 40L) {
+      assert(out(h)._1 === (h - 19).toDouble, s"hour $h")
+      assert(out(h)._3 === (if (h >= 28) 1 else 0), s"flag at hour $h")
+    }
+    // the downward side mirrors it: relative to the GLOBAL mean 12 the
+    // stable period is itself a −1σ/hr excursion, so S⁻ climbs 1/hr
+    // (flagging h∈[8,22]) and drains at 3/hr once the level shifts up,
+    // clamping to 0 from hour 26 — in-sample reference semantics,
+    // pinned here on hand numbers
+    for (h <- 0L until 20L) assert(out(h)._2 === (h + 1).toDouble, s"lo at $h")
+    for (h <- 20L until 40L)
+      assert(out(h)._2 === math.max(0.0, 20.0 - 3 * (h - 19)), s"lo at $h")
+    assert(out.filter(_._2._4 === 1).keys.toSeq.sorted === (8L to 22L).toSeq)
+    // the z-score detector indeed stays silent on the same series
+    assert(Events.hourlyRateAnomalies(ev).count() === 0L)
+  }
+
+  test("cusum: reset semantics match the prefix-sum closed form on a hand series") {
+    import spark.implicits._
+    // counts per hour: 10,10,16,10,10 → μ=11.2→c=11, σ=2.4→s=2
+    // y_hi = 2(n−11)−2: [-4,-4,8,-4,-4]; P: [-4,-8,0,-4,-8]
+    // runmin0: [-4,-8,-8,-8,-8]; S2⁺: [0,0,8,4,0] → cusum_hi [0,0,4,2,0]
+    val ev = (for {
+      (n, h) <- Seq(10, 10, 16, 10, 10).zipWithIndex
+      i <- 0 until n
+    } yield ("t", h * 3600L + i))
+      .toDF("event_type", "sec")
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+    val got = Events.cusumChangepoints(ev).collect()
+      .map(r => (r.getDouble(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq === Seq(0.0, 0.0, 4.0, 2.0, 0.0))
+    // downward side: y_lo = 2(11−n)−2: [0,0,-12,0,0]; P:[0,0,-12,-12,-12]
+    // runmin0:[0,0,-12,-12,-12]; S2⁻:[0,0,0,0,0]
+    assert(got.map(_._2).toSeq === Seq(0.0, 0.0, 0.0, 0.0, 0.0))
+  }
+
   test("top event types are ordered by count desc") {
     val rows = Events.topEventTypes(spark, sf0001).collect()
     assert(rows.length === 5)

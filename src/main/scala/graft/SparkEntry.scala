@@ -163,6 +163,9 @@ object SparkEntry {
     "s8_window_norm" -> ((s, _) => Vision.windowNormQuery(s)),
     // --- multimodal binary columns (north star; §2.1 S7/S9, §2.10 U1) ---
     "img_decode_stats" -> ((s, _) => ImageSource.imgDecodeStatsQuery(s)),
+    // WARC container round-trip: documents -> .warc files -> parse ->
+    // per-source totals; ids/sizes/source all cross the container
+    "warc_roundtrip" -> ((s, d) => graft.sources.Warc.roundtripQuery(s, d)),
     // S11 container leg: real RIFF/AVI bytes -> frames (lossless DIB)
     "avi_decode_stats" -> ((s, _) => Avi.aviDecodeStatsQuery(s)),
     // MJPEG leg, oracled by driver-side same-decoder literal injection
@@ -1433,6 +1436,11 @@ object SparkEntry {
         |  CAST(max((x.x * 7 + y.y * 13 + k.k * 31) % 256) AS INTEGER) AS max_v
         |FROM range(0, 8) k(k), range(0, 48) y(y), range(0, 64) x(x)
         |GROUP BY 1 ORDER BY img_id""".stripMargin,
+    "warc_roundtrip" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_recs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "st2_events_per_hour" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
         |  count(*) AS n, round(avg(value), 4) AS avg_value

@@ -70,6 +70,9 @@ object SparkEntry {
     // per-customer top-3 from the neighbor model; score summed in
     // integer basis points so ranking is addition-order independent
     "rec_user_topn" -> ((s, d) => Recommend.userTopN(s, d)),
+    // directed A->B rules over co-purchases: confidence + lift, both
+    // single exact divisions of integers (no ranking hazard)
+    "assoc_rules" -> ((s, d) => Recommend.associationRules(s, d)),
     // as-of join via the single-sort tagged-union pattern (no join
     // operator in the plan at all — see Temporal scaladoc)
     "j_asof_prior_view" -> ((s, d) => Temporal.asofQuery(s, d)),
@@ -295,6 +298,9 @@ object SparkEntry {
     "skyline_parts" -> ((s, d) => Relational.skyline2d(s, d)),
     // equi-depth histogram via ntile over a total order
     "w_ntile_quartiles" -> ((s, d) => Relational.ntileQuartiles(s, d)),
+    // recency/frequency/monetary quintiles on the per-customer
+    // aggregate; total-order tie-breaks keep ntile engine-portable
+    "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
     // pairwise Pearson r / per-group OLS from explicit sufficient
     // statistics (mergeable sums — the distributable regression shape)
     "a_corr_matrix" -> ((s, d) => Relational.corrMatrix(s, d)),
@@ -309,6 +315,9 @@ object SparkEntry {
     // Page's CUSUM drift detector as two windows (running sum +
     // running min) in exact doubled-integer units — see scaladoc
     "ts_cusum_changepoints" -> ((s, d) => Events.cusumQuery(s, d)),
+    // contingency-table independence screen: per-cell chi2 + totals;
+    // day bucket is epoch-day mod 7 (locale-free in every engine)
+    "chi2_type_dow" -> ((s, d) => Events.chiSquaredQuery(s, d)),
     // strictly-prior expanding-window z-score (streaming twin in
     // StreamAnomalySpec)
     "w_expanding_zscore" -> ((s, d) => Events.expandingZscoreQuery(s, d)),
@@ -471,6 +480,51 @@ object SparkEntry {
         |  FROM scored)
         |SELECT pi AS part, rk, pj AS neighbor, c_ij AS n_co, round(cosine, 4) AS cosine
         |FROM ranked WHERE rk <= 10 ORDER BY part, rk""".stripMargin,
+    "rfm_segments" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS customer, max(o_orderdate) AS last_order,
+        |    CAST(count(*) AS BIGINT) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT customer, last_order, n_orders, total_spend,
+        |  CAST(ntile(5) OVER (ORDER BY last_order, customer) AS INTEGER) AS r_q,
+        |  CAST(ntile(5) OVER (ORDER BY n_orders, customer) AS INTEGER) AS f_q,
+        |  CAST(ntile(5) OVER (ORDER BY total_spend, customer) AS INTEGER) AS m_q
+        |  FROM base)
+        |SELECT customer, last_order, n_orders, total_spend, r_q, f_q, m_q,
+        |  r_q * 100 + f_q * 10 + m_q AS segment
+        |FROM q ORDER BY customer""".stripMargin,
+    "assoc_rules" ->
+      """WITH baskets AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets FROM baskets),
+        |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY 1),
+        |co AS (SELECT a.p AS pi, b.p AS pj, CAST(count(*) AS BIGINT) AS c_ij
+        |  FROM baskets a JOIN baskets b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |dr AS (SELECT pi, pj, c_ij FROM co UNION ALL SELECT pj, pi, c_ij FROM co)
+        |SELECT d.pi AS antecedent, d.pj AS consequent, d.c_ij AS support,
+        |  round(CAST(d.c_ij AS DOUBLE) / i.c, 4) AS confidence,
+        |  round(CAST(d.c_ij * nb.n_baskets AS DOUBLE) / CAST(i.c * j.c AS DOUBLE), 4) AS lift
+        |FROM dr d JOIN ic i ON i.p = d.pi JOIN ic j ON j.p = d.pj CROSS JOIN nb
+        |ORDER BY antecedent, consequent""".stripMargin,
+    "chi2_type_dow" ->
+      """WITH cells AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS day_idx,
+        |    CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY 1, 2),
+        |rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |ct AS (SELECT day_idx, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |contrib AS (
+        |  SELECT cells.event_type, cells.day_idx, cells.o,
+        |    CAST(rt.r * ct.c AS DOUBLE) / nn.n AS e
+        |  FROM cells JOIN rt USING (event_type) JOIN ct USING (day_idx) CROSS JOIN nn),
+        |c2 AS (SELECT event_type, day_idx, o, e,
+        |  round((o - e) * (o - e) / e, 4) AS cell_chi2 FROM contrib),
+        |tot AS (SELECT round(sum(cell_chi2), 4) AS chi2,
+        |  CAST((count(DISTINCT event_type) - 1) * (count(DISTINCT day_idx) - 1) AS BIGINT) AS dof
+        |  FROM c2)
+        |SELECT event_type, day_idx, o, round(e, 4) AS expected, cell_chi2, chi2, dof
+        |FROM c2 CROSS JOIN tot ORDER BY event_type, day_idx""".stripMargin,
     "rec_user_topn" ->
       """WITH baskets AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |ic AS (SELECT p, CAST(count(*) AS BIGINT) AS c FROM baskets GROUP BY 1),

@@ -376,6 +376,51 @@ object Events {
   def cusumQuery(spark: SparkSession, dir: String): DataFrame =
     cusumChangepoints(Tables(spark, dir, "events"))
 
+  /** Chi-squared test of independence between event type and
+    * day-of-week: the contingency-table screening step of behavioural
+    * analytics ("is traffic mix stable across the week?"). Emits the
+    * full per-cell table — observed, expected under independence, and
+    * the cell's χ² contribution — plus the table-wide statistic and
+    * degrees of freedom on every row (the flat layout a dashboard
+    * consumes directly).
+    *
+    * Day index is epoch-day mod 7 (0 = Thursday, the 1970-01-01
+    * anchor) — locale-free and identical in every engine, the same
+    * move as retention's epoch-week. Expected counts e = r·c/N are
+    * exact-integer products in one correctly-rounded division;
+    * contributions are rounded to 4 decimals; the χ² total sums ≤
+    * (#types × 7) rounded cell values — addition-order error ~1e-13
+    * against a 4-decimal round. One scan, three hash aggregations
+    * (cells, row margins, column margins), broadcast-sized joins. */
+  def chiSquaredTypeDow(events: DataFrame): DataFrame = {
+    val cells = events
+      .select(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("day_idx"))
+      .groupBy("event_type", "day_idx")
+      .agg(count(lit(1)).as("o"))
+    val rowTot = cells.groupBy("event_type").agg(sum("o").as("r"))
+    val colTot = cells.groupBy("day_idx").agg(sum("o").as("c"))
+    val n = cells.agg(sum("o").as("n"))
+    val contrib = cells
+      .join(rowTot, "event_type").join(colTot, "day_idx")
+      .crossJoin(broadcast(n))
+      .withColumn("e", (col("r") * col("c")).cast("double") / col("n"))
+      .withColumn("cell_chi2",
+        round((col("o") - col("e")) * (col("o") - col("e")) / col("e"), 4))
+    val total = contrib.agg(
+      round(sum("cell_chi2"), 4).as("chi2"),
+      ((countDistinct("event_type") - 1) *
+        (countDistinct("day_idx") - 1)).as("dof"))
+    contrib.crossJoin(broadcast(total))
+      .select(col("event_type"), col("day_idx"), col("o"),
+        round(col("e"), 4).as("expected"), col("cell_chi2"),
+        col("chi2"), col("dof"))
+      .orderBy("event_type", "day_idx")
+  }
+
+  def chiSquaredQuery(spark: SparkSession, dir: String): DataFrame =
+    chiSquaredTypeDow(Tables(spark, dir, "events"))
+
   /** Prequential (expanding-window) z-score per event value: each
     * event's `value` scored against the mean/σ of all STRICTLY PRIOR
     * events of its type — the batch twin of streaming anomaly

@@ -100,4 +100,42 @@ object Recommend {
         (col("score_bp") / 10000.0).as("score"))
       .orderBy("customer", "rk")
   }
+
+  /** Association rules from the co-purchase counts: every directed
+    * rule A→B with support ≥ minCo, scored by
+    *   confidence = c_AB / c_A          (P(B|A))
+    *   lift       = c_AB · N / (c_A·c_B)  (vs independence)
+    * Both are single exactly-rounded IEEE divisions of exact integers
+    * — bit-identical cross-engine (the pmiBigrams lift lesson), so the
+    * relation is hash-comparable with no ranking hazard. Reuses the
+    * same distinct-incidence pair join as `itemNeighbors` (per-order
+    * C(basket,2) cost, linear in orders); N is a 1-row broadcast. */
+  def associationRules(spark: SparkSession, dir: String,
+                       minCo: Long = 2L): DataFrame = {
+    val baskets = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val nBaskets = baskets.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCount = baskets.groupBy(col("p")).agg(count(lit(1)).as("c"))
+    val a = baskets.select(col("o"), col("p").as("pi"))
+    val b = baskets.select(col("o").as("ob"), col("p").as("pj"))
+    val co = a.join(b, col("o") === col("ob") && col("pi") < col("pj"))
+      .groupBy("pi", "pj")
+      .agg(count(lit(1)).as("c_ij"))
+      .filter(col("c_ij") >= minCo)
+    val directed = co.unionByName(
+      co.select(col("pj").as("pi"), col("pi").as("pj"), col("c_ij")))
+    directed
+      .join(itemCount.select(col("p").as("pi"), col("c").as("c_i")), "pi")
+      .join(itemCount.select(col("p").as("pj"), col("c").as("c_j")), "pj")
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("pi").as("antecedent"), col("pj").as("consequent"),
+        col("c_ij").as("support"),
+        round(col("c_ij") / col("c_i").cast("double"), 4).as("confidence"),
+        round((col("c_ij") * col("n_baskets")).cast("double") /
+          (col("c_i") * col("c_j")).cast("double"), 4).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
 }

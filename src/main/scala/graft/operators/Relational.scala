@@ -938,6 +938,36 @@ object Relational {
         round(sum("o_totalprice"), 2).as("total"))
       .orderBy("q")
 
+  /** RFM segmentation — the classic customer-value quintile model
+    * (recency / frequency / monetary): per customer, last order date,
+    * order count, and total spend, each ntile(5)-scored, composed into
+    * the 3-digit segment code (555 = best on all axes).
+    *
+    * Scale: the ranked relation is the per-customer AGGREGATE (one
+    * row per customer), not the order fact table — the three global
+    * ntile sorts run on the already-reduced relation (same documented
+    * trade as `ntileQuartiles`; a quantile-boundary join would remove
+    * the global sort if customers outgrow a single sort at some
+    * extreme scale). Tie-breaks on the customer key make every bucket
+    * assignment a total order, hence deterministic and
+    * engine-portable. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("customer"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_spend"))
+    val r = ntile(5).over(Window.orderBy(col("last_order"), col("customer")))
+    val f = ntile(5).over(Window.orderBy(col("n_orders"), col("customer")))
+    val m = ntile(5).over(Window.orderBy(col("total_spend"), col("customer")))
+    base
+      .withColumn("r_q", r).withColumn("f_q", f).withColumn("m_q", m)
+      .withColumn("segment",
+        col("r_q") * lit(100) + col("f_q") * lit(10) + col("m_q"))
+      .orderBy("customer")
+  }
+
   /** GROUPING SETS — the general form completing the rollup/cube trio:
     * independent per-returnflag and per-linestatus margins plus the
     * grand total in ONE pass (a single Expand + hash agg; three

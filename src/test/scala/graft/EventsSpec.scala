@@ -124,6 +124,29 @@ class EventsSpec extends AnyFunSuite {
     assert(got.map(_._2).toSeq === Seq(0.0, 0.0, 0.0, 0.0, 0.0))
   }
 
+  test("chi2 independence: hand-computed 2x2 contingency table") {
+    import spark.implicits._
+    // type a: day0=30 day1=10; type b: day0=10 day1=30
+    // margins 40 everywhere, N=80 -> e=20 per cell,
+    // each cell contributes (±10)²/20 = 5 -> chi2=20, dof=1
+    val ev = (for {
+      (t, d, n) <- Seq(("a", 0, 30), ("a", 1, 10), ("b", 0, 10), ("b", 1, 30))
+      i <- 0 until n
+    } yield (t, d * 86400L + i))
+      .toDF("event_type", "sec")
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+    val rows = Events.chiSquaredTypeDow(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    assert(rows.size === 4)
+    // day_idx = epoch_day % 7: day 0 -> 0, day 1 -> 1
+    assert(rows(("a", 0L)) === ((30L, 20.0, 5.0, 20.0, 1L)))
+    assert(rows(("a", 1L)) === ((10L, 20.0, 5.0, 20.0, 1L)))
+    assert(rows(("b", 0L)) === ((10L, 20.0, 5.0, 20.0, 1L)))
+    assert(rows(("b", 1L)) === ((30L, 20.0, 5.0, 20.0, 1L)))
+  }
+
   test("top event types are ordered by count desc") {
     val rows = Events.topEventTypes(spark, sf0001).collect()
     assert(rows.length === 5)

@@ -61,6 +61,27 @@ class RecommendSpec extends AnyFunSuite {
       (300L, 1, 1L, 1L, 0.866)))
   }
 
+  test("association rules: confidence and lift match hand counts") {
+    // baskets {1,2,3} {1,2} {1,2} {2,3}: N=4, c1=3, c2=4, c3=2,
+    // co (1,2)=3 (2,3)=2, (1,3)=1 pruned by minCo=2
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L),
+      (13L, 2L), (13L, 3L)
+    ).toDF("l_orderkey", "l_partkey")
+    val tmp = java.nio.file.Files.createTempDirectory("assoc").toString
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = graft.operators.Recommend.associationRules(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet === Set((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)))
+    assert(got((1L, 2L)) === ((3L, 1.0, 1.0)))     // conf 3/3, lift 3·4/(3·4)
+    assert(got((2L, 1L)) === ((3L, 0.75, 1.0)))    // conf 3/4
+    assert(got((2L, 3L)) === ((2L, 0.5, 1.0)))     // conf 2/4, lift 2·4/(4·2)
+    assert(got((3L, 2L)) === ((2L, 1.0, 1.0)))
+  }
+
   test("real data: every part's neighbor list is ranked and bounded") {
     val out = Recommend.itemNeighbors(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(4)))

@@ -206,6 +206,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(snap === changedAlive)
   }
 
+  test("rfm segments: quintiles are balanced, monotone in their metric, segment composes digits") {
+    val rows = Relational.rfmSegments(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        r.getDouble(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(7)))
+    assert(rows.nonEmpty)
+    val n = rows.length
+    // ntile balance: bucket sizes differ by at most 1
+    for (q <- 4 to 6) {
+      val sizes = rows.groupBy(_.productElement(q - 1).asInstanceOf[Int])
+        .view.mapValues(_.size).values.toSeq
+      assert(sizes.max - sizes.min <= 1, s"col $q unbalanced: $sizes")
+      assert(sizes.sum === n)
+    }
+    // monotone: a customer in a higher m-bucket never spends less
+    // than one in a lower bucket
+    val byM = rows.groupBy(_._6)
+    for (q <- 1 to 4 if byM.contains(q) && byM.contains(q + 1)) {
+      assert(byM(q).map(_._3).max <= byM(q + 1).map(_._3).min + 1e-9)
+    }
+    // frequency buckets monotone in order count
+    val byF = rows.groupBy(_._5)
+    for (q <- 1 to 4 if byF.contains(q) && byF.contains(q + 1)) {
+      assert(byF(q).map(_._2).max <= byF(q + 1).map(_._2).min)
+    }
+    rows.foreach { r => assert(r._7 === r._4 * 100 + r._5 * 10 + r._6) }
+  }
+
   test("weighted sample keeps weight-1 rows always and tracks expected mass") {
     val docs = Tables(spark, sf0001, "documents")
       .select(col("doc_id"), col("source"), col("n_chars")).collect()

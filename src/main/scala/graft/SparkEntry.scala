@@ -211,6 +211,8 @@ object SparkEntry {
     // quality filter; one libm log per bigram of an exact ratio, so
     // the score is hash-stable cross-engine (see scaladoc)
     "txt_lm_perplexity" -> ((s, d) => TextAnalysis.lmPerplexityQuery(s, d)),
+    // unigram entropy per doc (lexical diversity), ln-of-integers form
+    "txt_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropyQuery(s, d)),
     // BPE merge-pair vocab induction, k=10 rounds, deterministic
     // tie-break — the merge table is exactly reproducible in SQL
     // (greedy-overlap rule and all), so it is oracled end to end
@@ -318,6 +320,9 @@ object SparkEntry {
     // contingency-table independence screen: per-cell chi2 + totals;
     // day bucket is epoch-day mod 7 (locale-free in every engine)
     "chi2_type_dow" -> ((s, d) => Events.chiSquaredQuery(s, d)),
+    // first-order next-event transition matrix (sequence mining);
+    // #types²-bounded output, one window sort per user
+    "markov_transitions" -> ((s, d) => Events.markovQuery(s, d)),
     // strictly-prior expanding-window z-score (streaming twin in
     // StreamAnomalySpec)
     "w_expanding_zscore" -> ((s, d) => Events.expandingZscoreQuery(s, d)),
@@ -480,6 +485,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT pi AS part, rk, pj AS neighbor, c_ij AS n_co, round(cosine, 4) AS cosine
         |FROM ranked WHERE rk <= 10 ORDER BY part, rk""".stripMargin,
+    "markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |pairs AS (SELECT event_type AS cur_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+        |rt AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS row_n FROM pairs GROUP BY 1)
+        |SELECT p.cur_type, p.next_type, p.n, round(CAST(p.n AS DOUBLE) / rt.row_n, 4) AS prob
+        |FROM pairs p JOIN rt USING (cur_type) ORDER BY cur_type, next_type""".stripMargin,
+    "txt_token_entropy" ->
+      """WITH tc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "rfm_segments" ->
       """WITH base AS (
         |  SELECT o_custkey AS customer, max(o_orderdate) AS last_order,

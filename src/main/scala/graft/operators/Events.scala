@@ -421,6 +421,30 @@ object Events {
   def chiSquaredQuery(spark: SparkSession, dir: String): DataFrame =
     chiSquaredTypeDow(Tables(spark, dir, "events"))
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: P(next = b | current = a) — the sequence-mining
+    * kernel behind next-action prediction and behavioural clustering.
+    * One window sort per user (lead over the (ts, event_id) total
+    * order — deterministic, peer-free), one hash aggregation, one
+    * exactly-rounded division per cell; the matrix is #types²-bounded
+    * regardless of corpus size. */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = pairs.groupBy("cur_type").agg(sum("n").as("row_n"))
+    pairs.join(rowTot, "cur_type")
+      .select(col("cur_type"), col("next_type"), col("n"),
+        round(col("n") / col("row_n").cast("double"), 4).as("prob"))
+      .orderBy("cur_type", "next_type")
+  }
+
+  def markovQuery(spark: SparkSession, dir: String): DataFrame =
+    markovTransitions(Tables(spark, dir, "events"))
+
   /** Prequential (expanding-window) z-score per event value: each
     * event's `value` scored against the mean/σ of all STRICTLY PRIOR
     * events of its type — the batch twin of streaming anomaly

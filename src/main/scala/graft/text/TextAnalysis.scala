@@ -666,6 +666,30 @@ object TextAnalysis {
   def lmPerplexityQuery(spark: SparkSession, dir: String): DataFrame =
     lmPerplexity(Tables(spark, dir, "documents"))
 
+  /** Per-document unigram entropy (nats) — the lexical-diversity
+    * quality signal complementing [[lmPerplexity]]'s fluency signal
+    * (boilerplate and keyword-stuffed spam score low; −Σ p·ln p over
+    * the doc's own token distribution). Rewritten as
+    * ln(n) − (Σ c·ln c)/n so each term is one libm log of an exact
+    * small integer — both engines take logs of identical inputs, and
+    * the per-doc sum is ≤ #distinct-tokens terms against a 4-decimal
+    * round (the lmPerplexity portability argument). Pure explode +
+    * two hash aggregations; no windows, no joins wider than doc_id. */
+  def tokenEntropy(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(
+          log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"),
+          4).as("entropy"))
+      .orderBy("doc_id")
+
+  def tokenEntropyQuery(spark: SparkSession, dir: String): DataFrame =
+    tokenEntropy(Tables(spark, dir, "documents"))
+
   /** Feature hashing (the "hashing trick"): each document becomes a
     * sparse term-frequency vector in a fixed `dim`-bucket space, with
     * the bucket = the first 8 md5 hex digits of the token mod dim —

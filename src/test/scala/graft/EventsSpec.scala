@@ -147,6 +147,22 @@ class EventsSpec extends AnyFunSuite {
     assert(rows(("b", 1L)) === ((30L, 20.0, 5.0, 20.0, 1L)))
   }
 
+  test("markov transitions: hand-counted per-user sequences, rows sum to 1") {
+    import spark.implicits._
+    // user 1: a->b->a->c; user 2: a->b  =>  (a,b)x2 (b,a)x1 (a,c)x1
+    val ev = Seq(
+      (1L, 10L, 0L, "a"), (2L, 10L, 20L, "b"), (3L, 10L, 40L, "a"), (4L, 10L, 60L, "c"),
+      (5L, 20L, 0L, "a"), (6L, 20L, 30L, "b"))
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+    val got = Events.markovTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got === Map(
+      ("a", "b") -> ((2L, 0.6667)), ("a", "c") -> ((1L, 0.3333)),
+      ("b", "a") -> ((1L, 1.0))))
+  }
+
   test("top event types are ordered by count desc") {
     val rows = Events.topEventTypes(spark, sf0001).collect()
     assert(rows.length === 5)

@@ -47,7 +47,7 @@ object ScaleProbe {
         .select(
           (col("doc_id") + col("rep") * nDocs).as("doc_id"),
           concat(col("text"), lit(" rep"), col("rep")).as("text"),
-          col("lang"), col("n_chars"))
+          col("lang"), col("source"), col("n_chars"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
       val emb = Tables(spark, baseDir, "embeddings")
@@ -174,7 +174,14 @@ object ScaleProbe {
       "ts_anomaly_hourly", "w_expanding_zscore", "dedup_fuzzy_names",
       "graph_bfs_hops", "graph_components", "dedup_name_entities",
       "cdc_scd2", "cdc_asof_snapshot", "txt_pmi_bigrams",
-      "txt_feature_hash", "dedup_jaccard_prefix")
+      "txt_feature_hash", "dedup_jaccard_prefix",
+      // round-8 late additions: the co-purchase family (pair self-join
+      // on the order key — per-basket C(k,2) cost, the quadratic-risk
+      // shape), LM scoring (bigram model join), container round-trip
+      // (map + file IO), and the window/statistics batch
+      "rec_item_neighbors", "rec_user_topn", "assoc_rules",
+      "txt_lm_perplexity", "warc_roundtrip", "ts_cusum_changepoints",
+      "chi2_type_dow", "rfm_segments")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state
@@ -200,10 +207,17 @@ object ScaleProbe {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // optional comma-separated filter for probing just-added families
+    // without re-measuring the whole history
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = probeQueries.filter(q => only.forall(_.contains(q)))
+
     // one untimed warmup per query at base scale primes codegen/JIT
-    probeQueries.foreach(time(_, baseDir))
-    prebuilt.foreach(q => time(q, specialBigDir.getOrElse(q, bigDir)))
-    val results = probeQueries.map { q =>
+    selected.foreach(time(_, baseDir))
+    prebuilt.filter(selected.contains).foreach(
+      q => time(q, specialBigDir.getOrElse(q, bigDir)))
+    val results = selected.map { q =>
       val tBase = time(q, baseDir)
       val tBig = time(q, specialBigDir.getOrElse(q, bigDir))
       (q, tBase, tBig, tBig / tBase)

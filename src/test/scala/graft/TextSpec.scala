@@ -277,6 +277,21 @@ class TextSpec extends AnyFunSuite {
     assert(byDoc(1L) < byDoc(3L))
   }
 
+  test("token entropy: uniform, degenerate, and mixed distributions on hand values") {
+    val docs = Seq(
+      (1L, "a a b b"),       // H = ln 2
+      (2L, "a a a a"),       // H = 0
+      (3L, "a b c d"))       // H = ln 4
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) === ((4L, 2L, r4(math.log(2)))))
+    assert(got(2L) === ((4L, 1L, 0.0)))
+    assert(got(3L) === ((4L, 4L, r4(math.log(4)))))
+  }
+
   test("feature hash: tf mass equals token count, buckets bounded, md5-pinned") {
     val docs = Seq((1L, "hello world hello")).toDF("doc_id", "text")
     val rows = TextAnalysis.featureHash(docs).collect()

@@ -303,6 +303,12 @@ object SparkEntry {
     // recency/frequency/monetary quintiles on the per-customer
     // aggregate; total-order tie-breaks keep ntile engine-portable
     "rfm_segments" -> ((s, d) => Relational.rfmSegments(s, d)),
+    // shuffle-planning diagnostic: per join key, cardinality, hot-key
+    // shares, and Gini — all-integer accumulation, exact cross-engine
+    "skew_report" -> ((s, d) => Relational.skewReport(s, d)),
+    // top k-prefix session paths; order materialized inside the
+    // aggregated struct array (never collect_list arrival order)
+    "session_paths" -> ((s, d) => Temporal.sessionPathsQuery(s, d)),
     // pairwise Pearson r / per-group OLS from explicit sufficient
     // statistics (mergeable sums — the distributable regression shape)
     "a_corr_matrix" -> ((s, d) => Relational.corrMatrix(s, d)),
@@ -485,6 +491,62 @@ object SparkEntry {
         |  FROM scored)
         |SELECT pi AS part, rk, pj AS neighbor, c_ij AS n_co, round(cosine, 4) AS cosine
         |FROM ranked WHERE rk <= 10 ORDER BY part, rk""".stripMargin,
+    "session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= 21600000000
+        |                     THEN 1 ELSE 0 END AS new_s FROM e),
+        |s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS sid FROM f),
+        |p AS (SELECT array_to_string((list(event_type ORDER BY us, event_id))[1:3], '->') AS path
+        |      FROM s GROUP BY user_id, sid),
+        |c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY path),
+        |r AS (SELECT CAST(row_number() OVER (ORDER BY n_sessions DESC, path) AS INTEGER) AS rk,
+        |             path, n_sessions FROM c)
+        |SELECT rk, path, n_sessions FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+    "skew_report" ->
+      """WITH a AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        |ar AS (SELECT c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS r_asc,
+        |              CAST(row_number() OVER (ORDER BY c DESC, k) AS BIGINT) AS r_desc FROM a),
+        |asum AS (SELECT 'lineitem.l_partkey' AS key_column, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(sum(CASE WHEN r_desc = 1 THEN c ELSE 0 END) AS BIGINT) AS c1,
+        |  CAST(sum(CASE WHEN r_desc <= 10 THEN c ELSE 0 END) AS BIGINT) AS c10,
+        |  CAST(sum(r_asc * c) AS BIGINT) AS rm FROM ar),
+        |b AS (SELECT l_suppkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        |br AS (SELECT c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS r_asc,
+        |              CAST(row_number() OVER (ORDER BY c DESC, k) AS BIGINT) AS r_desc FROM b),
+        |bsum AS (SELECT 'lineitem.l_suppkey', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT),
+        |  CAST(sum(CASE WHEN r_desc = 1 THEN c ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN r_desc <= 10 THEN c ELSE 0 END) AS BIGINT),
+        |  CAST(sum(r_asc * c) AS BIGINT) FROM br),
+        |d AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+        |dr AS (SELECT c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS r_asc,
+        |              CAST(row_number() OVER (ORDER BY c DESC, k) AS BIGINT) AS r_desc FROM d),
+        |dsum AS (SELECT 'orders.o_custkey', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT),
+        |  CAST(sum(CASE WHEN r_desc = 1 THEN c ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN r_desc <= 10 THEN c ELSE 0 END) AS BIGINT),
+        |  CAST(sum(r_asc * c) AS BIGINT) FROM dr),
+        |g AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |gr AS (SELECT c, CAST(row_number() OVER (ORDER BY c, k) AS BIGINT) AS r_asc,
+        |              CAST(row_number() OVER (ORDER BY c DESC, k) AS BIGINT) AS r_desc FROM g),
+        |gsum AS (SELECT 'events.user_id', CAST(count(*) AS BIGINT),
+        |  CAST(sum(c) AS BIGINT),
+        |  CAST(sum(CASE WHEN r_desc = 1 THEN c ELSE 0 END) AS BIGINT),
+        |  CAST(sum(CASE WHEN r_desc <= 10 THEN c ELSE 0 END) AS BIGINT),
+        |  CAST(sum(r_asc * c) AS BIGINT) FROM gr),
+        |u AS (SELECT * FROM asum UNION ALL SELECT * FROM bsum
+        |      UNION ALL SELECT * FROM dsum UNION ALL SELECT * FROM gsum)
+        |SELECT key_column, n_keys, n_rows,
+        |  round(c1 / CAST(n_rows AS DOUBLE), 4) AS top1_share,
+        |  round(c10 / CAST(n_rows AS DOUBLE), 4) AS top10_share,
+        |  round(2.0 * rm / CAST(n_keys * n_rows AS DOUBLE)
+        |        - CAST(n_keys + 1 AS DOUBLE) / n_keys, 4) AS gini
+        |FROM u ORDER BY key_column""".stripMargin,
     "markov_transitions" ->
       """WITH seq AS (
         |  SELECT user_id, event_type,

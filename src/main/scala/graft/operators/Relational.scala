@@ -985,6 +985,49 @@ object Relational {
         col("n"), col("revenue"))
       .orderBy("rf", "ls")
 
+  /** Join-key skew report — the diagnostic every shuffle-planning
+    * decision (salting, AQE skew thresholds, broadcast choices) starts
+    * from: for each audited key column, its cardinality, row count,
+    * the load share of the hottest 1 and 10 keys, and the Gini
+    * coefficient of the key-frequency distribution
+    * (G = 2·Σ rank·c / (n·Σc) − (n+1)/n over counts ranked ascending).
+    *
+    * Every accumulation is exact BIGINT (rank·count products summed as
+    * integers); the only doubles are the three final divisions, so the
+    * report is bit-stable cross-engine. Per column: one count
+    * aggregation, one window rank over the (count, key) total order of
+    * the already-reduced key relation, one summary row. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame = {
+    def audit(table: String, column: String): DataFrame = {
+      val counts = Tables(spark, dir, table)
+        .groupBy(col(column).as("k")).agg(count(lit(1)).as("c"))
+      val asc = Window.orderBy(col("c"), col("k"))
+      val desc = Window.orderBy(col("c").desc, col("k"))
+      counts
+        .withColumn("r_asc", row_number().over(asc).cast("long"))
+        .withColumn("r_desc", row_number().over(desc).cast("long"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum("c").as("n_rows"),
+          sum(when(col("r_desc") === 1L, col("c")).otherwise(0L)).as("c_top1"),
+          sum(when(col("r_desc") <= 10L, col("c")).otherwise(0L)).as("c_top10"),
+          sum(col("r_asc") * col("c")).as("rank_mass"))
+        .select(
+          lit(s"$table.$column").as("key_column"),
+          col("n_keys"), col("n_rows"),
+          round(col("c_top1") / col("n_rows").cast("double"), 4).as("top1_share"),
+          round(col("c_top10") / col("n_rows").cast("double"), 4).as("top10_share"),
+          round(
+            lit(2.0) * col("rank_mass") / (col("n_keys") * col("n_rows")).cast("double")
+              - (col("n_keys") + lit(1L)).cast("double") / col("n_keys"), 4).as("gini"))
+    }
+    audit("lineitem", "l_partkey")
+      .unionByName(audit("lineitem", "l_suppkey"))
+      .unionByName(audit("orders", "o_custkey"))
+      .unionByName(audit("events", "user_id"))
+      .orderBy("key_column")
+  }
+
   /** Deterministic catalog-safe MV name per source dir. */
   private def mvName(dir: String, split: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -179,6 +179,51 @@ object Temporal {
   def slidingCountsQuery(spark: SparkSession, dir: String): DataFrame =
     slidingCounts(Tables(spark, dir, "events")).orderBy("window_start_us", "event_type")
 
+  /** Top session paths — the "how do users move through the product"
+    * mining step: sessions are cut by the same 6-hour inactivity gap
+    * as [[sessionize]] (but via the lag-flag + running-sum form, which
+    * keeps every EVENT row so the path order survives), then each
+    * session's first `k` event types join into a path string and the
+    * most common paths are ranked.
+    *
+    * Determinism: the per-session ordering is the (ts, event_id)
+    * total order materialized INSIDE the aggregated array —
+    * `sort_array` over (ts, event_id, type) structs — never
+    * `collect_list`'s arrival order, which is partition-racy. Ranking
+    * breaks count ties by path string.
+    *
+    * Scale: two window passes over the same (user, ts) sort (Catalyst
+    * reuses one exchange+sort), one aggregation per session, one
+    * count aggregation over paths (bounded by distinct k-prefixes).
+    * The struct array per session is bounded by session length. */
+  def sessionPaths(events: DataFrame, gapHours: Int = 6,
+                   k: Int = 3, top: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = gapHours.toLong * 3600L * 1000000L
+    val flagged = events
+      .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(byUser))
+      .withColumn("new_s",
+        when(col("prev_us").isNull ||
+          expr("unix_micros(ts)") - col("prev_us") >= gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_s")).over(run))
+    val paths = flagged
+      .groupBy("user_id", "sid")
+      .agg(sort_array(collect_list(struct(
+        expr("unix_micros(ts)").as("us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(array_join(
+        slice(expr("transform(evs, e -> e.event_type)"), 1, k), "->").as("path"))
+    val rk = Window.orderBy(col("n_sessions").desc, col("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= top)
+      .select("rk", "path", "n_sessions")
+      .orderBy("rk")
+  }
+
+  def sessionPathsQuery(spark: SparkSession, dir: String): DataFrame =
+    sessionPaths(Tables(spark, dir, "events"))
+
   /** Calendar gap-fill: a dense hourly spine (min..max hour ×
     * event_type) left-joined to the sparse counts, zeros filled — the
     * make-the-time-series-dense step every downstream

@@ -216,4 +216,33 @@ class PlanContractSpec extends AnyFunSuite {
         s"$n plans a cartesian product (the totals crossJoin must broadcast 1 row):\n$p")
     }
   }
+
+  test("recommender/rules/LM/stats queries stay equality-join shaped") {
+    // the only sanctioned non-equality shapes are the broadcast 1-row
+    // scalar relations (vocab size, basket total, chi2 total, N)
+    for (n <- Seq("rec_item_neighbors", "rec_user_topn", "assoc_rules",
+      "txt_lm_perplexity", "txt_token_entropy", "markov_transitions",
+      "chi2_type_dow", "ts_cusum_changepoints", "rfm_segments")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
+  test("cusum windows partition by event type — never a global sort of the hourly relation") {
+    val p = plan("ts_cusum_changepoints")
+    // the two running windows must carry the event_type partitioning;
+    // a missing partitionBy would show the WindowExec single-partition
+    // warning shape (partition spec absent)
+    assert("Window .*event_type".r.findFirstIn(p).isDefined
+      || p.contains("PartitionBy"), // formatted variants
+      s"cusum windows must partition by event_type:\n$p")
+  }
+
+  test("markov transition matrix windows per user and joins on the type key") {
+    val p = plan("markov_transitions")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("Window .*user_id".r.findFirstIn(p).isDefined,
+      s"lead window must partition by user_id:\n$p")
+  }
 }

@@ -233,6 +233,34 @@ class RelationalSpec extends AnyFunSuite {
     rows.foreach { r => assert(r._7 === r._4 * 100 + r._5 * 10 + r._6) }
   }
 
+  test("skew report: uniform gini 0, hand-computed 9:1 split, share ordering") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("skew").toString
+    // l_partkey uniform (gini 0), l_suppkey constant (one key, gini 0)
+    (1L to 10L).map(k => (k, 7L)).toDF("l_partkey", "l_suppkey")
+      .write.parquet(s"$tmp/lineitem.parquet")
+    // o_custkey split 9:1 -> gini = 2(1·1+2·9)/(2·10) − 3/2 = 0.4
+    (Seq.fill(9)(1L) ++ Seq(2L)).toDF("o_custkey")
+      .write.parquet(s"$tmp/orders.parquet")
+    // events: raw long nanos ts like the driver parquet
+    Seq((1L, 0L), (1L, 1000000000L), (2L, 2000000000L))
+      .toDF("user_id", "ts").write.parquet(s"$tmp/events.parquet")
+    val got = Relational.skewReport(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(got("lineitem.l_partkey") === ((10L, 10L, 0.1, 1.0, 0.0)))
+    assert(got("lineitem.l_suppkey") === ((1L, 10L, 1.0, 1.0, 0.0)))
+    assert(got("orders.o_custkey") === ((2L, 10L, 0.9, 1.0, 0.4)))
+    // events: counts {2,1} -> gini = 2(1·1+2·2)/(2·3) − 3/2 = 5/3−3/2
+    assert(got("events.user_id")._1 === 2L)
+    assert(got("events.user_id")._5 === 0.1667)
+    // structural: top10 covers at least top1, shares in (0,1]
+    got.values.foreach { case (_, _, t1, t10, g) =>
+      assert(t10 >= t1 && t1 > 0.0 && t10 <= 1.0 && g >= 0.0 && g < 1.0)
+    }
+  }
+
   test("weighted sample keeps weight-1 rows always and tracks expected mass") {
     val docs = Tables(spark, sf0001, "documents")
       .select(col("doc_id"), col("source"), col("n_chars")).collect()

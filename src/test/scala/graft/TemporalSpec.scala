@@ -15,6 +15,23 @@ class TemporalSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("session paths: gap cutting, k-truncation, deterministic ranking") {
+    // user 1: [a,b,c,x] in one session (path truncates to 3), then a
+    // >6h gap, then [d,e]; user 2: a second [a,b,c] session; user 3: [f]
+    val gap = 7L * 3600
+    val ev = Seq(
+      (1L, 10L, 0L, "a"), (2L, 10L, 60L, "b"), (3L, 10L, 120L, "c"), (4L, 10L, 180L, "x"),
+      (5L, 10L, 180L + gap, "d"), (6L, 10L, 240L + gap, "e"),
+      (7L, 20L, 0L, "a"), (8L, 20L, 30L, "b"), (9L, 20L, 90L, "c"),
+      (10L, 30L, 0L, "f"))
+      .toDF("event_id", "user_id", "sec", "event_type")
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+    val got = Temporal.sessionPaths(ev).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      (1, "a->b->c", 2L), (2, "d->e", 1L), (3, "f", 1L)))
+  }
+
   test("sessionize merges at exactly-gap, splits strictly past it") {
     val ev = Seq(
       (1L, ts("2026-01-01 10:00:00")),

@@ -213,6 +213,11 @@ object SparkEntry {
     "txt_lm_perplexity" -> ((s, d) => TextAnalysis.lmPerplexityQuery(s, d)),
     // unigram entropy per doc (lexical diversity), ln-of-integers form
     "txt_token_entropy" -> ((s, d) => TextAnalysis.tokenEntropyQuery(s, d)),
+    // search-engine layout: token -> df/tf + sorted posting head
+    "txt_inverted_index" -> ((s, d) => TextAnalysis.invertedIndexQuery(s, d)),
+    // capstone keep/drop with reasons: perplexity + entropy gates at
+    // corpus-derived percentile thresholds
+    "txt_curation_score" -> ((s, d) => TextAnalysis.curationScoreQuery(s, d)),
     // BPE merge-pair vocab induction, k=10 rounds, deterministic
     // tie-break — the merge table is exactly reproducible in SQL
     // (greedy-overlap rule and all), so it is oracled end to end
@@ -329,6 +334,9 @@ object SparkEntry {
     // first-order next-event transition matrix (sequence mining);
     // #types²-bounded output, one window sort per user
     "markov_transitions" -> ((s, d) => Events.markovQuery(s, d)),
+    // winsorized mean + MAD per type (exact percentile ↔ quantile_cont,
+    // the a8 parity rung)
+    "robust_value_stats" -> ((s, d) => Events.robustStatsQuery(s, d)),
     // strictly-prior expanding-window z-score (streaming twin in
     // StreamAnomalySpec)
     "w_expanding_zscore" -> ((s, d) => Events.expandingZscoreQuery(s, d)),
@@ -557,6 +565,21 @@ object SparkEntry {
         |rt AS (SELECT cur_type, CAST(sum(n) AS BIGINT) AS row_n FROM pairs GROUP BY 1)
         |SELECT p.cur_type, p.next_type, p.n, round(CAST(p.n AS DOUBLE) / rt.row_n, 4) AS prob
         |FROM pairs p JOIN rt USING (cur_type) ORDER BY cur_type, next_type""".stripMargin,
+    "robust_value_stats" ->
+      """WITH p AS (SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95,
+        |    quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(e.value), 4) AS mean_raw,
+        |  round(avg(least(greatest(e.value, p.p05), p.p95)), 4) AS mean_winsor,
+        |  CAST(sum(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+        |  CAST(sum(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+        |  round(max(p.p05), 4) AS p05, round(max(p.p95), 4) AS p95,
+        |  round(quantile_cont(abs(e.value - p.med), 0.5), 4) AS mad
+        |FROM events e JOIN p USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_token_entropy" ->
       """WITH tc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
@@ -565,6 +588,45 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_distinct,
         |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
         |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "txt_inverted_index" ->
+      """WITH td AS (SELECT w AS token, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+        |  array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS postings_head
+        |FROM td GROUP BY token ORDER BY token""".stripMargin,
+    "txt_curation_score" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2),
+        |inst AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |         FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tt)),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |       FROM (SELECT unnest(ws) AS w FROM tt) GROUP BY w),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM inst GROUP BY w1, w2),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+        |nllagg AS (
+        |  SELECT i.doc_id, round(avg(
+        |    ln(CAST(u.c1 + 0.5 * v.v AS DOUBLE) / CAST(b.c12 + 0.5 AS DOUBLE))), 4) AS nll
+        |  FROM inst i JOIN bc b ON i.w1 = b.w1 AND i.w2 = b.w2
+        |  JOIN uc u ON i.w1 = u.w CROSS JOIN v GROUP BY i.doc_id),
+        |pplt AS (SELECT doc_id, round(exp(nll), 4) AS ppl FROM nllagg),
+        |tc AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2),
+        |entt AS (SELECT doc_id,
+        |  round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+        |  FROM tc GROUP BY doc_id),
+        |s AS (SELECT p.doc_id, p.ppl, e.entropy FROM pplt p JOIN entt e USING (doc_id)),
+        |th AS (SELECT quantile_cont(ppl, 0.9) AS ppl_hi,
+        |              quantile_cont(entropy, 0.1) AS ent_lo FROM s)
+        |SELECT s.doc_id, s.ppl, s.entropy,
+        |  round(th.ppl_hi, 4) AS ppl_hi, round(th.ent_lo, 4) AS ent_lo,
+        |  CAST(s.ppl <= th.ppl_hi AND s.entropy >= th.ent_lo AS INTEGER) AS keep,
+        |  CASE WHEN s.ppl <= th.ppl_hi AND s.entropy >= th.ent_lo THEN 'ok'
+        |    ELSE concat_ws('+',
+        |      CASE WHEN s.ppl > th.ppl_hi THEN 'ppl_high' END,
+        |      CASE WHEN s.entropy < th.ent_lo THEN 'entropy_low' END) END AS reason
+        |FROM s CROSS JOIN th ORDER BY s.doc_id""".stripMargin,
     "rfm_segments" ->
       """WITH base AS (
         |  SELECT o_custkey AS customer, max(o_orderdate) AS last_order,

@@ -445,6 +445,39 @@ object Events {
   def markovQuery(spark: SparkSession, dir: String): DataFrame =
     markovTransitions(Tables(spark, dir, "events"))
 
+  /** Robust per-type value statistics — the outlier-resistant summary
+    * (winsorized mean + MAD) that raw mean/σ monitoring lacks: exact
+    * p05/p95 bounds, values clipped into them before the winsorized
+    * mean, clip census, and the median absolute deviation. Exact
+    * `percentile` ↔ DuckDB `quantile_cont` parity is the established
+    * a8 rung; the MAD pass re-aggregates |x − median| against the
+    * joined per-type median. Two aggregation passes over one scan
+    * each plus a #types-row broadcast join — no windows. At 100 TB
+    * swap percentile → percentile_approx exactly as documented on
+    * `quantityPercentiles`. */
+  def robustValueStats(events: DataFrame): DataFrame = {
+    val pcts = events.groupBy("event_type").agg(
+      expr("percentile(value, 0.05)").as("p05"),
+      expr("percentile(value, 0.95)").as("p95"),
+      expr("percentile(value, 0.5)").as("med"))
+    val joined = events.join(broadcast(pcts), "event_type")
+    val clip = least(greatest(col("value"), col("p05")), col("p95"))
+    joined.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg("value"), 4).as("mean_raw"),
+        round(avg(clip), 4).as("mean_winsor"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_clip_hi"),
+        round(max("p05"), 4).as("p05"),
+        round(max("p95"), 4).as("p95"),
+        round(expr("percentile(abs(value - med), 0.5)"), 4).as("mad"))
+      .orderBy("event_type")
+  }
+
+  def robustStatsQuery(spark: SparkSession, dir: String): DataFrame =
+    robustValueStats(Tables(spark, dir, "events"))
+
   /** Prequential (expanding-window) z-score per event value: each
     * event's `value` scored against the mean/σ of all STRICTLY PRIOR
     * events of its type — the batch twin of streaming anomaly

@@ -690,6 +690,65 @@ object TextAnalysis {
   def tokenEntropyQuery(spark: SparkSession, dir: String): DataFrame =
     tokenEntropy(Tables(spark, dir, "documents"))
 
+  /** Inverted index build — the search-engine layout (token → document
+    * frequency, total term frequency, and the head of the sorted
+    * posting list). Postings are materialized DETERMINISTICALLY:
+    * sort_array over the collected doc ids, never collect_list
+    * arrival order, and emitted as a joined string (engine-portable
+    * value, and the layout a serving system ships anyway). Two hash
+    * aggregations; per-token state is bounded by the posting cap. At
+    * full scale the uncapped index is written bucketed by token
+    * (Bucketed.scala) instead of capped — this query is the per-token
+    * summary + head view of that relation. */
+  def invertedIndex(docs: DataFrame, cap: Int = 10): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("tf_total"),
+        array_join(slice(sort_array(collect_list(col("doc_id"))), 1, cap), ",")
+          .as("postings_head"))
+      .orderBy("token")
+
+  def invertedIndexQuery(spark: SparkSession, dir: String): DataFrame =
+    invertedIndex(Tables(spark, dir, "documents"))
+
+  /** Curation decision matrix — the capstone that composes the
+    * pipeline's quality signals into an auditable keep/drop with
+    * REASONS (what a data-curation run actually ships): perplexity
+    * (fluency, [[lmPerplexity]]) must sit at or below its corpus p90
+    * and entropy (diversity, [[tokenEntropy]]) at or above its corpus
+    * p10; the reason column names every failed gate. Thresholds are
+    * corpus-derived percentiles over the already-rounded scores (the
+    * established percentile↔quantile_cont parity), broadcast as one
+    * row. Both signal relations are id-keyed aggregates of one corpus
+    * scan each; the decision join carries only (doc_id, two doubles). */
+  def curationScore(docs: DataFrame): DataFrame = {
+    val ppl = lmPerplexity(docs).select(col("doc_id"), col("ppl"))
+    val ent = tokenEntropy(docs).select(col("doc_id"), col("entropy"))
+    val scored = ppl.join(ent, "doc_id")
+    val thresholds = scored.agg(
+      expr("percentile(ppl, 0.9)").as("ppl_hi"),
+      expr("percentile(entropy, 0.1)").as("ent_lo"))
+    scored.crossJoin(broadcast(thresholds))
+      .select(
+        col("doc_id"), col("ppl"), col("entropy"),
+        round(col("ppl_hi"), 4).as("ppl_hi"),
+        round(col("ent_lo"), 4).as("ent_lo"),
+        (col("ppl") <= col("ppl_hi") && col("entropy") >= col("ent_lo"))
+          .cast("int").as("keep"),
+        when(col("ppl") <= col("ppl_hi") && col("entropy") >= col("ent_lo"), "ok")
+          .otherwise(concat_ws("+",
+            when(col("ppl") > col("ppl_hi"), lit("ppl_high")),
+            when(col("entropy") < col("ent_lo"), lit("entropy_low"))))
+          .as("reason"))
+      .orderBy("doc_id")
+  }
+
+  def curationScoreQuery(spark: SparkSession, dir: String): DataFrame =
+    curationScore(Tables(spark, dir, "documents"))
+
   /** Feature hashing (the "hashing trick"): each document becomes a
     * sparse term-frequency vector in a fixed `dim`-bucket space, with
     * the bucket = the first 8 md5 hex digits of the token mod dim —

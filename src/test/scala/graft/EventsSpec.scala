@@ -163,6 +163,26 @@ class EventsSpec extends AnyFunSuite {
       ("b", "a") -> ((1L, 1.0))))
   }
 
+  test("robust stats: outlier moves the raw mean, not the winsorized one or MAD") {
+    import spark.implicits._
+    // 19 values 1..19 plus one outlier 1000 for type a
+    val ev = ((1 to 19).map(_.toDouble) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, "a", i.toLong, v) }
+      .toDF("event_id", "event_type", "sec", "value")
+      .withColumn("ts", expr("timestamp_seconds(sec)"))
+    val r = Events.robustValueStats(ev).collect().head
+    val (n, meanRaw, meanW, lo, hi) =
+      (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getLong(5))
+    assert(n === 20L)
+    // raw mean 1190/20 = 59.5; winsorized: clip to [p05,p95] =
+    // [1.95, 68.05] -> (189 + 1.95 + 68.05)/20 = 12.95
+    assert(meanRaw === 59.5)
+    assert(meanW === 12.95, s"winsorized mean must resist the outlier: $meanW")
+    assert(lo === 1L && hi === 1L) // one value below p05, the outlier above p95
+    // MAD of 1..19,1000: median 10.5; |x-10.5| sorted -> median 5
+    assert(r.getDouble(8) === 5.0)
+  }
+
   test("top event types are ordered by count desc") {
     val rows = Events.topEventTypes(spark, sf0001).collect()
     assert(rows.length === 5)

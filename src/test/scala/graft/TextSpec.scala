@@ -292,6 +292,30 @@ class TextSpec extends AnyFunSuite {
     assert(got(3L) === ((4L, 4L, r4(math.log(4)))))
   }
 
+  test("inverted index: df/tf and sorted capped postings on hand docs") {
+    val docs = Seq((3L, "b a b"), (1L, "a b"), (2L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.invertedIndex(docs, cap = 2).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got("a") === ((3L, 3L, "1,2")))   // cap=2 drops doc 3
+    assert(got("b") === ((2L, 3L, "1,3")))   // sorted despite arrival order
+  }
+
+  test("curation score: gates fire on the planted junk docs, reasons name them") {
+    // 20 normal docs sharing a common phrase, one keyword-stuffed doc
+    // (zero entropy), one rare-bigram doc (high perplexity)
+    val normal = (1L to 20L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+    val stuffed = (100L, "spam spam spam spam spam spam spam spam")
+    val weird = (101L, "zq xv qk vj kx jz qv xz")
+    val docs = (normal :+ stuffed :+ weird).toDF("doc_id", "text")
+    val got = TextAnalysis.curationScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(5), r.getString(6))).toMap
+    assert((1L to 20L).forall(got(_) === ((1, "ok"))))
+    assert(got(100L)._1 === 0)
+    assert(got(100L)._2.contains("entropy_low"))
+    assert(got(101L)._1 === 0)
+    assert(got(101L)._2.contains("ppl_high"))
+  }
+
   test("feature hash: tf mass equals token count, buckets bounded, md5-pinned") {
     val docs = Seq((1L, "hello world hello")).toDF("doc_id", "text")
     val rows = TextAnalysis.featureHash(docs).collect()

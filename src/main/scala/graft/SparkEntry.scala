@@ -111,6 +111,9 @@ object SparkEntry {
     // KMV sketch: deterministic md5 hashing makes the approximation
     // itself oracle-checkable, estimate and error included
     "sketch_kmv_distinct" -> ((s, d) => Events.kmvDistinctUsers(s, d)),
+    // count-min sketch: 4x64 md5-derived counters, estimate = min over
+    // rows — fixed 256-cell summary, estimates (not just shape) oracled
+    "sketch_cms_freq" -> ((s, d) => Events.cmsUserFreq(s, d)),
     // rows-only by nature: GK-sketch percentiles are approximate;
     // RelationalSpec bounds them against the oracled exact a8 values.
     "a8_approx_percentiles" -> ((s, d) => Relational.approxQuantityPercentiles(s, d)),
@@ -226,6 +229,10 @@ object SparkEntry {
     // on the shared n-gram fingerprint relation
     "txt_substring_dup" -> ((s, d) => TextAnalysis.substringDupQuery(s, d)),
     "txt_decontaminate" -> ((s, d) => TextAnalysis.decontaminateQuery(s, d)),
+    // same semantics behind a broadcast Bloom pre-filter (the runtime-
+    // filter pattern): clean grams die before the join; exact verify
+    // removes Bloom false positives, so the oracle is shared verbatim
+    "txt_decontaminate_bloom" -> ((s, d) => TextAnalysis.decontaminateBloomQuery(s, d)),
     // BPE apply: replay the learned merges over the corpus (pure map,
     // shuffle only at the per-doc aggregate) — train-then-tokenize
     "txt_bpe_tokenize" -> ((s, d) => TextAnalysis.bpeTokenizeQuery(s, d)),
@@ -249,6 +256,10 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables(s, d, "documents"))),
     // --- similarity search (north star) ---
     "emb_knn_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
+    // hybrid RAG retrieval: sparse (shared-token) + dense (cosine) legs
+    // fused by reciprocal rank — integer leg ranks and exact IEEE
+    // divisions keep the fused ordering oracle-exact
+    "search_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
     // rows-only by nature: hyperplane LSH has recall < 1 by
     // construction, so no exact SQL oracle exists; SimilaritySpec bounds
     // its recall against the oracled brute-force top-k.
@@ -300,6 +311,14 @@ object SparkEntry {
     "graph_components" -> ((s, d) => Graph.connectedComponents(s, d)),
     // bounded k-hop BFS distances (the bound is the semantics)
     "graph_bfs_hops" -> ((s, d) => Graph.bfsHops(s, d)),
+    // community detection: 4 synchronous LPA rounds, (count DESC, lbl)
+    // argmax — the fixed round count IS the semantics (LPA can 2-cycle
+    // on bipartite graphs, so only the bounded form is reproducible)
+    "graph_communities" -> ((s, d) => Graph.labelPropagation(s, d)),
+    // bounded Bellman-Ford: cheapest path using <= 4 edges over
+    // md5-weighted edges (first-reach is NOT final under weights, so
+    // every round relaxes the settled set; delta-stepping at scale)
+    "graph_sssp" -> ((s, d) => Graph.sssp(s, d)),
     // --- relational completions (§2.4/§2.5) ---
     // 2-D Pareto frontier as a single window sort (not O(n²) NOT EXISTS)
     "skyline_parts" -> ((s, d) => Relational.skyline2d(s, d)),
@@ -1163,6 +1182,28 @@ object SparkEntry {
         |FROM aged GROUP BY 1 ORDER BY 1""".stripMargin,
     // the estimate is 255·2^32 / h_k — one IEEE division of exact
     // integers, so even the "approximate" column compares bit-equal
+    "sketch_cms_freq" ->
+      """WITH probeset AS (
+        |  SELECT user_id, r,
+        |    ('0x' || substr(md5('cms' || r || ':' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS bkt
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)),
+        |counters AS (
+        |  SELECT r, bkt, CAST(count(*) AS BIGINT) AS c
+        |  FROM probeset GROUP BY 1, 2),
+        |exact AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1),
+        |top AS (
+        |  SELECT user_id, n_exact FROM exact
+        |  ORDER BY n_exact DESC, user_id LIMIT 10),
+        |probes AS (
+        |  SELECT t.user_id, t.n_exact, g.r,
+        |    ('0x' || substr(md5('cms' || g.r || ':' || CAST(t.user_id AS VARCHAR)), 1, 8))::BIGINT % 64 AS bkt
+        |  FROM top t CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) g)
+        |SELECT p.user_id, p.n_exact, min(c.c) AS cms_est,
+        |  min(c.c) - p.n_exact AS overcount
+        |FROM probes p JOIN counters c ON p.r = c.r AND p.bkt = c.bkt
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "sketch_kmv_distinct" ->
       """WITH hashes AS (
         |  SELECT DISTINCT event_type,
@@ -1855,6 +1896,22 @@ object SparkEntry {
         |FROM grams JOIN bench USING (fp)
         |WHERE doc_id % 10 != 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Bloom pre-filter + exact verify ≡ exact semi-join (no false
+    // negatives; false positives removed by the verify join), so the
+    // oracle is the exact path's SQL verbatim.
+    "txt_decontaminate_bloom" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS fp
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM tok WHERE len(toks) >= 13)),
+        |bench AS (SELECT DISTINCT fp FROM grams WHERE doc_id % 10 = 0)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+        |FROM grams JOIN bench USING (fp)
+        |WHERE doc_id % 10 != 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_bpe_tokenize" -> bpeTokenizeOracleSql(10),
     "txt_tfidf_top" ->
       """WITH tok AS (
@@ -2021,6 +2078,44 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
         |  FROM scored) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "search_hybrid_rrf" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
+        |dense0 AS (
+        |  SELECT query_id, c.vec_id AS cand_id,
+        |    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+        |  FROM q JOIN c ON c.vec_id <> q.query_id),
+        |dense AS (
+        |  SELECT query_id, cand_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS r_dense
+        |  FROM dense0 QUALIFY r_dense <= 20),
+        |tok AS (
+        |  SELECT DISTINCT doc_id, t AS token
+        |  FROM (SELECT doc_id,
+        |          unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+        |        FROM documents)),
+        |qt AS (SELECT doc_id AS query_id, token FROM tok WHERE doc_id < 5),
+        |sparse0 AS (
+        |  SELECT qt.query_id, tok.doc_id AS cand_id, count(*) AS n_shared
+        |  FROM tok JOIN qt USING (token)
+        |  WHERE qt.query_id <> tok.doc_id
+        |  GROUP BY 1, 2),
+        |sparse AS (
+        |  SELECT query_id, cand_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY n_shared DESC, cand_id) AS r_sparse
+        |  FROM sparse0 QUALIFY r_sparse <= 20),
+        |fused AS (
+        |  SELECT coalesce(d.query_id, s.query_id) AS query_id,
+        |         coalesce(d.cand_id, s.cand_id) AS cand_id,
+        |         coalesce(CAST(1 AS DOUBLE) / (60 + d.r_dense), 0)
+        |           + coalesce(CAST(1 AS DOUBLE) / (60 + s.r_sparse), 0) AS rrf
+        |  FROM dense d FULL OUTER JOIN sparse s
+        |    ON d.query_id = s.query_id AND d.cand_id = s.cand_id)
+        |SELECT query_id, rank, cand_id, round(rrf, 6) AS rrf_score FROM (
+        |  SELECT query_id, cand_id, rrf,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, cand_id) AS INTEGER) AS rank
+        |  FROM fused) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "emb_filtered_topk" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),
@@ -2065,6 +2160,8 @@ object SparkEntry {
     "graph_triangles" -> Graph.triangleOracle,
     "graph_components" -> Graph.componentsOracle(),
     "graph_bfs_hops" -> Graph.bfsOracle(),
+    "graph_communities" -> Graph.labelPropagationOracle(),
+    "graph_sssp" -> Graph.ssspOracle(),
     "skyline_parts" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
         |f AS (SELECT price, size,

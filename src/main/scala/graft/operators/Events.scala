@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -149,6 +149,51 @@ object Events {
       .select(col("event_type"), col("n_exact"), col("kmv_est"),
         round(abs(col("kmv_est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
       .orderBy("event_type")
+  }
+
+  /** Count-min sketch — the frequency-estimate rung beside Misra-Gries
+    * (exact-support heavy hitters) and KMV (distinct): d=4 md5-derived
+    * hash rows × w=64 buckets, counter = Σ arrivals per (row, bucket),
+    * estimate(x) = min over rows of counter[row][bucket(x)]. Like KMV,
+    * the sketch is a pure function of md5, so both engines build
+    * bit-identical counters and the gate pins the ESTIMATES, not just
+    * the shape — and the one-sided guarantee (estimate ≥ true count,
+    * always, since collisions only add) is asserted in-query by
+    * emitting the overcount, which the oracle re-derives.
+    *
+    * Scale: the counter relation is d·w = 256 cells REGARDLESS of
+    * input size — the whole reduction is one map-side-combinable
+    * groupBy on (row, bucket), then the 256-cell table broadcasts to
+    * the probe join. This is the sketch's 100 TB story: a fixed-size
+    * mergeable summary standing in for a full user×count table. The
+    * probed users here are the exact top-N so the output is
+    * deterministic and the sketch's accuracy on HEAVY keys (its
+    * design point) is what the gate measures. */
+  def cmsUserFreq(spark: SparkSession, dir: String, w: Int = 64, d: Int = 4,
+                  topN: Int = 10): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    def bucket(i: Int, u: Column): Column =
+      pmod(conv(substring(md5(concat(lit(s"cms$i:"), u.cast("string"))), 1, 8),
+        16, 10).cast("long"), lit(w.toLong))
+    val rowIdx = 0 until d
+    def probeSet(u: Column): Column =
+      explode(array(rowIdx.map(i =>
+        struct(lit(i).as("r"), bucket(i, u).as("bkt"))): _*))
+    val counters = events
+      .select(probeSet(col("user_id")).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+      .agg(count(lit(1)).as("c"))
+    val exact = events.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+    val probes = exact
+      .orderBy(col("n_exact").desc, col("user_id")).limit(topN)
+      .select(col("user_id"), col("n_exact"), probeSet(col("user_id")).as("rb"))
+      .select(col("user_id"), col("n_exact"), col("rb.r").as("r"), col("rb.bkt").as("bkt"))
+    probes.join(broadcast(counters), Seq("r", "bkt"))
+      .groupBy("user_id", "n_exact")
+      .agg(min(col("c")).as("cms_est"))
+      .select(col("user_id"), col("n_exact"), col("cms_est"),
+        (col("cms_est") - col("n_exact")).as("overcount"))
+      .orderBy("user_id")
   }
 
   /** Corrupt-record quarantine — the bad-records path every ingest

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Iterative graph analytics over relations (north-star surface — the
@@ -172,6 +173,54 @@ object Graph {
     labels.select(col("node"), col("lbl").as("component")).orderBy("node")
   }
 
+  /** Synchronous label propagation over a symmetric edge relation,
+    * `rounds` fixed rounds: each node adopts the most frequent label
+    * among its neighbors' PREVIOUS labels, ties broken by the smallest
+    * label. The fixed round count is part of the semantics (like
+    * [[bfsHops]]'s k-hop bound): LPA has no guaranteed fixpoint
+    * (bipartite graphs can 2-cycle), so "k synchronous rounds with a
+    * deterministic tie-break" is the only formulation that is exactly
+    * reproducible — and therefore oracle-able — across engines.
+    *
+    * Scale: each round is one shuffle on the neighbor join key plus a
+    * windowed argmax per node — the Pregel-as-relational shape shared
+    * with [[pageRank]]; the edge relation is checkpointed once and
+    * reused, labels are two narrow columns, and the per-round state
+    * never exceeds one row per node. */
+  def labelPropagationOn(edges: DataFrame, rounds: Int = 4): DataFrame = {
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      val counts = edges.join(labels, edges("a") === labels("node"))
+        .groupBy(col("b"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+      val byFreq = Window.partitionBy("b").orderBy(col("c").desc, col("lbl"))
+      labels = counts
+        .withColumn("rn", row_number().over(byFreq))
+        .filter(col("rn") === 1)
+        .select(col("b").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("lbl").as("community")).orderBy("node")
+  }
+
+  /** Community detection on the same sparsified part↔supplier graph as
+    * [[connectedComponents]] (communities inside one giant component
+    * are where LPA says something CC cannot). */
+  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
+    val base = Tables(spark, dir, "lineitem")
+      .filter(
+        substring(md5(concat(lit("cc:"), col("l_orderkey").cast("string"))), 1, 2) < "08")
+      .select(
+        concat(lit("p:"), col("l_partkey")).as("a"),
+        concat(lit("s:"), col("l_suppkey")).as("b"))
+      .distinct()
+    val edges = base
+      .union(base.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    labelPropagationOn(edges, rounds)
+  }
+
   /** Min-hop BFS distance from supplier `s:1` over the full bipartite
     * graph, bounded at `hops` rounds. Unreachable-within-bound nodes
     * are absent. The bound is part of the SEMANTICS (k-hop
@@ -218,6 +267,89 @@ object Graph {
         "GROUP BY p.node, p.lbl),\n"
     sb ++= s"fin AS (SELECT node, lbl AS component FROM l$iters)\n"
     sb ++= "SELECT node, component FROM fin ORDER BY node"
+    sb.toString
+  }
+
+  /** Weighted edges for SSSP: the bipartite relation with a
+    * deterministic md5-derived integer weight in [1, 9] per edge —
+    * weight is a pure function of the endpoint strings, so both
+    * engines derive identical weights with no RNG and no float. */
+  private def weightedEdges(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "lineitem")
+      .select(
+        concat(lit("p:"), col("l_partkey")).as("a"),
+        concat(lit("s:"), col("l_suppkey")).as("b"))
+      .distinct()
+    base.union(base.select(col("b").as("a"), col("a").as("b")))
+      .withColumn("w",
+        conv(substring(md5(concat(lit("w:"),
+          least(col("a"), col("b")), lit("|"),
+          greatest(col("a"), col("b")))), 1, 2), 16, 10).cast("long") % 9 + 1)
+  }
+
+  /** Bounded Bellman-Ford over a weighted symmetric edge relation:
+    * after `rounds` relaxations, dist(v) = the cheapest path from
+    * `source` using ≤ rounds edges — the bound is the SEMANTICS (like
+    * [[bfsHops]]'s k-hop contract), so a fixed unroll is the oracle.
+    * Unlike unit-weight BFS, first-reach is NOT final here (a longer
+    * hop path can be cheaper), so every round relaxes the full settled
+    * set — the frontier trick is invalid by construction. At cluster
+    * scale the move is delta-stepping (bucketed priority relaxation);
+    * the per-round shape is unchanged: one equality join on the edge
+    * key + one min-aggregate, edges checkpointed once. */
+  def ssspOn(edges: DataFrame, source: String, rounds: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    var dist = spark.createDataFrame(Seq(Tuple2(source, 0L)))
+      .toDF("node", "dist")
+    for (_ <- 1 to rounds) {
+      val relaxed = edges.join(dist, edges("a") === dist("node"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist.orderBy("node")
+  }
+
+  def sssp(spark: SparkSession, dir: String, source: String = "s:1",
+           rounds: Int = 4): DataFrame =
+    ssspOn(weightedEdges(spark, dir).localCheckpoint(), source, rounds)
+
+  /** Oracle SQL for `sssp` — weighted relaxation unrolled to the same
+    * fixed bound, weights re-derived from the identical md5 formula. */
+  def ssspOracle(source: String = "s:1", rounds: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH base AS MATERIALIZED (SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b FROM lineitem),\n"
+    sb ++= "sym AS MATERIALIZED (SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base),\n"
+    sb ++= "edges AS MATERIALIZED (SELECT a, b, " +
+      "('0x' || substr(md5('w:' || least(a, b) || '|' || greatest(a, b)), 1, 2))::BIGINT % 9 + 1 AS w FROM sym),\n"
+    sb ++= s"d0 AS MATERIALIZED (SELECT '$source' AS node, CAST(0 AS BIGINT) AS dist),\n"
+    for (i <- 1 to rounds)
+      sb ++= s"d$i AS MATERIALIZED (SELECT node, min(dist) AS dist FROM (" +
+        s"SELECT node, dist FROM d${i - 1} UNION ALL " +
+        s"SELECT e.b AS node, d.dist + e.w AS dist FROM edges e JOIN d${i - 1} d ON e.a = d.node" +
+        ") GROUP BY node),\n"
+    sb ++= s"fin AS (SELECT node, dist FROM d$rounds)\n"
+    sb ++= "SELECT node, dist FROM fin ORDER BY node"
+    sb.toString
+  }
+
+  /** Oracle SQL for `labelPropagation` — the synchronous rounds
+    * unrolled (MATERIALIZED, the BPE-oracle lesson) with the same
+    * (count DESC, label ASC) argmax per node. */
+  def labelPropagationOracle(rounds: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH base AS MATERIALIZED (SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b FROM lineitem\n"
+    sb ++= "  WHERE substring(md5('cc:' || CAST(l_orderkey AS VARCHAR)), 1, 2) < '08'),\n"
+    sb ++= "edges AS MATERIALIZED (SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base),\n"
+    sb ++= "l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM edges),\n"
+    for (i <- 1 to rounds)
+      sb ++= s"l$i AS MATERIALIZED (SELECT node, lbl FROM (" +
+        "SELECT node, lbl, row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn FROM (" +
+        s"SELECT e.b AS node, q.lbl, count(*) AS c FROM edges e JOIN l${i - 1} q ON q.node = e.a GROUP BY e.b, q.lbl" +
+        ")) WHERE rn = 1),\n"
+    sb ++= s"fin AS (SELECT node, lbl AS community FROM l$rounds)\n"
+    sb ++= "SELECT node, community FROM fin ORDER BY node"
     sb.toString
   }
 

@@ -757,4 +757,66 @@ object Similarity {
   def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95,
                          nPlanes: Int = 0, nTables: Int = 8, dims: Int = 64): DataFrame =
     cosineNearDupPairsOn(corpus(spark, dir), threshold, nPlanes, nTables, dims)
+
+  /** Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+    * serving shape: a sparse (lexical) retriever and a dense (vector)
+    * retriever each produce a per-query top-`legK` list, and the lists
+    * are fused by RRF(d) = Σ_legs 1/(60 + rank_leg(d)), absent-from-leg
+    * contributing 0. vec_id and doc_id identify the same entities in
+    * the testdata, so the text leg ranks candidates by DISTINCT shared
+    * tokens with the query document (integer — exact in any engine) and
+    * the dense leg by cosine (the [[bruteForceTopKOn]] formulation).
+    *
+    * Oracle-exact on purpose: both leg ranks are integers with
+    * deterministic tie-breaks (cand_id), and the fused score is a sum
+    * of two exactly-rounded IEEE divisions of integers — bit-identical
+    * in Spark and DuckDB (the rank-on-lift-not-PMI lesson: keep
+    * ordering decisions out of libm).
+    *
+    * Scale: the dense leg is the ANN family above (swap brute force
+    * for IVFADC at corpus scale); the sparse leg is one shuffle on
+    * token — at 100 TB you'd feed it from the persisted inverted index
+    * (txt_inverted_index) with postings caps; queries are broadcast in
+    * both legs, so the corpus is scanned once per leg and fusion
+    * touches only 2·legK rows per query. */
+  def hybridRrf(spark: SparkSession, dir: String, nQueries: Int = 5,
+                legK: Int = 20, k: Int = 5, rrfK: Int = 60): DataFrame = {
+    val all = corpus(spark, dir)
+    // dense leg: cosine rank among all other docs
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val cand = all.select(col("vec_id").as("cand_id"), col("vec").as("cv"), col("norm").as("cn"))
+    val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    val dense = cand.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("r_dense", row_number().over(byCos))
+      .filter(col("r_dense") <= legK)
+      .select(col("query_id"), col("cand_id"), col("r_dense"))
+    // sparse leg: distinct shared tokens with the query doc's text
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(length(col("token")) > 0).distinct()
+    val qToks = toks.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("token"))
+    val byOverlap = Window.partitionBy("query_id")
+      .orderBy(col("n_shared").desc, col("cand_id"))
+    val sparse = toks.select(col("doc_id").as("cand_id"), col("token"))
+      .join(broadcast(qToks), "token")
+      .filter(col("query_id") =!= col("cand_id"))
+      .groupBy("query_id", "cand_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("r_sparse", row_number().over(byOverlap))
+      .filter(col("r_sparse") <= legK)
+      .select(col("query_id"), col("cand_id"), col("r_sparse"))
+    val byRrf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("cand_id"))
+    dense.join(sparse, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_dense")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_sparse")), lit(0.0)))
+      .withColumn("rank", row_number().over(byRrf))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("rrf"), 6).as("rrf_score"))
+      .orderBy("query_id", "rank")
+  }
 }

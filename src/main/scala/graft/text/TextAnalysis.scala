@@ -558,6 +558,49 @@ object TextAnalysis {
   def decontaminateQuery(spark: SparkSession, dir: String): DataFrame =
     decontaminate(Tables(spark, dir, "documents"))
 
+  /** Bloom-pre-filtered decontamination — same semantics as
+    * [[decontaminate]] (exact same output, same oracle), different
+    * scale shape. The exact path streams EVERY corpus w-gram through
+    * the probe side of the bench join; at 100 TB that is trillions of
+    * 32-byte md5 strings probing a multi-hundred-MB broadcast hash
+    * relation. Here a Bloom filter built over the benchmark
+    * fingerprints (`DataFrameStatFunctions.bloomFilter`, a distributed
+    * treeAggregate; ~1.2 MB per million grams at 1% fpp — two orders
+    * smaller than the hash relation it stands in for) is broadcast and
+    * applied as a pre-filter, so ~(1 − fpp) of clean grams die before
+    * any join machinery. Survivors (true hits + fpp false positives)
+    * are then exact-verified against the real bench relation, which
+    * removes every false positive: Bloom guarantees no false
+    * NEGATIVES, so pre-filter + exact verify ≡ exact semi-join,
+    * bit for bit. This is Spark's own runtime-filter pattern
+    * (InjectRuntimeFilter) made explicit and user-controllable.
+    *
+    * Driver-side pulls: one scalar count (to size the filter) and the
+    * filter bits themselves — both eval-set-bounded, never
+    * corpus-bounded. The probe is a Scala UDF by necessity (bit-array
+    * membership is not expressible in codegen'd column functions); it
+    * sits on the narrow fp column only. */
+  def decontaminateBloom(docs: DataFrame, w: Int = 13, benchEvery: Int = 10,
+                         fpp: Double = 0.01): DataFrame = {
+    val grams = ngramFingerprints(docs, w)
+    val benchFps = grams.filter(pmod(col("doc_id"), lit(benchEvery)) === 0)
+      .select("fp").distinct()
+    val corpusGrams = grams.filter(pmod(col("doc_id"), lit(benchEvery)) =!= 0)
+    val nBench = math.max(benchFps.count(), 1L)
+    val bloom = benchFps.stat.bloomFilter("fp", nBench, fpp)
+    val bloomBc = docs.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((fp: String) => bloomBc.value.mightContainString(fp))
+    corpusGrams
+      .filter(mightContain(col("fp")))
+      .join(benchFps, "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateBloomQuery(spark: SparkSession, dir: String): DataFrame =
+    decontaminateBloom(Tables(spark, dir, "documents"))
+
   /** Train-then-tokenize composition on one corpus: learn k merges,
     * apply them, report per-doc subword counts. */
   def bpeTokenizeQuery(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {

@@ -50,6 +50,19 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch: one-sided (est >= exact), bounded by total arrivals") {
+    val out = Events.cmsUserFreq(spark, sf0001).collect()
+    assert(out.length === 10, s"expected 10 probed users, got ${out.length}")
+    val total = Tables(spark, sf0001, "events").count()
+    out.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("cms_est")
+      assert(est >= exact, s"CMS undercounted ${r.getAs[Long]("user_id")}: $est < $exact")
+      assert(est <= total, s"estimate exceeds stream length: $est > $total")
+      assert(r.getAs[Long]("overcount") === est - exact)
+    }
+  }
+
   test("FPGrowth pairs equal the self-join pair counts at the same min-support") {
     val viaJoin = Events.frequentPairs(spark, sf0001, minSupport = 3)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet

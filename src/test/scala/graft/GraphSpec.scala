@@ -50,6 +50,40 @@ class GraphSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_triangles") === 5L)
   }
 
+  test("label propagation splits bridged cliques into their two communities") {
+    // two K4s joined by one bridge (4—5). Hand-traced: round 1 scatters
+    // (all-ties → min neighbor), round 2 consolidates each clique on
+    // its min id, round 3 is the fixpoint — bridge endpoints stay with
+    // their own clique because 3 in-clique votes beat 1 bridge vote.
+    val und = Seq(
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), // K4 on {1..4}
+      (4, 5),                                          // bridge
+      (5, 6), (5, 7), (5, 8), (6, 7), (6, 8), (7, 8)) // K4 on {5..8}
+      .map { case (u, v) => (u.toString, v.toString) }
+    val edges = (und ++ und.map(_.swap)).toDF("a", "b")
+    val out = Graph.labelPropagationOn(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert((1 to 4).forall(n => out(n.toString) === "1"),
+      s"left clique not consolidated on 1: $out")
+    assert((5 to 8).forall(n => out(n.toString) === "5"),
+      s"right clique not consolidated on 5: $out")
+  }
+
+  test("bounded Bellman-Ford prefers a cheap 2-hop path over an expensive direct edge") {
+    // s->t direct costs 10; s->m->t costs 2+2=4. Round 1 must report 10
+    // (one edge max), round 2+ must improve to 4 — the property that
+    // invalidates BFS's first-reach-is-final shortcut under weights.
+    val und = Seq(("s", "t", 10L), ("s", "m", 2L), ("m", "t", 2L))
+    val edges = (und ++ und.map { case (a, b, w) => (b, a, w) }).toDF("a", "b", "w")
+    val r1 = Graph.ssspOn(edges, "s", rounds = 1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r1("t") === 10L, s"1-round dist must be the direct edge: $r1")
+    val r2 = Graph.ssspOn(edges, "s", rounds = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(r2("t") === 4L, s"2-round dist must take the cheap detour: $r2")
+    assert(r2("m") === 2L && r2("s") === 0L)
+  }
+
   test("skyline keeps exactly the non-dominated points") {
     val got = Relational.skyline2d(spark, sf0001).collect()
       .map(r => (r.getDouble(1), r.getInt(2)))

@@ -208,4 +208,29 @@ class SimilaritySpec extends AnyFunSuite {
       === Seq((100L, 101L)))
     assert(rows.head.getAs[Double]("cos_sim") > 0.999)
   }
+
+  test("hybrid RRF: scores bounded by both-legs-top, monotone per query, legs agree") {
+    val out = Similarity.hybridRrf(spark, sf0001).collect()
+    val qs = out.map(_.getAs[Long]("query_id")).distinct
+    assert(qs.length === 5, s"expected 5 query groups, got ${qs.length}")
+    // max possible fused score is rank 1 in BOTH legs: 2/61
+    val cap = 2.0 / 61.0 + 1e-6  // +1e-6: scores are round(…,6)ed
+    out.foreach { r =>
+      val s = r.getAs[Double]("rrf_score")
+      assert(s > 0.0 && s <= cap, s"rrf out of (0, 2/61]: $s")
+    }
+    // per query: rank order must equal descending score order
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("rrf_score"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"scores not monotone in rank: ${byRank.toSeq}")
+    }
+    // a doc at dense rank 1 scores ≥ 1/61 only if also in the sparse
+    // leg; either way the fused top-1 must score ≥ the dense-only top-1
+    // contribution 1/61 (dense #1 is always a fusion candidate)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val top = rows.minBy(_.getAs[Int]("rank")).getAs[Double]("rrf_score")
+      assert(top >= 1.0 / 61.0 - 1e-6, s"query $q fused top-1 below dense-#1 floor: $top")
+    }
+  }
 }

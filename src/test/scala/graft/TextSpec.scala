@@ -196,6 +196,34 @@ class TextSpec extends AnyFunSuite {
     assert(!out.contains(8L), "clean doc must be absent from the flag list")
   }
 
+  test("Bloom decontamination is bit-identical to the exact path on the corpus") {
+    val docs = Tables(spark, sf0001, "documents")
+    val exact = TextAnalysis.decontaminate(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bloom = TextAnalysis.decontaminateBloom(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(exact.nonEmpty, "fixture must actually contaminate (empty proves nothing)")
+    assert(bloom.toSeq === exact.toSeq,
+      "bloom pre-filter + exact verify must equal the exact semi-join")
+  }
+
+  test("Bloom pre-filter prunes clean grams: no false negatives, bounded pass rate") {
+    // hand corpus: one bench doc, one contaminated doc, many clean docs
+    val bench = (1 to 20).map(i => s"q$i").mkString(" ")
+    val clean = (1 to 50).map { d =>
+      ((d * 10 + 1).toLong, (1 to 30).map(i => s"c${d}w$i").mkString(" "))
+    }
+    val docs = (Seq((0L, bench), (7L, s"pre $bench post")) ++ clean)
+      .toDF("doc_id", "text")
+    val flagged = TextAnalysis.decontaminateBloom(docs, fpp = 0.001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: the contaminated doc carries the full bench
+    // inside it, so at least (20-13+1)=8 of its windows hit
+    assert(flagged.contains(7L) && flagged(7L) >= 8L, s"missed contamination: $flagged")
+    // exact verify kills every Bloom false positive: clean docs absent
+    assert(flagged.keySet === Set(7L), s"false positives survived: ${flagged.keySet}")
+  }
+
   test("BPE apply: merges shrink token counts, bounds hold, ordered replay matters") {
     // "abab": merge list ((a,b) then (ab,ab)) tokenizes to ONE symbol
     // only if replayed in order; chars = 4, so 1 < n_bpe < chars

@@ -114,6 +114,9 @@ object SparkEntry {
     // count-min sketch: 4x64 md5-derived counters, estimate = min over
     // rows — fixed 256-cell summary, estimates (not just shape) oracled
     "sketch_cms_freq" -> ((s, d) => Events.cmsUserFreq(s, d)),
+    // KMV set algebra: union sketch = k smallest of merged hashes,
+    // intersection by inclusion-exclusion — mergeability made a query
+    "sketch_kmv_setops" -> ((s, d) => Events.kmvSetOps(s, d)),
     // rows-only by nature: GK-sketch percentiles are approximate;
     // RelationalSpec bounds them against the oracled exact a8 values.
     "a8_approx_percentiles" -> ((s, d) => Relational.approxQuantityPercentiles(s, d)),
@@ -1204,6 +1207,44 @@ object SparkEntry {
         |  min(c.c) - p.n_exact AS overcount
         |FROM probes p JOIN counters c ON p.r = c.r AND p.bkt = c.bkt
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "sketch_kmv_setops" ->
+      """WITH hashes AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM events),
+        |ptstats AS (SELECT event_type, count(*) AS n_hashes FROM hashes GROUP BY 1),
+        |ptkth AS (SELECT event_type, h AS hk FROM (
+        |  SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        |  FROM hashes) t WHERE rk = 256),
+        |pt AS (SELECT s.event_type,
+        |  CASE WHEN s.n_hashes < 256 THEN CAST(s.n_hashes AS DOUBLE)
+        |       ELSE 255.0 * 4294967296.0 / k.hk END AS est
+        |  FROM ptstats s LEFT JOIN ptkth k USING (event_type)),
+        |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb, a.est AS est_a, b.est AS est_b
+        |  FROM pt a JOIN pt b ON a.event_type < b.event_type),
+        |uh AS (
+        |  SELECT DISTINCT ta, tb, h FROM (
+        |    SELECT p.ta, p.tb, h.h FROM pairs p JOIN hashes h ON h.event_type = p.ta
+        |    UNION ALL
+        |    SELECT p.ta, p.tb, h.h FROM pairs p JOIN hashes h ON h.event_type = p.tb)),
+        |ustats AS (SELECT ta, tb, count(*) AS n_hashes FROM uh GROUP BY 1, 2),
+        |ukth AS (SELECT ta, tb, h AS hk FROM (
+        |  SELECT ta, tb, h, row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rk
+        |  FROM uh) t WHERE rk = 256),
+        |uest AS (SELECT s.ta, s.tb,
+        |  CASE WHEN s.n_hashes < 256 THEN CAST(s.n_hashes AS DOUBLE)
+        |       ELSE 255.0 * 4294967296.0 / k.hk END AS est_union
+        |  FROM ustats s LEFT JOIN ukth k USING (ta, tb)),
+        |tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |inter AS (SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(count(*) AS BIGINT) AS n_inter_exact
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.ta, p.tb, i.n_inter_exact,
+        |  round(greatest(p.est_a + p.est_b - u.est_union, 0), 2) AS kmv_inter_est,
+        |  round(u.est_union, 2) AS kmv_union_est
+        |FROM pairs p JOIN uest u USING (ta, tb) JOIN inter i USING (ta, tb)
+        |ORDER BY 1, 2""".stripMargin,
     "sketch_kmv_distinct" ->
       """WITH hashes AS (
         |  SELECT DISTINCT event_type,

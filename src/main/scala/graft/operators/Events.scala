@@ -151,6 +151,73 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** KMV set algebra — the property that makes sketches a 100 TB tool
+    * is MERGEABILITY: the KMV sketch of A ∪ B is the k smallest hashes
+    * of the union of the two sketches, so per-partition (or per-day,
+    * per-shard) sketches combine without re-touching raw data, and
+    * |A ∩ B| follows by inclusion-exclusion (clamped at 0; the
+    * estimator can go slightly negative on small sets). This runs the
+    * algebra for every event-type pair over user sets and pins the
+    * ESTIMATES against the gate alongside the exact intersections —
+    * deterministic md5 hashing makes sketch contents, union ranks, and
+    * estimates bit-identical cross-engine, exactly as in
+    * [[kmvDistinctUsers]] (whose estimator and degenerate small-set
+    * fallback this reuses).
+    *
+    * Scale: sketch legs shuffle only DISTINCT (type, hash) pairs —
+    * already bounded by the exact answer's cost — and every pair-level
+    * relation is |pairs| · k at most. The exact-intersection leg (the
+    * comparison column) is the expensive one: a self-join on user_id;
+    * drop it and only sketch-sized relations remain. */
+  def kmvSetOps(spark: SparkSession, dir: String, k: Int = 256): DataFrame =
+    kmvSetOpsOn(Tables(spark, dir, "events"), k)
+
+  def kmvSetOpsOn(events: DataFrame, k: Int = 256): DataFrame = {
+    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val hashes = events.select(col("event_type"), h.as("h")).distinct()
+    def kmvEst(grouped: DataFrame, keys: Seq[String]): DataFrame = {
+      val stats = grouped.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n_hashes"))
+      val kth = grouped
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(keys.map(col): _*).orderBy("h")))
+        .filter(col("rk") === k)
+        .select(keys.map(col) :+ col("h").as("hk"): _*)
+      stats.join(kth, keys, "left")
+        .select(keys.map(col) :+
+          when(col("n_hashes") < k, col("n_hashes").cast("double"))
+            .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) / col("hk")).as("est"): _*)
+    }
+    val perType = kmvEst(hashes, Seq("event_type"))
+    val pairs = perType.select(col("event_type").as("ta"), col("est").as("est_a"))
+      .join(perType.select(col("event_type").as("tb"), col("est").as("est_b")),
+        col("ta") < col("tb"))
+    // union sketch: two equi-joins (never an OR-join), dedup by hash
+    val unionHashes = pairs.select("ta", "tb")
+      .join(hashes, col("event_type") === col("ta"))
+      .select(col("ta"), col("tb"), col("h"))
+      .union(pairs.select("ta", "tb")
+        .join(hashes, col("event_type") === col("tb"))
+        .select(col("ta"), col("tb"), col("h")))
+      .distinct()
+    val unionEst = kmvEst(unionHashes, Seq("ta", "tb"))
+      .withColumnRenamed("est", "est_union")
+    val exactInter = {
+      val tu = events.select(col("event_type"), col("user_id")).distinct()
+      tu.select(col("event_type").as("ta"), col("user_id"))
+        .join(tu.select(col("event_type").as("tb"), col("user_id")), "user_id")
+        .filter(col("ta") < col("tb"))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_inter_exact"))
+    }
+    pairs.join(unionEst, Seq("ta", "tb"))
+      .join(exactInter, Seq("ta", "tb"))
+      .select(col("ta"), col("tb"), col("n_inter_exact"),
+        round(greatest(col("est_a") + col("est_b") - col("est_union"), lit(0.0)), 2)
+          .as("kmv_inter_est"),
+        round(col("est_union"), 2).as("kmv_union_est"))
+      .orderBy("ta", "tb")
+  }
+
   /** Count-min sketch — the frequency-estimate rung beside Misra-Gries
     * (exact-support heavy hitters) and KMV (distinct): d=4 md5-derived
     * hash rows × w=64 buckets, counter = Σ arrivals per (row, bucket),

@@ -50,6 +50,32 @@ class EventsSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV set ops: exact below k; estimator path within KMV error on a big synthetic") {
+    import spark.implicits._
+    // gate-scale corpora sit entirely under k=256, so the degenerate
+    // small-set path must make inclusion-exclusion EXACT
+    val small = Events.kmvSetOps(spark, sf0001).collect()
+    assert(small.nonEmpty)
+    small.foreach { r =>
+      assert(r.getAs[Double]("kmv_inter_est") === r.getAs[Long]("n_inter_exact").toDouble,
+        s"sub-k sketch must be exact: $r")
+    }
+    // estimator path: two types over 8000/6000 users with a 4000-user
+    // overlap — every sketch saturates k, so the hk division runs
+    val ev = spark.range(0, 8000).select(col("id").as("user_id"), lit("x").as("event_type"))
+      .union(spark.range(4000, 10000).select(col("id").as("user_id"), lit("y").as("event_type")))
+    val out = Events.kmvSetOpsOn(ev).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_inter_exact") === 4000L)
+    val interEst = r.getAs[Double]("kmv_inter_est")
+    val unionEst = r.getAs[Double]("kmv_union_est")
+    // KMV rse ~ 1/sqrt(k-1) ≈ 6.3%; inclusion-exclusion compounds three
+    // estimates, so allow 3x that on the intersection, 3 sigma on union
+    assert(math.abs(unionEst - 10000.0) / 10000.0 < 0.19, s"union est off: $unionEst")
+    assert(math.abs(interEst - 4000.0) / 4000.0 < 0.5, s"inter est off: $interEst")
+  }
+
   test("count-min sketch: one-sided (est >= exact), bounded by total arrivals") {
     val out = Events.cmsUserFreq(spark, sf0001).collect()
     assert(out.length === 10, s"expected 10 probed users, got ${out.length}")

@@ -181,7 +181,14 @@ object ScaleProbe {
       // (map + file IO), and the window/statistics batch
       "rec_item_neighbors", "rec_user_topn", "assoc_rules",
       "txt_lm_perplexity", "warc_roundtrip", "ts_cusum_changepoints",
-      "chi2_type_dow", "rfm_segments")
+      "chi2_type_dow", "rfm_segments",
+      // session-late additions: graph iteration family (communities,
+      // weighted SSSP — per-round join cost tracks edges), hybrid
+      // retrieval (two corpus scans + bounded fusion), decontamination
+      // exact vs bloom (the pre-filter's win IS the probe delta), and
+      // the fixed-cell CMS (the flattest ratio on the board by design)
+      "graph_communities", "graph_sssp", "search_hybrid_rrf",
+      "txt_decontaminate", "txt_decontaminate_bloom", "sketch_cms_freq")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state
@@ -196,6 +203,8 @@ object ScaleProbe {
       "graph_triangles" -> s"$bigDir/graph10",
       "graph_bfs_hops" -> s"$bigDir/graph10",
       "graph_components" -> s"$bigDir/graph10",
+      "graph_communities" -> s"$bigDir/graph10",
+      "graph_sssp" -> s"$bigDir/graph10",
       "skyline_parts" -> s"$bigDir/part10",
       "dedup_fuzzy_names" -> s"$bigDir/part10",
       "dedup_name_entities" -> s"$bigDir/part10")

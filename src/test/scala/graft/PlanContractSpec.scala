@@ -245,4 +245,53 @@ class PlanContractSpec extends AnyFunSuite {
     assert("Window .*user_id".r.findFirstIn(p).isDefined,
       s"lead window must partition by user_id:\n$p")
   }
+
+  test("hybrid RRF: both legs broadcast the query side; fusion joins on keys") {
+    val p = plan("search_hybrid_rrf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"query relations (5 rows) must broadcast in both legs:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"hybrid fusion must stay equality-join shaped:\n$p")
+  }
+
+  test("CMS counters broadcast to the probe join; sketch stays partially aggregated") {
+    val p = plan("sketch_cms_freq")
+    // the 256-cell counter relation must be the broadcast side and the
+    // big-side reduction must carry a map-side partial aggregate
+    assert(p.contains("BroadcastHashJoin"),
+      s"fixed-size counter table must broadcast:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"counter build must partially aggregate map-side:\n$p")
+  }
+
+  test("new graph iterations (communities, sssp) stay equality-join shaped") {
+    for (n <- Seq("graph_communities", "graph_sssp")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$n must stay equality-join shaped:\n$p")
+    }
+  }
+
+  test("bloom decontamination keeps the gram relation narrow through the verify join") {
+    val p = plan("txt_decontaminate_bloom")
+    assert(!p.contains("CartesianProduct"),
+      s"verify join must be an equality join on fp:\n$p")
+    // the exact-verify join ships fingerprints only, never text
+    val joins = "ReadSchema: [^\\n]*".r.findAllIn(p).toSeq
+    assert(joins.forall(s => !s.contains("n_chars")),
+      s"unused doc columns must be pruned from every scan:\n${joins.mkString("\n")}")
+  }
+
+  test("KMV set ops: hashes attach by equality; the only non-equi joins enumerate type pairs") {
+    val p = plan("sketch_kmv_setops")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    // the (ta < tb) pair enumeration over the per-TYPE relation (≤
+    // #event-types rows, metadata-scale) is the sanctioned BNL shape —
+    // but every join touching the hash relation must be an equality
+    // join, so any BNL whose condition is not the type-pair inequality
+    // is a regression
+    val bnl = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+    assert(bnl.forall(l => "ta#\\d+ < tb#\\d+".r.findFirstIn(l).isDefined),
+      s"a non-pair BNL join appeared (hash relation leaked into a loop join):\n${bnl.mkString("\n")}")
+  }
 }

@@ -263,6 +263,10 @@ object SparkEntry {
     // fused by reciprocal rank — integer leg ranks and exact IEEE
     // divisions keep the fused ordering oracle-exact
     "search_hybrid_rrf" -> ((s, d) => Similarity.hybridRrf(s, d)),
+    // BM25 lexical top-k: per-term float work rounded to integer
+    // micros BEFORE the sum, so the order-sensitive reduction runs in
+    // exact integer space and the ranking is engine-deterministic
+    "search_bm25" -> ((s, d) => TextAnalysis.bm25TopKQuery(s, d)),
     // rows-only by nature: hyperplane LSH has recall < 1 by
     // construction, so no exact SQL oracle exists; SimilaritySpec bounds
     // its recall against the oracled brute-force top-k.
@@ -2203,6 +2207,7 @@ object SparkEntry {
     "graph_bfs_hops" -> Graph.bfsOracle(),
     "graph_communities" -> Graph.labelPropagationOracle(),
     "graph_sssp" -> Graph.ssspOracle(),
+    "search_bm25" -> TextAnalysis.bm25OracleSql(),
     "skyline_parts" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
         |f AS (SELECT price, size,

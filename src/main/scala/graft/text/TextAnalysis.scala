@@ -343,6 +343,107 @@ object TextAnalysis {
   def tfidfTopQuery(spark: SparkSession, dir: String): DataFrame =
     tfidfTop(Tables(spark, dir, "documents")).orderBy("doc_id", "token")
 
+  /** BM25 top-k retrieval — the standard lexical ranking function
+    * (Robertson-Spärck Jones, k1/b form), scoring every other document
+    * against each query document's DISTINCT token bag:
+    *   score(q,d) = Σ_{t∈q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    * with idf = ln(1 + (N−df+0.5)/(df+0.5)), always positive.
+    *
+    * Oracle-exactness: ln follows the tfidf precedent (both engines'
+    * libm agree on these inputs), but the term SUM would not — float
+    * addition is order-sensitive and Spark's partial aggregation order
+    * is nondeterministic, so each per-term contribution is rounded to
+    * integer MICROS first and the sum runs in exact integer space
+    * (associative → order-free in any engine), with ranking on the
+    * integer score. The rank-on-lift discipline applied to a scoring
+    * function: spend floats per term where they're deterministic, keep
+    * the order-sensitive reduction in integers.
+    *
+    * Scale: df/dl/avgdl are corpus statistics computed once (two hash
+    * aggregates and a 1-row broadcast); queries broadcast; the scoring
+    * join is one shuffle on token — at 100 TB fed from the persisted
+    * inverted index with postings caps, exactly like the hybrid RRF
+    * sparse leg this upgrades. */
+  def bm25TopK(docs: DataFrame, nQueries: Int = 5, k: Int = 5,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      explode(filter(tokens(col("text")), t => length(t) > 0)).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val corpusStats = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        avg(col("dl")).as("avgdl"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val q = tf.filter(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("token")).distinct()
+    val scored = tf
+      .join(broadcast(q), "token")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, "doc_id")
+      .join(broadcast(dfRel), "token")
+      .crossJoin(broadcast(corpusStats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w_micro",
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+          * lit(1e6)).cast("long"))
+    val byScore = Window.partitionBy("query_id")
+      .orderBy(col("score_micro").desc, col("cand_id"))
+    scored
+      .groupBy(col("query_id"), col("doc_id").as("cand_id"))
+      .agg(sum(col("w_micro")).as("score_micro"))
+      .withColumn("rank", row_number().over(byScore))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("score_micro") / lit(1e6), 4).as("bm25"))
+      .orderBy("query_id", "rank")
+  }
+
+  def bm25TopKQuery(spark: SparkSession, dir: String): DataFrame =
+    bm25TopK(Tables(spark, dir, "documents"))
+
+  /** Oracle SQL for [[bm25TopK]]. Constants are interpolated from the
+    * SAME Scala doubles the Spark side uses (Double.toString round-trips
+    * bit-exactly, and DuckDB parses float literals correctly rounded) —
+    * a hand-written `2.2` literal could differ from Scala's `k1 + 1.0`
+    * by one ulp and flip a micro-rounding. All SQL-side decimal
+    * literals are CAST to DOUBLE because DuckDB would otherwise run
+    * DECIMAL arithmetic where Spark runs double. */
+  def bm25OracleSql(nQueries: Int = 5, k: Int = 5,
+                    k1: Double = 1.2, b: Double = 0.75): String = {
+    val k1p1 = (k1 + 1.0).toString
+    val oneMinusB = (1.0 - b).toString
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, t AS token FROM (
+       |    SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> len(x) > 0)) AS t
+       |    FROM documents)),
+       |tf AS MATERIALIZED (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+       |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+       |cs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+       |q AS (SELECT DISTINCT doc_id AS query_id, token FROM tf WHERE doc_id < $nQueries),
+       |sc AS (
+       |  SELECT q.query_id, tf.doc_id AS cand_id,
+       |    CAST(round(
+       |      ln(CAST(1 AS DOUBLE) + (cs.n_docs - dfr.df + CAST(0.5 AS DOUBLE)) / (dfr.df + CAST(0.5 AS DOUBLE)))
+       |      * (tf.tf * CAST($k1p1 AS DOUBLE))
+       |      / (tf.tf + CAST($k1 AS DOUBLE) * (CAST($oneMinusB AS DOUBLE) + CAST($b AS DOUBLE) * dl.dl / cs.avgdl))
+       |      * 1e6) AS BIGINT) AS w_micro
+       |  FROM tf JOIN q USING (token)
+       |  JOIN dl ON dl.doc_id = tf.doc_id
+       |  JOIN dfr ON dfr.token = tf.token
+       |  CROSS JOIN cs
+       |  WHERE tf.doc_id <> q.query_id),
+       |agg AS (SELECT query_id, cand_id, sum(w_micro) AS score_micro FROM sc GROUP BY 1, 2)
+       |SELECT query_id, rank, cand_id, round(score_micro / 1e6, 4) AS bm25 FROM (
+       |  SELECT query_id, cand_id, score_micro,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score_micro DESC, cand_id) AS INTEGER) AS rank
+       |  FROM agg) t
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   def packSequencesQuery(spark: SparkSession, dir: String, maxLen: Int = 512): DataFrame =
     packSequences(Tables(spark, dir, "documents"), maxLen)
 

@@ -224,6 +224,30 @@ class TextSpec extends AnyFunSuite {
     assert(flagged.keySet === Set(7L), s"false positives survived: ${flagged.keySet}")
   }
 
+  test("BM25: rare terms beat common, shorter docs beat longer at equal tf") {
+    // query doc 0 carries one rare and one common term. df(rare)=3,
+    // df(common)=8 over N=10; hand-scored: doc 9 (rare, dl=1) ≈ 1.457,
+    // doc 1 (rare, dl=3) ≈ 0.974, docs 3-8 (common, dl=2) ≈ 0.263,
+    // doc 2 (common, dl=3) ≈ 0.220
+    val docs = (Seq(
+      (0L, "rare common"),
+      (1L, "rare f1 f2"),
+      (2L, "common g1 g2"),
+      (9L, "rare")) ++
+      (3L to 8L).map(i => (i, s"common h$i")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, nQueries = 1, k = 10).collect()
+    val ranked = out.sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Long]("cand_id"), r.getAs[Double]("bm25")))
+    assert(ranked.head._1 === 9L, s"idf+length-norm must rank the short rare doc first: ${ranked.toSeq}")
+    assert(ranked(1)._1 === 1L, s"rare beats common at any length: ${ranked.toSeq}")
+    assert(ranked.last._1 === 2L, s"long common-only doc must rank last: ${ranked.toSeq}")
+    assert(math.abs(ranked.head._2 - 1.457) < 0.01, s"hand-scored value drifted: ${ranked.head}")
+    // scores strictly positive and non-increasing
+    assert(ranked.forall(_._2 > 0.0))
+    assert(ranked.zip(ranked.tail).forall { case (a, b) => a._2 >= b._2 })
+  }
+
   test("BPE apply: merges shrink token counts, bounds hold, ordered replay matters") {
     // "abab": merge list ((a,b) then (ab,ab)) tokenizes to ONE symbol
     // only if replayed in order; chars = 4, so 1 < n_bpe < chars

@@ -117,6 +117,9 @@ object SparkEntry {
     // KMV set algebra: union sketch = k smallest of merged hashes,
     // intersection by inclusion-exclusion — mergeability made a query
     "sketch_kmv_setops" -> ((s, d) => Events.kmvSetOps(s, d)),
+    // same sketch through the typed-Aggregator UDAF (bounded state,
+    // map-side partial agg) — shares the relational query's oracle
+    "sketch_kmv_agg" -> ((s, d) => Events.kmvDistinctUsersAgg(s, d)),
     // rows-only by nature: GK-sketch percentiles are approximate;
     // RelationalSpec bounds them against the oracled exact a8 values.
     "a8_approx_percentiles" -> ((s, d) => Relational.approxQuantityPercentiles(s, d)),
@@ -1250,6 +1253,29 @@ object SparkEntry {
         |FROM pairs p JOIN uest u USING (ta, tb) JOIN inter i USING (ta, tb)
         |ORDER BY 1, 2""".stripMargin,
     "sketch_kmv_distinct" ->
+      """WITH hashes AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM events),
+        |stats AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hashes FROM hashes GROUP BY 1),
+        |kth AS (
+        |  SELECT event_type, h AS hk FROM (
+        |    SELECT event_type, h,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        |    FROM hashes) r WHERE rk = 256),
+        |est AS (
+        |  SELECT s.event_type,
+        |    round(CASE WHEN s.n_hashes < 256 THEN CAST(s.n_hashes AS DOUBLE)
+        |               ELSE 255.0 * 4294967296.0 / k.hk END, 2) AS kmv_est
+        |  FROM stats s LEFT JOIN kth k USING (event_type)),
+        |exact AS (
+        |  SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, x.n_exact, e.kmv_est,
+        |  round(abs(e.kmv_est - x.n_exact) / x.n_exact, 4) AS rel_err
+        |FROM est e JOIN exact x USING (event_type)
+        |ORDER BY 1""".stripMargin,
+    "sketch_kmv_agg" ->
       """WITH hashes AS (
         |  SELECT DISTINCT event_type,
         |    ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h

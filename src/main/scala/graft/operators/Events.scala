@@ -151,6 +151,29 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** [[kmvDistinctUsers]] through the BOUNDED-STATE path its scaladoc
+    * promises: the typed `KmvAggregator` UDAF holds ≤ k hashes per
+    * group per partition and merges associatively — Spark plans it as
+    * ObjectHashAggregate with a map-side partial, so the distinct hash
+    * set never shuffles (the relational formulation's one concession).
+    * Same md5 hash column in, same estimator out: EventsSpec pins
+    * bit-parity between the two paths, and the gate runs this against
+    * the SAME DuckDB oracle as the relational query. */
+  def kmvDistinctUsersAgg(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    val events = Tables(spark, dir, "events")
+    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val kmv = udaf(new graft.functions.KmvAggregator(k))
+    events.select(col("event_type"), col("user_id"), h.as("h"))
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_exact"),
+        round(kmv(col("h")), 2).as("kmv_est"))
+      .select(col("event_type"), col("n_exact"), col("kmv_est"),
+        round(abs(col("kmv_est") - col("n_exact")) / col("n_exact"), 4).as("rel_err"))
+      .orderBy("event_type")
+  }
+
   /** KMV set algebra — the property that makes sketches a 100 TB tool
     * is MERGEABILITY: the KMV sketch of A ∪ B is the k smallest hashes
     * of the union of the two sketches, so per-partition (or per-day,

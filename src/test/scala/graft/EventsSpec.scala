@@ -76,6 +76,32 @@ class EventsSpec extends AnyFunSuite {
     assert(math.abs(interEst - 4000.0) / 4000.0 < 0.5, s"inter est off: $interEst")
   }
 
+  test("KMV Aggregator UDAF is bit-equal to the relational sketch on both paths") {
+    import spark.implicits._
+    // gate scale: degenerate sub-k path
+    val rel = Events.kmvDistinctUsers(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val agg = Events.kmvDistinctUsersAgg(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(agg.toSeq === rel.toSeq, "UDAF path diverged from relational KMV at sub-k scale")
+    // estimator path: saturate the sketch, and run the UDAF under a
+    // hostile partitioning so partial-merge order provably cannot
+    // matter (union-keep-k-smallest is order-free by construction)
+    val h = conv(substring(md5(concat(lit("kmv:"), col("user_id").cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val big = spark.range(0, 5000)
+      .select(col("id").as("user_id"), lit("x").as("event_type"))
+    val kmv = udaf(new graft.functions.KmvAggregator(256))
+    def est(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("event_type"), h.as("h"))
+        .groupBy("event_type").agg(kmv(col("h")).as("e"))
+        .head().getDouble(1)
+    val e1 = est(big.repartition(1))
+    val e17 = est(big.repartition(17, col("user_id")))
+    assert(e1 === e17, s"estimate depends on partitioning: $e1 vs $e17")
+    assert(math.abs(e1 - 5000.0) / 5000.0 < 0.2, s"saturated estimate off: $e1")
+  }
+
   test("count-min sketch: one-sided (est >= exact), bounded by total arrivals") {
     val out = Events.cmsUserFreq(spark, sf0001).collect()
     assert(out.length === 10, s"expected 10 probed users, got ${out.length}")

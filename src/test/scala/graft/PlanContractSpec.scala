@@ -282,6 +282,15 @@ class PlanContractSpec extends AnyFunSuite {
       s"unused doc columns must be pruned from every scan:\n${joins.mkString("\n")}")
   }
 
+  test("KMV Aggregator plans as ObjectHashAggregate with a map-side partial") {
+    val p = plan("sketch_kmv_agg")
+    assert(p.contains("ObjectHashAggregate"),
+      s"typed-Aggregator sketch must use the object hash aggregate path:\n$p")
+    assert("partial_kmvaggregator|partial_kmv".r.findFirstIn(p.toLowerCase).isDefined
+      || p.toLowerCase.contains("partial"),
+      s"sketch must partially aggregate map-side (bounded state per partition):\n$p")
+  }
+
   test("KMV set ops: hashes attach by equality; the only non-equi joins enumerate type pairs") {
     val p = plan("sketch_kmv_setops")
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")

@@ -329,6 +329,12 @@ object SparkEntry {
     // md5-weighted edges (first-reach is NOT final under weights, so
     // every round relaxes the settled set; delta-stepping at scale)
     "graph_sssp" -> ((s, d) => Graph.sssp(s, d)),
+    // personalized PageRank: restart mass pinned to one source — the
+    // "related items" proximity primitive, same per-round plan shape
+    "graph_ppr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
+    // k-core peeling to a counted fixpoint (oracle unrolls a safe
+    // bound; peeling past the fixpoint is a no-op)
+    "graph_kcore" -> ((s, d) => Graph.kCore(s, d)),
     // --- relational completions (§2.4/§2.5) ---
     // 2-D Pareto frontier as a single window sort (not O(n²) NOT EXISTS)
     "skyline_parts" -> ((s, d) => Relational.skyline2d(s, d)),
@@ -2233,6 +2239,8 @@ object SparkEntry {
     "graph_bfs_hops" -> Graph.bfsOracle(),
     "graph_communities" -> Graph.labelPropagationOracle(),
     "graph_sssp" -> Graph.ssspOracle(),
+    "graph_ppr" -> Graph.personalizedPageRankOracle(),
+    "graph_kcore" -> Graph.kCoreOracle(),
     "search_bm25" -> TextAnalysis.bm25OracleSql(),
     "skyline_parts" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),

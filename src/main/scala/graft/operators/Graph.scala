@@ -74,6 +74,60 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Personalized PageRank — the restart mass concentrates at ONE
+    * source node instead of spreading uniformly, so the stationary
+    * vector measures proximity to the source (the "related items"
+    * primitive: PPR from a part ranks the suppliers/parts most
+    * connected to it through co-purchase structure). Same synchronous
+    * join+aggregate rounds as [[pageRank]], same float discipline
+    * (summation-order noise is ~1e-15; the 6-decimal rounding both
+    * engines apply cannot flip), teleport applied as a CASE on the
+    * aggregated node. Nodes the walk has not reached carry exact 0.0.
+    *
+    * Scale: identical per-round shape to pageRank — one equality join
+    * on the checkpointed edge relation + one aggregate; the
+    * personalization changes only a literal, which is the point:
+    * serving PPR for many sources batches as one plan with a source
+    * column added to the state relation. */
+  def personalizedPageRank(spark: SparkSession, dir: String,
+                           source: String = "s:1", iters: Int = 5): DataFrame = {
+    val edges = bipartiteEdges(spark, dir)
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+    val linked = edges.join(deg, "a")
+      .select(col("a"), col("b"), col("deg"))
+      .localCheckpoint()
+    var pr = linked.select(col("a").as("node")).distinct()
+      .withColumn("pr",
+        when(col("node") === source, lit(1.0)).otherwise(lit(0.0)).cast("double"))
+    for (_ <- 1 to iters) {
+      pr = linked.join(pr, linked("a") === pr("node"))
+        .groupBy(col("b"))
+        .agg((lit(0.85) * sum(col("pr") / col("deg"))).as("flow"))
+        .select(col("b").as("node"),
+          (col("flow") +
+            when(col("b") === source, lit(0.15)).otherwise(lit(0.0))).as("pr"))
+    }
+    pr.select(col("node"), round(col("pr"), 6).as("ppr"))
+      .orderBy("node")
+  }
+
+  /** Oracle SQL for `personalizedPageRank` — the unrolled-rounds form
+    * of [[pageRankOracle]] with the teleport CASE'd onto the source. */
+  def personalizedPageRankOracle(source: String = "s:1", iters: Int = 5): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH base AS MATERIALIZED (SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b FROM lineitem),\n"
+    sb ++= "edges AS MATERIALIZED (SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base),\n"
+    sb ++= "deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM edges GROUP BY a),\n"
+    sb ++= s"pr0 AS MATERIALIZED (SELECT a AS node, CASE WHEN a = '$source' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr FROM deg),\n"
+    for (i <- 1 to iters)
+      sb ++= s"pr$i AS MATERIALIZED (SELECT e.b AS node, " +
+        s"CAST(0.85 AS DOUBLE)*sum(p.pr/d.deg) + CASE WHEN e.b = '$source' THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr " +
+        s"FROM edges e JOIN pr${i - 1} p ON e.a = p.node JOIN deg d ON e.a = d.a GROUP BY e.b),\n"
+    sb ++= s"fin AS (SELECT node, round(pr, 6) AS ppr FROM pr$iters)\n"
+    sb ++= "SELECT node, ppr FROM fin ORDER BY node"
+    sb.toString
+  }
+
   /** Lower-(degree, id) endpoint first — the orientation that makes
     * every triangle counted exactly once and bounds out-degrees. */
   private def orientLow(u: Column, v: Column, du: Column, dv: Column): Column =
@@ -219,6 +273,78 @@ object Graph {
       .union(base.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
     labelPropagationOn(edges, rounds)
+  }
+
+  /** k-core decomposition by iterative peeling: delete every node
+    * whose current degree is below `kk` until nothing changes; what
+    * survives is the maximal subgraph where every node keeps ≥ kk
+    * neighbors — the standard cohesion filter (spam/bot rings and
+    * dense communities survive; pendant chains and stars peel away).
+    * Like [[connectedComponents]], the loop stops on a COUNTED
+    * convergence (one scalar per round) while the oracle unrolls a
+    * fixed safe bound — peeling past the fixpoint deletes nothing, so
+    * extra rounds are idempotent, and the Spark side asserts it
+    * converged within the unroll bound (a silent divergence becomes a
+    * loud failure).
+    *
+    * Scale: each round is one degree aggregate + two semi-join-shaped
+    * equality joins against the kept-node set, on a checkpointed and
+    * monotonically SHRINKING edge relation — worst-case rounds = the
+    * longest peel chain (a path peels one layer per round), typically
+    * O(log n) on heavy-tailed degree graphs. */
+  def kCoreOn(edges0: DataFrame, kk: Int = 3, maxIters: Int = 30): DataFrame = {
+    var edges = edges0.localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < maxIters) {
+      round += 1
+      val keep = edges.groupBy("a").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= kk).select(col("a"))
+      val next = edges
+        .join(keep, "a")
+        .join(keep.withColumnRenamed("a", "b"), "b")
+        .select(col("a"), col("b"))
+        .localCheckpoint()
+      converged = next.count() == edges.count()
+      edges = next
+    }
+    require(converged, s"k-core did not converge in $maxIters rounds")
+    edges.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
+  /** k-core on the same sparsified part↔supplier graph as
+    * [[connectedComponents]] (the dense full graph is one giant
+    * high-core blob; the sparse one actually peels). */
+  def kCore(spark: SparkSession, dir: String, kk: Int = 3): DataFrame = {
+    // 1/16 sampling (not CC's 1/32): the 1/32 graph's 3-core is EMPTY
+    // at gate scale — a 0-row gate validates nothing — while 1/16
+    // peels to a non-trivial core (580 nodes at sf0.01, 2-3 rounds)
+    val base = Tables(spark, dir, "lineitem")
+      .filter(
+        substring(md5(concat(lit("cc:"), col("l_orderkey").cast("string"))), 1, 2) < "10")
+      .select(
+        concat(lit("p:"), col("l_partkey")).as("a"),
+        concat(lit("s:"), col("l_suppkey")).as("b"))
+      .distinct()
+    kCoreOn(base.union(base.select(col("b").as("a"), col("a").as("b"))), kk)
+  }
+
+  /** Oracle SQL for `kCore` — peeling unrolled to `iters` MATERIALIZED
+    * rounds (idempotent past the fixpoint; the Spark side asserts
+    * convergence within the bound). */
+  def kCoreOracle(kk: Int = 3, iters: Int = 10): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH base AS MATERIALIZED (SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b FROM lineitem\n"
+    sb ++= "  WHERE substring(md5('cc:' || CAST(l_orderkey AS VARCHAR)), 1, 2) < '10'),\n"
+    sb ++= "e0 AS MATERIALIZED (SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base),\n"
+    for (i <- 1 to iters) {
+      sb ++= s"k$i AS MATERIALIZED (SELECT a FROM e${i - 1} GROUP BY a HAVING count(*) >= $kk),\n"
+      sb ++= s"e$i AS MATERIALIZED (SELECT e.a, e.b FROM e${i - 1} e JOIN k$i x ON e.a = x.a JOIN k$i y ON e.b = y.a),\n"
+    }
+    sb ++= s"fin AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg FROM e$iters GROUP BY a)\n"
+    sb ++= "SELECT node, core_deg FROM fin ORDER BY node"
+    sb.toString
   }
 
   /** Min-hop BFS distance from supplier `s:1` over the full bipartite

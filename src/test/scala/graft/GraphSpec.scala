@@ -69,6 +69,20 @@ class GraphSpec extends AnyFunSuite {
       s"right clique not consolidated on 5: $out")
   }
 
+  test("personalized PageRank: mass stays near the source, unreached nodes are exactly 0") {
+    val ppr = Graph.personalizedPageRank(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // the source holds the largest score (teleport pins 0.15 there
+    // every round; no other node gets a restart)
+    val (top, topV) = ppr.maxBy(_._2)
+    assert(top === "s:1", s"source must top its own PPR, got $top=$topV")
+    assert(topV >= 0.15 - 1e-6, s"source keeps at least the teleport mass: $topV")
+    // total mass ≤ 1 (leaks only via rounding), strictly positive sum
+    val mass = ppr.values.sum
+    assert(mass <= 1.0 + 1e-3 && mass > 0.5, s"mass out of range: $mass")
+    assert(ppr.values.forall(_ >= 0.0))
+  }
+
   test("bounded Bellman-Ford prefers a cheap 2-hop path over an expensive direct edge") {
     // s->t direct costs 10; s->m->t costs 2+2=4. Round 1 must report 10
     // (one edge max), round 2+ must improve to 4 — the property that
@@ -82,6 +96,22 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(r2("t") === 4L, s"2-round dist must take the cheap detour: $r2")
     assert(r2("m") === 2L && r2("s") === 0L)
+  }
+
+  test("3-core keeps exactly the K4 and peels the pendant chain layer by layer") {
+    // K4 on {1..4} with a pendant path 4—5—6—7: the chain peels one
+    // node per round (degree falls below 3 only after its outer
+    // neighbor vanishes is false here — 5,6,7 all have deg ≤ 2 and go
+    // in round 1... except peeling 5 does not change 4's clique
+    // degrees), leaving the K4 with core_deg 3 everywhere
+    val und = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+      (4, 5), (5, 6), (6, 7))
+      .map { case (u, v) => (u.toString, v.toString) }
+    val edges = (und ++ und.map(_.swap)).toDF("a", "b")
+    val out = Graph.kCoreOn(edges, kk = 3).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet === Set("1", "2", "3", "4"), s"3-core must be the K4: $out")
+    assert(out.values.forall(_ === 3L), s"every K4 node keeps 3 in-core neighbors: $out")
   }
 
   test("skyline keeps exactly the non-dominated points") {

@@ -207,6 +207,9 @@ object SparkEntry {
     "txt_vocab_oov" -> ((s, d) => TextAnalysis.vocabOovQuery(s, d)),
     // composed curation keep-list: exact-dedup keepers x quality gate
     "txt_curation_keep" -> ((s, d) => TextAnalysis.curationKeep(s, d)),
+    // the full composition: keepers x quality MINUS holdout MINUS
+    // contamination — the manifest that actually ships to training
+    "txt_pipeline_manifest" -> ((s, d) => TextAnalysis.pipelineManifest(s, d)),
     // within-doc sliding chunker (64-token windows, 16 overlap)
     "txt_chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlapQuery(s, d)),
     // tf × ln(N/df) keyword extraction, top-3 per doc
@@ -1911,6 +1914,36 @@ object SparkEntry {
     // Curation replay: same fingerprint (md5 of lower/trim), same
     // keeper rule (min doc_id), same quality thresholds on the ROUNDED
     // ratios as txt_quality.
+    "txt_pipeline_manifest" ->
+      """WITH keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    round(CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS type_token_ratio
+        |  FROM documents),
+        |kept AS (
+        |  SELECT q.doc_id, q.n_tokens, q.type_token_ratio
+        |  FROM q JOIN keepers USING (doc_id)
+        |  WHERE q.n_tokens >= 20 AND q.stopword_ratio <= 0.2 AND q.doc_id % 10 != 0),
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS fp
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM tok WHERE len(toks) >= 13)),
+        |bench AS (SELECT DISTINCT fp FROM grams WHERE doc_id % 10 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM grams JOIN bench USING (fp) WHERE doc_id % 10 != 0)
+        |SELECT k.doc_id, k.n_tokens, k.type_token_ratio
+        |FROM kept k LEFT JOIN contaminated c ON k.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL
+        |ORDER BY k.doc_id""".stripMargin,
     "txt_curation_keep" ->
       """WITH keepers AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),

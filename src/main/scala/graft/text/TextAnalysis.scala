@@ -291,6 +291,26 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The end-to-end curation composition — "what actually ships to
+    * training": exact-dedup keepers ∩ quality gate ([[curationKeep]]),
+    * MINUS the benchmark holdout itself, MINUS every doc the
+    * decontamination check flags as sharing a 13-gram with that
+    * holdout. Each stage is an already-oracled operator; the manifest
+    * pins their COMPOSITION (join order and filter semantics), which
+    * is where real pipelines break — a keep-list computed before
+    * decontamination silently ships leaked eval data.
+    *
+    * Scale: three relations that each reduce to doc_id keys before
+    * joining — the wide text column never crosses a stage boundary. */
+  def pipelineManifest(spark: SparkSession, dir: String): DataFrame = {
+    val contaminated = decontaminate(Tables(spark, dir, "documents"))
+      .select("doc_id")
+    curationKeep(spark, dir)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
   /** Vocabulary build + OOV accounting: corpus token counts → top-V
     * vocabulary (count DESC, token ASC — the tie-break makes the
     * boundary deterministic) → per-document out-of-vocabulary rate.

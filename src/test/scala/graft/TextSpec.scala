@@ -224,6 +224,20 @@ class TextSpec extends AnyFunSuite {
     assert(flagged.keySet === Set(7L), s"false positives survived: ${flagged.keySet}")
   }
 
+  test("pipeline manifest = curation keepers minus holdout minus contaminated, by construction") {
+    val kept = TextAnalysis.curationKeep(spark, sf0001).collect().map(_.getLong(0)).toSet
+    val contaminated = TextAnalysis.decontaminate(Tables(spark, sf0001, "documents"))
+      .collect().map(_.getLong(0)).toSet
+    val manifest = TextAnalysis.pipelineManifest(spark, sf0001).collect().map(_.getLong(0)).toSet
+    assert(manifest === kept.filter(_ % 10 != 0).diff(contaminated),
+      "manifest must be exactly the set-algebra of its stages")
+    assert(manifest.nonEmpty, "empty manifest proves nothing")
+    // the composition must actually exclude something at each stage on
+    // this corpus, or the fixture cannot catch a broken join
+    assert(kept.exists(_ % 10 == 0) || kept.exists(contaminated.contains),
+      "fixture must exercise at least one exclusion path")
+  }
+
   test("BM25: rare terms beat common, shorter docs beat longer at equal tf") {
     // query doc 0 carries one rare and one common term. df(rare)=3,
     // df(common)=8 over N=10; hand-scored: doc 9 (rare, dl=1) ≈ 1.457,

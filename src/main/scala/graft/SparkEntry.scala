@@ -175,6 +175,10 @@ object SparkEntry {
     "s8_window_norm" -> ((s, _) => Vision.windowNormQuery(s)),
     // --- multimodal binary columns (north star; §2.1 S7/S9, §2.10 U1) ---
     "img_decode_stats" -> ((s, _) => ImageSource.imgDecodeStatsQuery(s)),
+    // image-modality near-dup: integer-exact average-hash (aHash) over
+    // decoded PNGs; oracle recomputes hashes from the pixel formula,
+    // so a decode OR hashing bug cannot hash-match
+    "img_ahash_pairs" -> ((s, _) => ImageSource.ahashPairsQuery(s)),
     // WARC container round-trip: documents -> .warc files -> parse ->
     // per-source totals; ids/sizes/source all cross the container
     "warc_roundtrip" -> ((s, d) => graft.sources.Warc.roundtripQuery(s, d)),
@@ -1750,6 +1754,36 @@ object SparkEntry {
         |FROM norm GROUP BY 1 ORDER BY img_id""".stripMargin,
     "avi_decode_stats" -> Avi.aviDecodeStatsOracleSql,
     "avi_mjpeg_stats" -> Avi.mjpegDecodeStatsOracleSql,
+    "img_ahash_pairs" ->
+      """WITH pxbase AS (
+        |  SELECT CAST(k.k AS INTEGER) AS img_id, y.y AS y, x.x AS x,
+        |    (x.x * 7 + y.y * 13 + k.k * 31) % 256 AS v
+        |  FROM range(0, 8) k(k), range(0, 48) y(y), range(0, 64) x(x)),
+        |pxdup AS (
+        |  SELECT CAST(100 + k.k AS INTEGER) AS img_id, y.y AS y, x.x AS x,
+        |    CASE WHEN y.y = 0 AND x.x = 0
+        |         THEN (x.x * 7 + y.y * 13 + k.k * 31) % 256 + 1
+        |         ELSE (x.x * 7 + y.y * 13 + k.k * 31) % 256 END AS v
+        |  FROM range(0, 2) k(k), range(0, 48) y(y), range(0, 64) x(x)),
+        |px AS (SELECT * FROM pxbase UNION ALL SELECT * FROM pxdup),
+        |blocks AS (
+        |  SELECT img_id, (y // 6) * 8 + (x // 8) AS block, sum(v) AS bsum
+        |  FROM px GROUP BY 1, 2),
+        |totals AS (SELECT img_id, sum(v) AS tsum FROM px GROUP BY 1),
+        |bits AS (
+        |  SELECT b.img_id, b.block,
+        |    CASE WHEN b.bsum * 64 > t.tsum THEN 1 ELSE 0 END AS bit
+        |  FROM blocks b JOIN totals t USING (img_id)),
+        |sigs AS (
+        |  SELECT img_id,
+        |    CAST(sum(CASE WHEN block < 32 THEN bit * (1::BIGINT << block) ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN block >= 32 THEN bit * (1::BIGINT << (block - 32)) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY 1)
+        |SELECT a.img_id AS img_a, b.img_id AS img_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+        |FROM sigs a JOIN sigs b ON a.img_id < b.img_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 10
+        |ORDER BY 1, 2""".stripMargin,
     "img_decode_stats" ->
       """SELECT CAST(k.k AS INTEGER) AS img_id, 64 AS width, 48 AS height,
         |  count(*) AS n_pixels,

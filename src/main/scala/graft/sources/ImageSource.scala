@@ -187,4 +187,71 @@ object ImageSource {
         min("v").as("min_v"),
         max("v").as("max_v"))
       .orderBy("img_id")
+
+  private val encodeNearDupUdf = udf { (baseId: Int, w: Int, h: Int) =>
+    // base image's formula with exactly one pixel perturbed by +1 — a
+    // sub-perceptual change an exact byte fingerprint cannot survive
+    val px = Array.tabulate(w * h) { i =>
+      val (y, x) = (i / w, i % w)
+      val v = (x * 7 + y * 13 + baseId * 31) % 256
+      if (y == 0 && x == 0) v + 1 else v
+    }
+    encodePngGray(w, h, px)
+  }
+
+  /** [[syntheticPngs]] plus planted near-duplicates: image 100+k is
+    * image k with ONE pixel changed by +1 (exact dedup by byte/pixel
+    * fingerprint sees a different image; a perceptual hash must not). */
+  def syntheticPngsWithDups(spark: SparkSession, nImages: Int = 8, nDups: Int = 2,
+                            w: Int = 64, h: Int = 48): DataFrame =
+    syntheticPngs(spark, nImages, w, h)
+      .unionByName(spark.range(nDups).select((col("id") + 100).cast("int").as("img_id"))
+        .withColumn("content", encodeNearDupUdf((col("img_id") - 100).cast("int"), lit(w), lit(h))))
+
+  /** Perceptual near-dup for the IMAGE modality: average-hash (aHash)
+    * over an 8×8 block grid — bit b = 1 iff block b's mean exceeds the
+    * image mean — then pairwise Hamming distance over the 64-bit
+    * hashes. The whole hash is INTEGER-EXACT: the mean comparison is
+    * cross-multiplied (blockSum·64 > totalSum, since 64 equal-size
+    * blocks), the hash packs into two 32-bit halves summed as longs,
+    * and Hamming = bit_count(xor) per half — so the DuckDB oracle
+    * recomputes identical hashes from the pixel formula while Spark
+    * derives them from DECODED PNG bytes: a decode or hashing bug
+    * cannot hash-match. Planted one-pixel near-dups must survive (the
+    * pair the exact fingerprint loses), pinned by ImageSpec.
+    *
+    * Scale: per-image work reduces 3072 pixels → 64 block sums → one
+    * 2-long signature before anything joins; the pair join runs on
+    * signatures only. All-pairs here (10 images); at corpus scale the
+    * banding move is the SimHash one: join on hash prefixes/bands,
+    * verify Hamming on collisions only. */
+  def ahashPairs(decoded: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val px = decoded
+      .select(col("img_id"), posexplode(col("pixels")).as(Seq("pos", "v")))
+      .withColumn("y", expr("pos div 64"))
+      .withColumn("x", expr("pos % 64"))
+      .withColumn("block", expr("(y div 6) * 8 + (x div 8)"))
+    val blocks = px.groupBy("img_id", "block")
+      .agg(sum(col("v")).as("bsum"))
+    val totals = px.groupBy("img_id").agg(sum(col("v")).as("tsum"))
+    val bits = blocks.join(totals, "img_id")
+      .withColumn("bit", when(col("bsum") * 64 > col("tsum"), 1L).otherwise(0L))
+    val sigs = bits.groupBy("img_id")
+      .agg(
+        sum(when(col("block") < 32,
+          expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(block AS INT))")).otherwise(0L)).as("lo"),
+        sum(when(col("block") >= 32,
+          expr("bit * shiftleft(CAST(1 AS BIGINT), CAST(block - 32 AS INT))")).otherwise(0L)).as("hi"))
+    val a = sigs.select(col("img_id").as("img_a"), col("lo").as("lo_a"), col("hi").as("hi_a"))
+    val b = sigs.select(col("img_id").as("img_b"), col("lo").as("lo_b"), col("hi").as("hi_b"))
+    a.join(b, col("img_a") < col("img_b"))
+      .withColumn("hamming",
+        (bit_count(expr("lo_a ^ lo_b")) + bit_count(expr("hi_a ^ hi_b"))).cast("int"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("img_a"), col("img_b"), col("hamming"))
+      .orderBy("img_a", "img_b")
+  }
+
+  def ahashPairsQuery(spark: SparkSession): DataFrame =
+    ahashPairs(decode(syntheticPngsWithDups(spark)))
 }

@@ -65,4 +65,14 @@ class ImageSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_pixels") === 64L * 48L)
     }
   }
+
+  test("aHash near-dup: one-pixel planted dups collide at hamming 0, all else pruned") {
+    // image 100+k is image k with one pixel +1 — exact fingerprints
+    // diverge, the perceptual hash must not; and no unrelated pair may
+    // sneak under the Hamming threshold on this corpus
+    val out = graft.sources.ImageSource.ahashPairsQuery(spark).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(out === Set((0, 100, 0), (1, 101, 0)),
+      s"expected exactly the planted pairs at distance 0: $out")
+  }
 }

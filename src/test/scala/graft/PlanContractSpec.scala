@@ -291,6 +291,22 @@ class PlanContractSpec extends AnyFunSuite {
       s"sketch must partially aggregate map-side (bounded state per partition):\n$p")
   }
 
+  test("BM25 broadcasts query terms and corpus stats; scoring joins on keys") {
+    val p = plan("search_bm25")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"query-term and df relations must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only the 1-row corpus-stats crossJoin may be non-equi (broadcast):\n$p")
+  }
+
+  test("PPR, k-core, and the manifest stay equality-join shaped") {
+    for (n <- Seq("graph_ppr", "graph_kcore", "txt_pipeline_manifest")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n plans a cartesian product:\n$p")
+    }
+  }
+
   test("KMV set ops: hashes attach by equality; the only non-equi joins enumerate type pairs") {
     val p = plan("sketch_kmv_setops")
     assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")

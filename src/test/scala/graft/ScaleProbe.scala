@@ -188,7 +188,12 @@ object ScaleProbe {
       // exact vs bloom (the pre-filter's win IS the probe delta), and
       // the fixed-cell CMS (the flattest ratio on the board by design)
       "graph_communities", "graph_sssp", "search_hybrid_rrf",
-      "txt_decontaminate", "txt_decontaminate_bloom", "sketch_cms_freq")
+      "txt_decontaminate", "txt_decontaminate_bloom", "sketch_cms_freq",
+      // second session batch: lexical scoring (corpus-stats + token
+      // join), bounded-state UDAF sketch, restart-pinned PageRank and
+      // peeling (per-round edge joins), and the composed manifest
+      "search_bm25", "sketch_kmv_agg", "graph_ppr", "graph_kcore",
+      "txt_pipeline_manifest")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state
@@ -205,6 +210,8 @@ object ScaleProbe {
       "graph_components" -> s"$bigDir/graph10",
       "graph_communities" -> s"$bigDir/graph10",
       "graph_sssp" -> s"$bigDir/graph10",
+      "graph_ppr" -> s"$bigDir/graph10",
+      "graph_kcore" -> s"$bigDir/graph10",
       "skyline_parts" -> s"$bigDir/part10",
       "dedup_fuzzy_names" -> s"$bigDir/part10",
       "dedup_name_entities" -> s"$bigDir/part10")

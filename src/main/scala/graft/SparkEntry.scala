@@ -277,6 +277,11 @@ object SparkEntry {
     // micros BEFORE the sum, so the order-sensitive reduction runs in
     // exact integer space and the ranking is engine-deterministic
     "search_bm25" -> ((s, d) => TextAnalysis.bm25TopKQuery(s, d)),
+    // rows-only by nature: the dense leg rides the persisted IVFADC
+    // index (IVF probing has recall < 1, so no exact SQL oracle can
+    // exist); SimilaritySpec replays the fusion in Scala bit-for-bit
+    // and bounds fused recall against the exact-dense hybrid
+    "search_hybrid_served" -> ((s, d) => Similarity.hybridServed(s, d)),
     // rows-only by nature: hyperplane LSH has recall < 1 by
     // construction, so no exact SQL oracle exists; SimilaritySpec bounds
     // its recall against the oracled brute-force top-k.

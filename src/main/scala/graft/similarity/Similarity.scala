@@ -758,6 +758,34 @@ object Similarity {
                          nPlanes: Int = 0, nTables: Int = 8, dims: Int = 64): DataFrame =
     cosineNearDupPairsOn(corpus(spark, dir), threshold, nPlanes, nTables, dims)
 
+  /** The SERVING composition of hybrid retrieval: dense leg through
+    * the persisted IVFADC index (list-pruned ADC over the bucketed
+    * code table — the 100 TB dense path), sparse leg through BM25
+    * (graft.text.TextAnalysis.bm25TopK), fused by the same RRF formula
+    * as [[hybridRrf]]. Rows-only at the gate by nature (IVF probing
+    * has recall < 1, so no exact SQL oracle can exist); SimilaritySpec
+    * bounds its fused top-k recall against the exact-dense hybrid and
+    * pins that the sparse leg's contribution is identical (integer
+    * ranks pass through fusion untouched). */
+  def hybridServed(spark: SparkSession, dir: String, nQueries: Int = 5,
+                   legK: Int = 20, k: Int = 5, rrfK: Int = 60): DataFrame = {
+    val dense = ivfpqServedTopK(spark, dir, nQueries, k = legK)
+      .select(col("query_id"), col("cand_id"), col("rank").as("r_dense"))
+    val sparse = graft.text.TextAnalysis
+      .bm25TopK(graft.Tables(spark, dir, "documents"), nQueries, k = legK)
+      .select(col("query_id"), col("cand_id"), col("rank").as("r_sparse"))
+    val byRrf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("cand_id"))
+    dense.join(sparse, Seq("query_id", "cand_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_dense")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("r_sparse")), lit(0.0)))
+      .withColumn("rank", row_number().over(byRrf))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("rrf"), 6).as("rrf_score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Hybrid retrieval with reciprocal-rank fusion — the standard RAG
     * serving shape: a sparse (lexical) retriever and a dense (vector)
     * retriever each produce a per-query top-`legK` list, and the lists

@@ -209,6 +209,41 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("cos_sim") > 0.999)
   }
 
+  test("served hybrid: query output == Scala fusion replay; recall bounded vs exact-dense hybrid") {
+    def legPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+      df.select("query_id", "cand_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    def fuse(dense: Seq[(Long, Long, Int)], sparse: Seq[(Long, Long, Int)],
+             k: Int = 5): Map[Long, Seq[Long]] = {
+      val dm = dense.map(t => (t._1, t._2) -> t._3).toMap
+      val sm = sparse.map(t => (t._1, t._2) -> t._3).toMap
+      (dm.keySet ++ sm.keySet).groupBy(_._1).map { case (q, keys) =>
+        q -> keys.toSeq.map { key =>
+          val s = dm.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+            sm.get(key).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+          (key._2, s)
+        }.sortBy { case (cand, s) => (-s, cand) }.take(k).map(_._1)
+      }
+    }
+    val docs = graft.Tables(spark, sf0001, "documents")
+    val servedDense = legPairs(Similarity.ivfpqServedTopK(spark, sf0001, 5, k = 20))
+    val sparse = legPairs(graft.text.TextAnalysis.bm25TopK(docs, 5, k = 20))
+    val expected = fuse(servedDense, sparse)
+    val got = Similarity.hybridServed(spark, sf0001).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("cand_id")).toSeq
+      }
+    assert(got === expected, "query fusion must equal the Scala replay of its own legs")
+    // recall vs the SAME fusion over the exact dense leg: served IVFADC
+    // probing may lose dense candidates, bounded below
+    val exactDense = legPairs(Similarity.bruteForceTopK(spark, sf0001, 5, k = 20))
+    val ideal = fuse(exactDense, sparse)
+    val hits = got.map { case (q, cands) => (cands.toSet intersect ideal(q).toSet).size }.sum
+    val recall = hits.toDouble / ideal.values.map(_.size).sum
+    assert(recall >= 0.6, s"served hybrid recall $recall fell below bound")
+  }
+
   test("hybrid RRF: scores bounded by both-legs-top, monotone per query, legs agree") {
     val out = Similarity.hybridRrf(spark, sf0001).collect()
     val qs = out.map(_.getAs[Long]("query_id")).distinct

@@ -48,6 +48,10 @@ object SparkEntry {
     // SCD Type-2: every update opens a validity interval, the next
     // change closes it — point-in-time queryability with no table format
     "cdc_scd2" -> ((s, d) => Relational.cdcScd2(s, d)),
+    // per-ROW point-in-time join: each fact enriched with the version
+    // valid at its own timestamp (equality join on key + containment
+    // filter — never a range-only join)
+    "cdc_pit_enrich" -> ((s, d) => Relational.cdcPitEnrich(s, d)),
     // the payoff query: reconstruct a historical snapshot from the
     // half-open intervals
     "cdc_asof_snapshot" -> ((s, d) => Relational.cdcAsofSnapshot(s, d)),
@@ -990,6 +994,23 @@ object SparkEntry {
         |FROM customer c LEFT JOIN last_op l ON c.c_custkey = l.key
         |WHERE l.op IS NULL OR l.op <> 'D'
         |ORDER BY c.c_custkey""".stripMargin,
+    "cdc_pit_enrich" ->
+      """WITH changes AS (
+        |  SELECT o_custkey AS key,
+        |    CASE WHEN o_orderstatus = 'F' AND o_totalprice < 5000.0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS new_bal, o_orderdate, o_orderkey,
+        |    lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to
+        |  FROM orders),
+        |hist AS (
+        |  SELECT key, o_orderkey AS version_id, round(new_bal, 2) AS bal,
+        |    o_orderdate AS valid_from, valid_to
+        |  FROM changes WHERE op = 'U')
+        |SELECT f.o_orderkey, f.o_custkey AS key, h.version_id,
+        |  h.bal AS bal_at_order
+        |FROM orders f JOIN hist h ON f.o_custkey = h.key
+        |WHERE h.valid_from <= f.o_orderdate
+        |  AND (h.valid_to IS NULL OR h.valid_to > f.o_orderdate)
+        |ORDER BY f.o_orderkey""".stripMargin,
     "cdc_scd2" ->
       """WITH changes AS (
         |  SELECT o_custkey AS key,

@@ -807,6 +807,33 @@ object Relational {
       .orderBy("key", "valid_from", "version_id")
   }
 
+  /** PER-ROW point-in-time enrichment — the other query SCD2 exists
+    * to answer: each fact row joined to the dimension VERSION in
+    * effect at that row's own timestamp (contrast [[cdcAsofSnapshot]],
+    * which freezes the whole dimension at one date). Every order gets
+    * the balance version valid at its order date; facts predating a
+    * key's first version carry no row (inner join — the dimension did
+    * not exist yet), and same-date version chains produce empty
+    * [d, d) intervals that match nothing, so each fact matches AT
+    * MOST one version by the half-open non-overlap invariant.
+    *
+    * Scale: the PIT join is an EQUALITY join on the dimension key
+    * with the containment predicate as a post-join filter — never a
+    * range-only join — so it shuffles (or broadcasts) on the key like
+    * any dimension join; per-key version chains are short, so the
+    * filter scans a bounded candidate set per fact. */
+  def cdcPitEnrich(spark: SparkSession, dir: String): DataFrame = {
+    val hist = cdcScd2(spark, dir)
+    val facts = Tables(spark, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey").as("key"), col("o_orderdate"))
+    facts.join(hist, Seq("key"))
+      .filter(col("valid_from") <= col("o_orderdate") &&
+        (col("valid_to").isNull || col("valid_to") > col("o_orderdate")))
+      .select(col("o_orderkey"), col("key"), col("version_id"),
+        col("bal").as("bal_at_order"))
+      .orderBy("o_orderkey")
+  }
+
   /** Point-in-time snapshot from the SCD2 history: the balance each
     * key had on `asOf` is the unique version whose half-open validity
     * interval [valid_from, valid_to) contains the date (open-ended for

@@ -323,4 +323,29 @@ class RelationalSpec extends AnyFunSuite {
     // when (as here) the key spaces genuinely differ
     assert(byRel("events.user_id->customer")._1 === nEvents)
   }
+
+  test("PIT enrichment: at most one version per fact, containment holds, self-consistent") {
+    import java.time.LocalDateTime
+    val hist = Relational.cdcScd2(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[LocalDateTime](3), Option(r.getAs[LocalDateTime](4))))
+    val out = Relational.cdcPitEnrich(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // one row per enriched fact: the half-open interval chain cannot
+    // double-match
+    val keys = out.map(_.getLong(0))
+    assert(keys.length === keys.distinct.length, "a fact matched two versions")
+    // re-verify containment in plain Scala against the collected history
+    val byVersion = hist.map(h => (h._1, h._2) -> (h._3, h._4)).toMap
+    val orders = Tables(spark, sf0001, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getAs[LocalDateTime](2))).toMap
+    out.foreach { r =>
+      val (ok, key, vid) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val (from, to) = byVersion((key, vid))
+      val od = orders(ok)._2
+      assert(!od.isBefore(from) && to.forall(od.isBefore(_)),
+        s"order $ok date $od outside version $vid validity [$from, $to)")
+    }
+  }
 }

@@ -351,6 +351,9 @@ object SparkEntry {
     // k-core peeling to a counted fixpoint (oracle unrolls a safe
     // bound; peeling past the fixpoint is a no-op)
     "graph_kcore" -> ((s, d) => Graph.kCore(s, d)),
+    // local clustering coefficient: oriented wedge join keeping all
+    // three triangle corners; cc = one exact IEEE division of ints
+    "graph_clustering" -> ((s, d) => Graph.clusteringCoefficient(s, d)),
     // --- relational completions (§2.4/§2.5) ---
     // 2-D Pareto frontier as a single window sort (not O(n²) NOT EXISTS)
     "skyline_parts" -> ((s, d) => Relational.skyline2d(s, d)),
@@ -2334,6 +2337,7 @@ object SparkEntry {
     "graph_sssp" -> Graph.ssspOracle(),
     "graph_ppr" -> Graph.personalizedPageRankOracle(),
     "graph_kcore" -> Graph.kCoreOracle(),
+    "graph_clustering" -> Graph.clusteringOracle,
     "search_bm25" -> TextAnalysis.bm25OracleSql(),
     "skyline_parts" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),

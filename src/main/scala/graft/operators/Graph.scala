@@ -518,6 +518,89 @@ object Graph {
   /** Oracle SQL for `triangleCount` — identical sampling, edge
     * construction, orientation, AND rank-ordered wedge pairing (the
     * id-ordered variant undercounts; see triangleCount). */
+  /** Per-node local clustering coefficient over the same sampled
+    * co-purchase graph as [[triangleCount]]: cc(v) = 2·t(v)/(d(v)·(d(v)−1)),
+    * the fraction of a node's neighbor pairs that are themselves
+    * connected — the node-level cohesion score (hubs with low cc are
+    * brokers; high-cc nodes sit inside cliques). Triangle attribution
+    * reuses the oriented wedge join (O(m^1.5)) but keeps all THREE
+    * corners of each closed wedge, crediting each once. The
+    * coefficient is one exactly-rounded IEEE division of exact
+    * integers (2t and d(d−1)), so the full per-node relation is
+    * oracle-exact. */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
+    val pp = Tables(spark, dir, "lineitem")
+      .filter(
+        substring(md5(concat(lit("tri:"), col("l_orderkey").cast("string"))), 1, 2) < "80")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val x = pp.as("x"); val y = pp.as("y")
+    val e = x.join(y, col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("u"), col("y.p").as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val oriented = e
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+      .select(
+        when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("v"))
+          .otherwise(col("u")).as("b"),
+        when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("dv"))
+          .otherwise(col("du")).as("bd"))
+      .localCheckpoint()
+    val e1 = oriented.as("e1"); val e2 = oriented.as("e2"); val e3 = oriented.as("e3")
+    val triples = e1.join(e2,
+        col("e1.a") === col("e2.a") &&
+        (col("e1.bd") < col("e2.bd") ||
+          (col("e1.bd") === col("e2.bd") && col("e1.b") < col("e2.b"))))
+      .select(col("e1.a").as("ta"), col("e1.b").as("tb"), col("e2.b").as("tc"))
+      .join(e3, col("tb") === col("e3.a") && col("tc") === col("e3.b"))
+      .select(col("ta"), col("tb"), col("tc"))
+    val tcount = triples
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.join(tcount, Seq("node"), "left")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("n_tri"),
+        round(
+          when(col("d") >= 2,
+            lit(2.0) * coalesce(col("t"), lit(0L)) / (col("d") * (col("d") - 1)))
+            .otherwise(lit(0.0)), 6).as("clustering"))
+      .orderBy("node")
+  }
+
+  /** Oracle SQL for `clusteringCoefficient` — the triangle oracle's
+    * wedge join keeping all three corners, credited per node. */
+  val clusteringOracle: String =
+    """WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+      |  WHERE substring(md5('tri:' || CAST(l_orderkey AS VARCHAR)), 1, 2) < '80'),
+      |e AS MATERIALIZED (SELECT DISTINCT x.p AS u, y.p AS v FROM pp x JOIN pp y ON x.o = y.o AND x.p < y.p),
+      |deg AS MATERIALIZED (SELECT node, count(*) AS d FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e) GROUP BY node),
+      |oe AS MATERIALIZED (
+      |  SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN e.u ELSE e.v END AS a,
+      |         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN e.v ELSE e.u END AS b,
+      |         CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND e.u < e.v) THEN dv.d ELSE du.d END AS bd
+      |  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node),
+      |tri AS MATERIALIZED (
+      |  SELECT e1.a AS ta, e1.b AS tb, e2.b AS tc
+      |  FROM oe e1
+      |  JOIN oe e2 ON e1.a = e2.a AND ((e1.bd < e2.bd) OR (e1.bd = e2.bd AND e1.b < e2.b))
+      |  JOIN oe e3 ON e3.a = e1.b AND e3.b = e2.b),
+      |tc AS (SELECT node, count(*) AS t FROM (
+      |  SELECT ta AS node FROM tri UNION ALL SELECT tb FROM tri UNION ALL SELECT tc FROM tri)
+      |  GROUP BY node)
+      |SELECT d.node, CAST(d.d AS BIGINT) AS degree,
+      |  CAST(coalesce(tc.t, 0) AS BIGINT) AS n_tri,
+      |  round(CASE WHEN d.d >= 2
+      |    THEN CAST(2 AS DOUBLE) * coalesce(tc.t, 0) / (d.d * (d.d - 1))
+      |    ELSE CAST(0 AS DOUBLE) END, 6) AS clustering
+      |FROM deg d LEFT JOIN tc ON d.node = tc.node
+      |ORDER BY d.node""".stripMargin
+
   val triangleOracle: String =
     """WITH pp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
       |  WHERE substring(md5('tri:' || CAST(l_orderkey AS VARCHAR)), 1, 2) < '80'),

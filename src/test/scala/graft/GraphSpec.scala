@@ -98,6 +98,29 @@ class GraphSpec extends AnyFunSuite {
     assert(r2("m") === 2L && r2("s") === 0L)
   }
 
+  test("clustering coefficient: K4 corners are 1.0, the bridge node is a broker") {
+    // two triangles sharing node 3: {1,2,3} and {3,4,5}. Nodes 1,2,4,5
+    // have d=2, t=1 -> cc=1; node 3 has d=4, t=2 -> cc = 2*2/(4*3)=1/3
+    val passing = (1L to 60L).filter { o =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"tri:$o".getBytes("UTF-8"))
+      (h(0) & 0xff) < 0x80
+    }
+    val (oa, ob) = (passing(0), passing(1))
+    val li = Seq(
+      (oa, 1L), (oa, 2L), (oa, 3L),
+      (ob, 3L), (ob, 4L), (ob, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val tmp = java.nio.file.Files.createTempDirectory("ccspec").toString
+    li.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val out = Graph.clusteringCoefficient(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    for (n <- Seq(1L, 2L, 4L, 5L))
+      assert(out(n) === ((2L, 1L, 1.0)), s"leaf-of-triangle $n: ${out(n)}")
+    assert(out(3L)._1 === 4L && out(3L)._2 === 2L, s"shared node: ${out(3L)}")
+    assert(math.abs(out(3L)._3 - 1.0 / 3.0) < 1e-6, s"broker cc: ${out(3L)}")
+  }
+
   test("3-core keeps exactly the K4 and peels the pendant chain layer by layer") {
     // K4 on {1..4} with a pendant path 4—5—6—7: the chain peels one
     // node per round (degree falls below 3 only after its outer

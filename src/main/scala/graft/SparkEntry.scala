@@ -281,6 +281,10 @@ object SparkEntry {
     // micros BEFORE the sum, so the order-sensitive reduction runs in
     // exact integer space and the ranking is engine-deterministic
     "search_bm25" -> ((s, d) => TextAnalysis.bm25TopKQuery(s, d)),
+    // BM25 over the PERSISTED inverted index (postings bucketed by
+    // token + frozen stats side tables) — bit-identical to the fresh
+    // tokenization, so it shares search_bm25's oracle verbatim
+    "search_bm25_served" -> ((s, d) => TextAnalysis.bm25Served(s, d)),
     // rows-only by nature: the dense leg rides the persisted IVFADC
     // index (IVF probing has recall < 1, so no exact SQL oracle can
     // exist); SimilaritySpec replays the fusion in Scala bit-for-bit
@@ -2339,6 +2343,7 @@ object SparkEntry {
     "graph_kcore" -> Graph.kCoreOracle(),
     "graph_clustering" -> Graph.clusteringOracle,
     "search_bm25" -> TextAnalysis.bm25OracleSql(),
+    "search_bm25_served" -> TextAnalysis.bm25OracleSql(),
     "skyline_parts" ->
       """WITH pts AS (SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part),
         |f AS (SELECT price, size,

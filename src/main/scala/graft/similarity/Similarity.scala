@@ -760,8 +760,9 @@ object Similarity {
 
   /** The SERVING composition of hybrid retrieval: dense leg through
     * the persisted IVFADC index (list-pruned ADC over the bucketed
-    * code table — the 100 TB dense path), sparse leg through BM25
-    * (graft.text.TextAnalysis.bm25TopK), fused by the same RRF formula
+    * code table — the 100 TB dense path), sparse leg through the
+    * persisted inverted index (TextAnalysis.bm25Served — bit-identical
+    * to fresh tokenization), fused by the same RRF formula
     * as [[hybridRrf]]. Rows-only at the gate by nature (IVF probing
     * has recall < 1, so no exact SQL oracle can exist); SimilaritySpec
     * bounds its fused top-k recall against the exact-dense hybrid and
@@ -772,7 +773,7 @@ object Similarity {
     val dense = ivfpqServedTopK(spark, dir, nQueries, k = legK)
       .select(col("query_id"), col("cand_id"), col("rank").as("r_dense"))
     val sparse = graft.text.TextAnalysis
-      .bm25TopK(graft.Tables(spark, dir, "documents"), nQueries, k = legK)
+      .bm25Served(spark, dir, nQueries, k = legK)
       .select(col("query_id"), col("cand_id"), col("rank").as("r_sparse"))
     val byRrf = Window.partitionBy("query_id").orderBy(col("rrf").desc, col("cand_id"))
     dense.join(sparse, Seq("query_id", "cand_id"), "full_outer")

@@ -386,15 +386,25 @@ object TextAnalysis {
     * sparse leg this upgrades. */
   def bm25TopK(docs: DataFrame, nQueries: Int = 5, k: Int = 5,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"),
       explode(filter(tokens(col("text")), t => length(t) > 0)).as("token"))
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val dfRel = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val corpusStats = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        avg(col("dl")).as("avgdl"))
     val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpusStats = dl.agg(countDistinct(col("doc_id")).as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    bm25Score(tf, dfRel, dl, corpusStats, nQueries, k, k1, b)
+  }
+
+  /** Shared BM25 scoring core over a (doc_id, token, tf) postings
+    * relation plus its stats — fed either from a fresh tokenization
+    * ([[bm25TopK]]) or from the persisted index tables
+    * ([[bm25Served]]); identical inputs → identical output, which is
+    * why the served path shares the oracle verbatim. */
+  private def bm25Score(tf: DataFrame, dfRel: DataFrame, dl: DataFrame,
+                        corpusStats: DataFrame, nQueries: Int, k: Int,
+                        k1: Double, b: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = tf.filter(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("token")).distinct()
     val scored = tf
@@ -419,6 +429,64 @@ object TextAnalysis {
       .select(col("query_id"), col("rank"), col("cand_id"),
         round(col("score_micro") / lit(1e6), 4).as("bm25"))
       .orderBy("query_id", "rank")
+  }
+
+  private def bm25IndexPrefix(dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|bm25".getBytes("UTF-8"))
+    "graft_bm25_" + md.take(5).map("%02x".format(_)).mkString
+  }
+
+  /** Persisted inverted-index build — the sparse-side twin of the
+    * IVFADC serving layout: the postings relation (doc_id, token, tf)
+    * written once, BUCKETED by token so query-term joins read only
+    * matching buckets with no exchange on the index side, plus doc-
+    * length, term-df, and 1-row corpus-stat side tables. Rebuild =
+    * retokenize; stats are frozen with the index (the standard serving
+    * contract — stale df after appends is a rebuild decision, not a
+    * query-time one). */
+  def bm25BuildIndex(docs: DataFrame, prefix: String, nBuckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    // clear orphaned warehouse dirs from a previous JVM (same
+    // contract as the IVFADC build)
+    Seq("postings", "docstats", "termstats", "corpus").foreach { suffix =>
+      val table = s"${prefix}_$suffix"
+      if (!spark.catalog.tableExists(table)) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(path)) fs.delete(path, true)
+      }
+    }
+    val tok = docs.select(col("doc_id"),
+      explode(filter(tokens(col("text")), t => length(t) > 0)).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    graft.sources.Bucketed.writeBucketed(tf, s"${prefix}_postings", "token", nBuckets)
+    tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_docstats")
+    tf.groupBy("token").agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_termstats")
+    tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_corpus")
+  }
+
+  /** BM25 over the persisted index: queries pay the postings join and
+    * scoring only — tokenization and corpus statistics are index-build
+    * work, exactly like the dense leg's codebooks. Bit-identical to
+    * [[bm25TopK]] (same relations, same scoring core), so the gate
+    * runs it against the SAME oracle. */
+  def bm25Served(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val prefix = bm25IndexPrefix(dir)
+    if (!spark.catalog.tableExists(s"${prefix}_postings"))
+      bm25BuildIndex(Tables(spark, dir, "documents"), prefix)
+    bm25Score(
+      spark.table(s"${prefix}_postings"),
+      spark.table(s"${prefix}_termstats"),
+      spark.table(s"${prefix}_docstats"),
+      spark.table(s"${prefix}_corpus"),
+      nQueries, k, k1, b)
   }
 
   def bm25TopKQuery(spark: SparkSession, dir: String): DataFrame =

@@ -224,6 +224,15 @@ class TextSpec extends AnyFunSuite {
     assert(flagged.keySet === Set(7L), s"false positives survived: ${flagged.keySet}")
   }
 
+  test("served BM25 is bit-identical to the fresh-tokenization path") {
+    val fresh = TextAnalysis.bm25TopK(Tables(spark, sf0001, "documents")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val served = TextAnalysis.bm25Served(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(served.toSeq === fresh.toSeq,
+      "the persisted-index path must reproduce the fresh path exactly")
+  }
+
   test("pipeline manifest = curation keepers minus holdout minus contaminated, by construction") {
     val kept = TextAnalysis.curationKeep(spark, sf0001).collect().map(_.getLong(0)).toSet
     val contaminated = TextAnalysis.decontaminate(Tables(spark, sf0001, "documents"))

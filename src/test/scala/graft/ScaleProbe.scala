@@ -193,13 +193,20 @@ object ScaleProbe {
       // join), bounded-state UDAF sketch, restart-pinned PageRank and
       // peeling (per-round edge joins), and the composed manifest
       "search_bm25", "sketch_kmv_agg", "graph_ppr", "graph_kcore",
-      "txt_pipeline_manifest")
+      "txt_pipeline_manifest",
+      // third batch: per-node clustering (wedge join), per-row PIT
+      // enrichment (key join + containment filter), and the served
+      // sparse/hybrid retrieval paths (index built untimed, see
+      // `prebuilt`)
+      "graph_clustering", "cdc_pit_enrich", "search_bm25_served",
+      "search_hybrid_served")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state
     // serving, not index construction — that cost is emb_ivfpq_topk's
     // row, which re-encodes per run by design
-    val prebuilt = Set("emb_ivfpq_served", "mv_incremental")
+    val prebuilt = Set("emb_ivfpq_served", "mv_incremental",
+      "search_bm25_served", "search_hybrid_served")
     // families whose scale axis the main probe dir cannot move (see the
     // graph10/part10 generation comments): probe them against their
     // dedicated 10x dirs instead
@@ -212,6 +219,7 @@ object ScaleProbe {
       "graph_sssp" -> s"$bigDir/graph10",
       "graph_ppr" -> s"$bigDir/graph10",
       "graph_kcore" -> s"$bigDir/graph10",
+      "graph_clustering" -> s"$bigDir/graph10",
       "skyline_parts" -> s"$bigDir/part10",
       "dedup_fuzzy_names" -> s"$bigDir/part10",
       "dedup_name_entities" -> s"$bigDir/part10")

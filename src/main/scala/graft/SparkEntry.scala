@@ -86,6 +86,9 @@ object SparkEntry {
     // first-touch attribution: earliest view in the 7d lookback via a
     // value-based RANGE frame (join-free, tie-proof by construction)
     "j_attr_first_touch" -> ((s, d) => Temporal.firstTouchQuery(s, d)),
+    // linear multi-touch attribution: per-touch credit integerized to
+    // micros BEFORE the cross-conversion sum (order-free reduction)
+    "j_attr_linear" -> ((s, d) => Temporal.linearTouchQuery(s, d)),
     // --- aggregations (§2.4) ---
     "q1_pricing_summary" -> ((s, d) => Relational.pricingSummary(s, d)),
     "q3_shipping_priority" -> ((s, d) => Relational.shippingPriority(s, d)),
@@ -808,6 +811,24 @@ object SparkEntry {
     // First-touch replay: the identical value-based RANGE frame (frame
     // bounds are values over epoch micros, so equal-ts peers resolve
     // the same way in both engines without a tiebreak).
+    "j_attr_linear" ->
+      """WITH conv AS (
+        |  SELECT event_id AS conv_id, user_id, epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |touch AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (
+        |  SELECT c.conv_id, t.event_type
+        |  FROM conv c JOIN touch t USING (user_id)
+        |  WHERE t.t_us < c.c_us AND t.t_us >= c.c_us - 604800000000),
+        |wn AS (
+        |  SELECT conv_id, event_type,
+        |    CAST(round(1e6 / count(*) OVER (PARTITION BY conv_id)) AS BIGINT) AS cm
+        |  FROM j)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_touches,
+        |  round(sum(cm) / 1e6, 4) AS credit
+        |FROM wn GROUP BY 1 ORDER BY 1""".stripMargin,
     "j_attr_first_touch" ->
       """WITH pv AS (
         |  SELECT event_id, user_id, event_type, epoch_us(ts) AS t_us,

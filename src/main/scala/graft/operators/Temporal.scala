@@ -161,6 +161,44 @@ object Temporal {
     firstTouch(Tables(spark, dir, "events"), ofType = "purchase", priorType = "view")
       .orderBy("event_id")
 
+  /** LINEAR multi-touch attribution — the other standard attribution
+    * model beside [[firstTouch]]: every touchpoint strictly inside the
+    * conversion's lookback window shares the conversion's credit
+    * equally (1/n each), aggregated per touch type. The per-touch
+    * credit is rounded to integer MICROS before the cross-conversion
+    * sum (the BM25 lesson: float terms are deterministic, float SUMS
+    * are not — integer reductions are order-free in any engine), so
+    * per-type totals are oracle-exact.
+    *
+    * Scale: the conv⋈touch join is an equality join on user_id with
+    * the window as a post-filter (per-user event counts are bounded);
+    * the per-conversion n comes from one window count over conv_id —
+    * no second self-join. */
+  def linearTouch(events: DataFrame, ofType: String = "purchase",
+                  touchTypes: Seq[String] = Seq("view", "click"),
+                  lookbackSec: Long = 604800L): DataFrame = {
+    val us = lookbackSec * 1000000L
+    val conv = events.filter(col("event_type") === ofType)
+      .select(col("event_id").as("conv_id"), col("user_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val touch = events.filter(col("event_type").isin(touchTypes: _*))
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t_us"))
+    val joined = conv.join(touch, Seq("user_id"))
+      .filter(col("t_us") < col("c_us") && col("t_us") >= col("c_us") - us)
+    joined
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("conv_id")))
+      .withColumn("credit_micro", round(lit(1e6) / col("n")).cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("credit_micro")).as("credit_micro"))
+      .select(col("event_type"), col("n_touches"),
+        round(col("credit_micro") / lit(1e6), 4).as("credit"))
+      .orderBy("event_type")
+  }
+
+  def linearTouchQuery(spark: SparkSession, dir: String): DataFrame =
+    linearTouch(Tables(spark, dir, "events"))
+
   /** Sliding-window aggregation via the built-in `window(ts, width,
     * slide)`: each event lands in width/slide windows (2 here), and
     * the aggregation is one shuffle on (window, type) — Spark expands

@@ -260,4 +260,31 @@ class TemporalSpec extends AnyFunSuite {
     val plain = ev.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sum }
     got.foreach { case (u, (_, s)) => assert(s <= plain(u) + 1e-6) }
   }
+
+  test("linear attribution: per-conversion credit splits equally and sums to ~1") {
+    import java.sql.Timestamp
+    // one purchase with 2 views + 1 click prior (1/3 each), another
+    // with 1 view (full credit); a view AFTER its purchase gets none
+    def ts(m: Int) = Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+    val ev = Seq(
+      (1L, ts(0), 7L, "view", 0.0, "{}"),
+      (2L, ts(1), 7L, "view", 0.0, "{}"),
+      (3L, ts(2), 7L, "click", 0.0, "{}"),
+      (4L, ts(3), 7L, "purchase", 1.0, "{}"),
+      (5L, ts(10), 8L, "view", 0.0, "{}"),
+      (6L, ts(11), 8L, "purchase", 1.0, "{}"),
+      (7L, ts(12), 8L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Temporal.linearTouch(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // views: 2 x (1/3) + 1 x 1.0 = 1.666667 -> micros rounding 1.6667
+    assert(out("view")._1 === 3L)
+    assert(math.abs(out("view")._2 - (2.0 * 333333 + 1000000) / 1e6) < 1e-4,
+      s"view credit: ${out("view")}")
+    assert(out("click")._1 === 1L)
+    assert(math.abs(out("click")._2 - 0.333333) < 1e-4, s"click credit: ${out("click")}")
+    // total credit ~= number of attributed conversions (2), up to micros rounding
+    val total = out.values.map(_._2).sum
+    assert(math.abs(total - 2.0) < 1e-3, s"credit mass: $total")
+  }
 }

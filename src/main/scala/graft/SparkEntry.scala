@@ -169,6 +169,9 @@ object SparkEntry {
     // --- HMRF pipeline (§2.2 P6, §2.4 A10, §2.10 U6, §2.5 W5) ---
     "hmrf_estep_stats" -> ((s, _) => HMRF.estepClassStatsQuery(s)),
     "w4_mid_slice" -> ((s, _) => HMRF.midSliceQuery(s)),
+    // posterior heatmaps (posterior_slice_2d): softmax over NLL +
+    // Potts neighbor energy on the mid slice, K posterior columns
+    "hmrf_posterior_mid" -> ((s, _) => HMRF.posteriorMidQuery(s)),
     "a13_largest_component" -> ((s, _) => Components.largestComponentQuery(s)),
     // --- vision kernels (§2.8 F11 / U2) ---
     "u2_otsu" -> ((s, _) => Vision.otsuQuery(s)),
@@ -1670,6 +1673,53 @@ object SparkEntry {
         |SELECT label, count(*) AS n_voxels, round(avg(intensity), 4) AS mean_intensity,
         |  round(var_pop(intensity), 6) AS var_intensity
         |FROM lab GROUP BY 1 ORDER BY 1""".stripMargin,
+    "hmrf_posterior_mid" ->
+      """WITH vox AS (
+        |  SELECT CAST(z.z AS INTEGER) AS z, CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
+        |    (z.z - 8) * (z.z - 8) * 1.5 + (y.y - 12) * (y.y - 12) + (x.x - 12) * (x.x - 12) AS d2
+        |  FROM range(0, 16) z(z), range(0, 24) y(y), range(0, 24) x(x)),
+        |masked AS (
+        |  SELECT z, y, x,
+        |    CASE WHEN d2 < 23.52 THEN 0 WHEN d2 < 37.3919 THEN 1 ELSE 2 END AS tl
+        |  FROM vox WHERE d2 < 49),
+        |v AS (
+        |  SELECT y, x,
+        |    0.25 + tl * 0.25 + ((z * 73 + y * 179 + x * 283 + 9337) % 2000 - 1000) / 1000.0 * 0.13 AS intensity
+        |  FROM masked WHERE z = 8),
+        |e AS (
+        |  SELECT y, x, intensity,
+        |    (intensity - 0.25) * (intensity - 0.25) * 0.5 / 0.010001 AS e0,
+        |    (intensity - 0.5) * (intensity - 0.5) * 0.5 / 0.010001 AS e1,
+        |    (intensity - 0.75) * (intensity - 0.75) * 0.5 / 0.010001 AS e2
+        |  FROM v),
+        |lab AS (
+        |  SELECT y, x, intensity,
+        |    CASE WHEN e0 <= e1 AND e0 <= e2 THEN 0 WHEN e1 <= e2 THEN 1 ELSE 2 END AS label
+        |  FROM e),
+        |nb AS (
+        |  SELECT a.y, a.x, count(*) AS n_nb,
+        |    sum(CASE WHEN b.label = 0 THEN 1 ELSE 0 END) AS c0,
+        |    sum(CASE WHEN b.label = 1 THEN 1 ELSE 0 END) AS c1,
+        |    sum(CASE WHEN b.label = 2 THEN 1 ELSE 0 END) AS c2
+        |  FROM lab a JOIN lab b ON abs(a.y - b.y) + abs(a.x - b.x) = 1
+        |  GROUP BY a.y, a.x),
+        |lp AS (
+        |  SELECT l.y, l.x, l.label AS map_label,
+        |    -0.5 * ln(0.010000001) - (l.intensity - 0.25) * (l.intensity - 0.25) * 0.5 / 0.010000001 - 1.2 * (coalesce(n.n_nb, 0) - coalesce(n.c0, 0)) AS lp0,
+        |    -0.5 * ln(0.010000001) - (l.intensity - 0.5) * (l.intensity - 0.5) * 0.5 / 0.010000001 - 1.2 * (coalesce(n.n_nb, 0) - coalesce(n.c1, 0)) AS lp1,
+        |    -0.5 * ln(0.010000001) - (l.intensity - 0.75) * (l.intensity - 0.75) * 0.5 / 0.010000001 - 1.2 * (coalesce(n.n_nb, 0) - coalesce(n.c2, 0)) AS lp2
+        |  FROM lab l LEFT JOIN nb n ON l.y = n.y AND l.x = n.x),
+        |ex AS (
+        |  SELECT y, x, map_label,
+        |    exp(lp0 - greatest(lp0, lp1, lp2)) AS ex0,
+        |    exp(lp1 - greatest(lp0, lp1, lp2)) AS ex1,
+        |    exp(lp2 - greatest(lp0, lp1, lp2)) AS ex2
+        |  FROM lp)
+        |SELECT y, x, map_label,
+        |  round(ex0 / (ex0 + ex1 + ex2 + 1e-12), 4) AS post0,
+        |  round(ex1 / (ex0 + ex1 + ex2 + 1e-12), 4) AS post1,
+        |  round(ex2 / (ex0 + ex1 + ex2 + 1e-12), 4) AS post2
+        |FROM ex ORDER BY y, x""".stripMargin,
     "a13_largest_component" ->
       """SELECT CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x,
         |  CAST(131 AS BIGINT) AS component, CAST(48 AS BIGINT) AS component_size

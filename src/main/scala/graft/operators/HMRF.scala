@@ -235,6 +235,62 @@ object HMRF {
       .agg(count(lit(1)).as("n"), round(avg("intensity"), 4).as("mean_intensity"))
       .orderBy("true_label")
 
+  /** Posterior heatmaps on the mid slice (posterior_slice_2d,
+    * brain_segmentation.py:213-243, saved at :440-450): per-pixel
+    * softmax over per-class log-posteriors
+    *   lp_k = emis_k + prior_k
+    *   emis_k  = −0.5·ln(var_k + 1e-9) − 0.5·(I − μ_k)²/(var_k + 1e-9)
+    *   prior_k = −β·(# in-mask in-plane 4-neighbors with label ≠ k)
+    * max-shifted exactly as the reference (`:241-243`). Labels are the
+    * deterministic β=0 E-step argmin from fixed literal params — the
+    * SQL-expressible composition (K-means-free), same discipline as
+    * [[estepClassStatsQuery]]. Neighbor disagreement is a 4-offset
+    * equality self-join on the slice (J2); out-of-mask neighbors never
+    * join, matching the reference's in-mask counting; a pixel with no
+    * in-mask neighbors keeps prior 0 (`:236-237`).
+    *
+    * Scale: the slice relation shuffles once on (y, x) for the
+    * neighbor counts; params are K-row literals. At volume scale this
+    * runs per-slice with the same z-bucketed layout as jacobiUpdate —
+    * no new exchange shape. Posteriors round to 4 decimals (the
+    * lmPerplexity ln/exp portability discipline). */
+  def posteriorMidQuery(spark: SparkSession, nz: Int = 16,
+                        beta: Double = 1.2): DataFrame = {
+    val params = Seq((0.25, 0.01), (0.5, 0.01), (0.75, 0.01))
+    val k = params.length
+    val eps9 = 1e-9
+    val labels = jacobiUpdate(phantom(spark, nz = nz), params, beta = 0.0)
+      .filter(col("z") === nz / 2)
+      .select("y", "x", "intensity", "label")
+    val offs = Seq((1, 0), (-1, 0), (0, 1), (0, -1))
+    val shifted = labels
+      .withColumn("o", explode(array(offs.map { case (dy, dx) =>
+        struct(lit(dy).as("dy"), lit(dx).as("dx")) }: _*)))
+      .select((col("y") + col("o.dy")).as("y"),
+        (col("x") + col("o.dx")).as("x"), col("label").as("nb_label"))
+    val counts = shifted.groupBy("y", "x")
+      .agg(count(lit(1)).as("n_nb"),
+        (0 until k).map(i =>
+          sum(when(col("nb_label") === i, 1L).otherwise(0L)).as(s"c$i")): _*)
+    val lp = (0 until k).map { i =>
+      val (m, v) = params(i)
+      (lit(-0.5 * math.log(v + eps9))
+        - (col("intensity") - m) * (col("intensity") - m) * lit(0.5) / lit(v + eps9)
+        - lit(beta) * (coalesce(col("n_nb"), lit(0L)) - coalesce(col(s"c$i"), lit(0L))))
+        .as(s"lp$i")
+    }
+    val withLp = labels.join(counts, Seq("y", "x"), "left")
+      .select(Seq(col("y"), col("x"), col("label")) ++ lp: _*)
+    val mx = greatest((0 until k).map(i => col(s"lp$i")): _*)
+    val withEx = withLp
+      .select(Seq(col("y"), col("x"), col("label")) ++
+        (0 until k).map(i => exp(col(s"lp$i") - mx).as(s"ex$i")): _*)
+    val denom = (0 until k).map(i => col(s"ex$i")).reduce(_ + _) + lit(1e-12)
+    withEx.select(Seq(col("y"), col("x"), col("label").as("map_label")) ++
+      (0 until k).map(i => round(col(s"ex$i") / denom, 4).as(s"post$i")): _*)
+      .orderBy("y", "x")
+  }
+
   /** Oracle-checkable slice (A10/U6/P6/W5 without the un-SQL-able
     * K-means): one β=0 E-step from fixed literal params on the phantom,
     * then per-class stats — count, mean, variance. */

@@ -73,6 +73,34 @@ class HMRFSpec extends AnyFunSuite {
     voxels.unpersist()
   }
 
+  test("posterior mid-slice: rows, normalization, and MAP-consistency") {
+    val post = HMRF.posteriorMidQuery(spark).cache()
+    // every in-mask mid-slice pixel appears exactly once
+    val n = post.count()
+    val maskN = HMRF.phantom(spark).filter(col("z") === 8).count()
+    assert(n == maskN, s"posterior rows $n != mask pixels $maskN")
+    // rounded posteriors still sum to 1 within rounding slack, all in [0,1]
+    val bad = post.filter(
+      abs(col("post0") + col("post1") + col("post2") - 1.0) > 3e-4 ||
+        col("post0") < 0 || col("post0") > 1 ||
+        col("post1") < 0 || col("post1") > 1 ||
+        col("post2") < 0 || col("post2") > 1).count()
+    assert(bad == 0, s"$bad rows violate normalization/bounds")
+    // with the Potts prior, the posterior argmax should agree with the
+    // smoothed consensus on the vast majority of pixels (interior is
+    // near-certain; only boundary pixels can flip)
+    val argmax = post.withColumn("pmax",
+      when(col("post0") >= col("post1") && col("post0") >= col("post2"), 0)
+        .when(col("post1") >= col("post2"), 1).otherwise(2))
+    val agree = argmax.filter(col("pmax") === col("map_label")).count()
+    assert(agree.toDouble / n > 0.85, s"argmax agrees on only $agree/$n")
+    // deep-interior pixel (center of the innermost shell) is near-certain
+    val center = post.filter(col("y") === 12 && col("x") === 12)
+      .select("post0").collect()(0).getDouble(0)
+    assert(center > 0.9, s"center post0 $center not confident")
+    post.unpersist()
+  }
+
   test("m-step falls back to global median/var for starved classes") {
     import spark.implicits._
     // class 2 has only 3 voxels -> fallback kicks in

@@ -27,9 +27,35 @@ object Tables {
     *    DuckDB reads.
     * Setting the conf twice is benign — schema resolution happens
     * eagerly on the same thread at `spark.read`, so there is no
-    * read-order race. */
-  def ensureNanosConf(spark: SparkSession): Unit =
+    * read-order race.
+    *
+    * The session time zone is pinned UTC in the same guard: the
+    * NTZ→TIMESTAMP cast (and every later date/hour function) resolves
+    * against spark.sql.session.timeZone, so an externally-owned
+    * non-UTC session reading a micros/NTZ events file would silently
+    * shift instants relative to the DuckDB oracle. Our own entry
+    * points already pin UTC at build time; this covers sessions we
+    * did not build. */
+  def ensureNanosConf(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  /** Cheap content fingerprint of a table path: total part-file bytes
+    * + max mtime. Persisted serving indexes (BM25, IVFADC) fold this
+    * into their catalog-table prefix so regenerated testdata under the
+    * SAME directory gets a fresh index build instead of silently
+    * serving stale frozen postings/codebooks across JVMs — the
+    * driver has regenerated /root/testdata in place before. */
+  def dataFingerprint(path: String): String = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).map(walk)
+          .foldLeft((0L, 0L)) { case ((l, m), (l2, m2)) => (l + l2, math.max(m, m2)) }
+      else (f.length(), f.lastModified())
+    val (len, mtime) = walk(new java.io.File(path))
+    s"$len-$mtime"
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

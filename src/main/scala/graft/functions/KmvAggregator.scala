@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
 /** Bounded sketch buffer: `hs` sorted ascending, distinct, length ≤ k. */
-case class KmvBuf(hs: Seq[Long])
+case class KmvBuf(hs: Array[Long])
 
 /** KMV (k-minimum-values) distinct sketch as a typed
   * `Aggregator[IN, BUF, OUT]` — the SURVEY §2.10 custom-UDAF surface,
@@ -23,21 +23,52 @@ case class KmvBuf(hs: Seq[Long])
   * the two paths are bit-equal (pinned by EventsSpec), and the shared
   * DuckDB oracle covers both.
   *
-  * Buffer ops are O(k) array copies per accepted value for clarity —
-  * acceptable because values past the running k-th minimum (almost
-  * all of a large stream) are rejected by one comparison; a
-  * production variant would keep a primitive max-heap. */
+  * Buffer is a primitive sorted Array[Long]: membership + insertion
+  * point come from one binarySearch, an accepted value costs one
+  * bounded arraycopy, and merge is a linear two-pointer union — no
+  * per-row boxing or re-sort. Values past the running k-th minimum
+  * (almost all of a large stream) are still rejected by a single
+  * comparison before any of that. */
 class KmvAggregator(k: Int = 256) extends Aggregator[Long, KmvBuf, Double] {
 
-  def zero: KmvBuf = KmvBuf(Vector.empty)
+  def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
 
-  def reduce(b: KmvBuf, h: Long): KmvBuf =
-    if (b.hs.length >= k && h >= b.hs.last) b // the common fast path
-    else if (b.hs.contains(h)) b
-    else KmvBuf(((b.hs :+ h).sorted: Seq[Long]).take(k))
+  def reduce(b: KmvBuf, h: Long): KmvBuf = {
+    val a = b.hs
+    val n = a.length
+    if (n >= k && h >= a(n - 1)) b // the common fast path
+    else {
+      val idx = java.util.Arrays.binarySearch(a, 0, n, h)
+      if (idx >= 0) b // already present
+      else {
+        val ins = -idx - 1
+        val outLen = math.min(n + 1, k)
+        val out = new Array[Long](outLen)
+        System.arraycopy(a, 0, out, 0, ins)
+        out(ins) = h
+        System.arraycopy(a, ins, out, ins + 1, outLen - ins - 1)
+        KmvBuf(out)
+      }
+    }
+  }
 
-  def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
-    KmvBuf((a.hs ++ b.hs).distinct.sorted.take(k))
+  def merge(x: KmvBuf, y: KmvBuf): KmvBuf = {
+    val a = x.hs
+    val b = y.hs
+    if (a.isEmpty) y
+    else if (b.isEmpty) x
+    else {
+      val out = new Array[Long](math.min(a.length + b.length, k))
+      var i = 0; var j = 0; var o = 0
+      while (o < out.length && (i < a.length || j < b.length)) {
+        val v =
+          if (j >= b.length || (i < a.length && a(i) <= b(j))) { val t = a(i); i += 1; t }
+          else { val t = b(j); j += 1; t }
+        if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+      }
+      KmvBuf(if (o == out.length) out else java.util.Arrays.copyOf(out, o))
+    }
+  }
 
   def finish(b: KmvBuf): Double =
     if (b.hs.length < k) b.hs.length.toDouble

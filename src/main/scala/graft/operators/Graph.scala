@@ -292,6 +292,13 @@ object Graph {
     * monotonically SHRINKING edge relation — worst-case rounds = the
     * longest peel chain (a path peels one layer per round), typically
     * O(log n) on heavy-tailed degree graphs. */
+  /** Peel-round budget shared between [[kCore]] and [[kCoreOracle]]:
+    * the oracle materializes exactly this many unrolled rounds, so the
+    * gate query must converge within the SAME bound — a deeper peel
+    * chain fails the Spark-side require with a clear message instead
+    * of surfacing as an opaque oracle hash mismatch. */
+  val kCoreUnrollRounds = 10
+
   def kCoreOn(edges0: DataFrame, kk: Int = 3, maxIters: Int = 30): DataFrame = {
     var edges = edges0.localCheckpoint()
     var converged = false
@@ -327,13 +334,14 @@ object Graph {
         concat(lit("p:"), col("l_partkey")).as("a"),
         concat(lit("s:"), col("l_suppkey")).as("b"))
       .distinct()
-    kCoreOn(base.union(base.select(col("b").as("a"), col("a").as("b"))), kk)
+    kCoreOn(base.union(base.select(col("b").as("a"), col("a").as("b"))), kk,
+      maxIters = kCoreUnrollRounds)
   }
 
   /** Oracle SQL for `kCore` — peeling unrolled to `iters` MATERIALIZED
     * rounds (idempotent past the fixpoint; the Spark side asserts
     * convergence within the bound). */
-  def kCoreOracle(kk: Int = 3, iters: Int = 10): String = {
+  def kCoreOracle(kk: Int = 3, iters: Int = kCoreUnrollRounds): String = {
     val sb = new StringBuilder
     sb ++= "WITH base AS MATERIALIZED (SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b FROM lineitem\n"
     sb ++= "  WHERE substring(md5('cc:' || CAST(l_orderkey AS VARCHAR)), 1, 2) < '10'),\n"

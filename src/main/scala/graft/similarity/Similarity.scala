@@ -638,10 +638,14 @@ object Similarity {
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_books")
   }
 
-  /** Deterministic catalog-safe index name per (dir, params). */
+  /** Deterministic catalog-safe index name per (dir, data, params):
+    * the embedded content fingerprint makes an in-place testdata
+    * regeneration build a fresh index rather than serve stale frozen
+    * codebooks (same contract as the BM25 prefix). */
   private def indexPrefix(dir: String, nlist: Int, m: Int, ksub: Int): String = {
+    val fp = graft.Tables.dataFingerprint(s"$dir/embeddings.parquet")
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$nlist|$m|$ksub".getBytes("UTF-8"))
+      .digest(s"$dir|$fp|$nlist|$m|$ksub".getBytes("UTF-8"))
     "graft_ivfpq_" + md.take(5).map("%02x".format(_)).mkString
   }
 

@@ -432,8 +432,13 @@ object TextAnalysis {
   }
 
   private def bm25IndexPrefix(dir: String): String = {
+    // the prefix carries a content fingerprint of the source table, so
+    // a regenerated documents.parquet under the same path triggers a
+    // fresh build — 'bit-identical to fresh tokenization' holds across
+    // JVMs even after in-place testdata refreshes
+    val fp = graft.Tables.dataFingerprint(s"$dir/documents.parquet")
     val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|bm25".getBytes("UTF-8"))
+      .digest(s"$dir|$fp|bm25".getBytes("UTF-8"))
     "graft_bm25_" + md.take(5).map("%02x".format(_)).mkString
   }
 

@@ -339,6 +339,10 @@ object SparkEntry {
     // 5-iteration PageRank over the part<->supplier bipartite graph;
     // oracle unrolls the iteration into MATERIALIZED CTEs
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    // tolerance-driven early exit; the oracle unrolls the rounds,
+    // recomputes the L1 deltas, and self-selects the same exit round,
+    // so the STOPPING RULE is what the gate verifies
+    "graph_pagerank_tol" -> ((s, d) => Graph.pageRankUntil(s, d)),
     // degree-oriented triangle count over the (hash-sampled)
     // co-purchase graph — O(m^1.5) wedge join, never Σ deg²
     "graph_triangles" -> ((s, d) => Graph.triangleCount(s, d)),
@@ -358,6 +362,7 @@ object SparkEntry {
     // personalized PageRank: restart mass pinned to one source — the
     // "related items" proximity primitive, same per-round plan shape
     "graph_ppr" -> ((s, d) => Graph.personalizedPageRank(s, d)),
+    "graph_ppr_tol" -> ((s, d) => Graph.personalizedPageRankUntil(s, d)),
     // k-core peeling to a counted fixpoint (oracle unrolls a safe
     // bound; peeling past the fixpoint is a no-op)
     "graph_kcore" -> ((s, d) => Graph.kCore(s, d)),
@@ -2405,12 +2410,14 @@ object SparkEntry {
         |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_l2_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> Graph.pageRankOracle(),
+    "graph_pagerank_tol" -> Graph.pageRankUntilOracle(),
     "graph_triangles" -> Graph.triangleOracle,
     "graph_components" -> Graph.componentsOracle(),
     "graph_bfs_hops" -> Graph.bfsOracle(),
     "graph_communities" -> Graph.labelPropagationOracle(),
     "graph_sssp" -> Graph.ssspOracle(),
     "graph_ppr" -> Graph.personalizedPageRankOracle(),
+    "graph_ppr_tol" -> Graph.personalizedPageRankUntilOracle(),
     "graph_kcore" -> Graph.kCoreOracle(),
     "graph_clustering" -> Graph.clusteringOracle,
     "search_bm25" -> TextAnalysis.bm25OracleSql(),

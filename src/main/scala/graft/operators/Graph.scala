@@ -74,6 +74,85 @@ object Graph {
       .orderBy("node")
   }
 
+  /** PageRank with tolerance-based early exit — the cluster-scale
+    * driver the fixed-count variant documents as missing: iterate
+    * until the L1 delta between successive vectors drops below `tol`
+    * (or `maxIters`), the same changed-ratio discipline as
+    * `HMRF.segment`. The STOPPING RULE IS PART OF THE QUERY
+    * SEMANTICS: the oracle unrolls the same rounds, computes the same
+    * per-round L1 deltas, and self-selects the same exit round — the
+    * gate verifies the exit logic, not just a pinned vector, and
+    * survives testdata regeneration that shifts the exit round.
+    *
+    * Measured on this corpus (BASELINE.md round 9): the per-round L1
+    * contraction is exactly the damping factor 0.85 — λ₂ ≈ 1, because
+    * the part↔supplier graph is ~1,229 disjoint components and
+    * bipartite (period-2) — so meaningful tolerances cost MORE rounds
+    * than the pinned-5 rung, not fewer. On production graphs
+    * (connected, aperiodic: λ₂ < 1) the same driver exits early; the
+    * default tol=0.5 is a ranking-stability budget (top-k order
+    * stabilizes long before point convergence) that exits at round 8
+    * here, 4 under the 12-round budget.
+    *
+    * Per-round cost adds ONE scalar action (the delta sum over the
+    * checkpointed node relation) — the same bounded-pull contract as
+    * the N count. */
+  def pageRankUntil(spark: SparkSession, dir: String, tol: Double = 0.5,
+                    maxIters: Int = 12): DataFrame = {
+    val edges = bipartiteEdges(spark, dir)
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+    val linked = edges.join(deg, "a")
+      .select(col("a"), col("b"), col("deg"))
+      .localCheckpoint()
+    val n = linked.select(countDistinct(col("a"))).head().getLong(0)
+    val teleport = lit(0.15).cast("double") / lit(n.toDouble)
+    var pr = linked.select(col("a").as("node")).distinct()
+      .withColumn("pr", lit(1.0).cast("double") / lit(n.toDouble))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (iter < maxIters && !done) {
+      iter += 1
+      val next = linked.join(pr, linked("a") === pr("node"))
+        .groupBy(col("b"))
+        .agg((teleport + lit(0.85) * sum(col("pr") / col("deg"))).as("pr"))
+        .select(col("b").as("node"), col("pr"))
+        .localCheckpoint()
+      val delta = next.join(pr.select(col("node"), col("pr").as("prev")), "node")
+        .agg(sum(abs(col("pr") - col("prev")))).head().getDouble(0)
+      pr = next
+      if (delta < tol) done = true
+    }
+    pr.select(col("node"), round(col("pr") * lit(n.toDouble), 6).as("pr_norm"))
+      .orderBy("node")
+  }
+
+  /** Oracle SQL for [[pageRankUntil]]: unrolls `maxIters` rounds,
+    * computes every successive L1 delta, and picks the FIRST round
+    * below `tol` (falling back to `maxIters`) — verifying the early
+    * exit rule itself. Deltas sit well away from the threshold
+    * (geometric 0.85 contraction), so cross-engine summation-order
+    * noise (~1e-15) cannot flip the selected round. */
+  def pageRankUntilOracle(tol: Double = 0.5, maxIters: Int = 12): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH base AS MATERIALIZED (SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b FROM lineitem),\n"
+    sb ++= "edges AS MATERIALIZED (SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base),\n"
+    sb ++= "deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM edges GROUP BY a),\n"
+    sb ++= "nn AS (SELECT count(*) AS n FROM deg),\n"
+    sb ++= "pr0 AS MATERIALIZED (SELECT a AS node, CAST(1.0 AS DOUBLE)/(SELECT n FROM nn) AS pr FROM deg),\n"
+    for (i <- 1 to maxIters)
+      sb ++= s"pr$i AS MATERIALIZED (SELECT e.b AS node, CAST(0.15 AS DOUBLE)/(SELECT n FROM nn) + CAST(0.85 AS DOUBLE)*sum(p.pr/d.deg) AS pr " +
+        s"FROM edges e JOIN pr${i - 1} p ON e.a = p.node JOIN deg d ON e.a = d.a GROUP BY e.b),\n"
+    sb ++= "rounds AS MATERIALIZED (" +
+      (0 to maxIters).map(i => s"SELECT $i AS t, node, pr FROM pr$i").mkString(" UNION ALL ") + "),\n"
+    sb ++= "deltas AS (SELECT c.t, sum(abs(c.pr - p.pr)) AS d FROM rounds c " +
+      "JOIN rounds p ON p.t = c.t - 1 AND p.node = c.node WHERE c.t >= 1 GROUP BY c.t),\n"
+    sb ++= s"pick AS (SELECT coalesce(min(t), $maxIters) AS t FROM deltas WHERE d < CAST($tol AS DOUBLE))\n"
+    sb ++= "SELECT r.node, round(r.pr*(SELECT n FROM nn), 6) AS pr_norm " +
+      "FROM rounds r JOIN pick k ON r.t = k.t ORDER BY r.node"
+    sb.toString
+  }
+
   /** Personalized PageRank — the restart mass concentrates at ONE
     * source node instead of spreading uniformly, so the stationary
     * vector measures proximity to the source (the "related items"
@@ -113,6 +192,66 @@ object Graph {
 
   /** Oracle SQL for `personalizedPageRank` — the unrolled-rounds form
     * of [[pageRankOracle]] with the teleport CASE'd onto the source. */
+  /** PPR with the same tolerance-based early exit (and the same
+    * self-selecting oracle) as [[pageRankUntil]] — identical L1
+    * contraction on this corpus (exactly 0.85/round), exits at round
+    * 9 under the default tol=0.5 with a 0.037 threshold margin. */
+  def personalizedPageRankUntil(spark: SparkSession, dir: String,
+                                source: String = "s:1", tol: Double = 0.5,
+                                maxIters: Int = 12): DataFrame = {
+    val edges = bipartiteEdges(spark, dir)
+    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+    val linked = edges.join(deg, "a")
+      .select(col("a"), col("b"), col("deg"))
+      .localCheckpoint()
+    var pr = linked.select(col("a").as("node")).distinct()
+      .withColumn("pr",
+        when(col("node") === source, lit(1.0)).otherwise(lit(0.0)).cast("double"))
+      .localCheckpoint()
+    var iter = 0
+    var done = false
+    while (iter < maxIters && !done) {
+      iter += 1
+      val next = linked.join(pr, linked("a") === pr("node"))
+        .groupBy(col("b"))
+        .agg((lit(0.85) * sum(col("pr") / col("deg"))).as("flow"))
+        .select(col("b").as("node"),
+          (col("flow") +
+            when(col("b") === source, lit(0.15)).otherwise(lit(0.0))).as("pr"))
+        .localCheckpoint()
+      val delta = next.join(pr.select(col("node"), col("pr").as("prev")), "node")
+        .agg(sum(abs(col("pr") - col("prev")))).head().getDouble(0)
+      pr = next
+      if (delta < tol) done = true
+    }
+    pr.select(col("node"), round(col("pr"), 6).as("ppr"))
+      .orderBy("node")
+  }
+
+  /** Oracle SQL for [[personalizedPageRankUntil]] — the self-selecting
+    * round-pick of [[pageRankUntilOracle]] with the source-CASE'd
+    * teleport. */
+  def personalizedPageRankUntilOracle(source: String = "s:1", tol: Double = 0.5,
+                                      maxIters: Int = 12): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH base AS MATERIALIZED (SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b FROM lineitem),\n"
+    sb ++= "edges AS MATERIALIZED (SELECT a, b FROM base UNION ALL SELECT b AS a, a AS b FROM base),\n"
+    sb ++= "deg AS MATERIALIZED (SELECT a, count(*) AS deg FROM edges GROUP BY a),\n"
+    sb ++= s"pr0 AS MATERIALIZED (SELECT a AS node, CASE WHEN a = '$source' THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr FROM deg),\n"
+    for (i <- 1 to maxIters)
+      sb ++= s"pr$i AS MATERIALIZED (SELECT e.b AS node, " +
+        s"CAST(0.85 AS DOUBLE)*sum(p.pr/d.deg) + CASE WHEN e.b = '$source' THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr " +
+        s"FROM edges e JOIN pr${i - 1} p ON e.a = p.node JOIN deg d ON e.a = d.a GROUP BY e.b),\n"
+    sb ++= "rounds AS MATERIALIZED (" +
+      (0 to maxIters).map(i => s"SELECT $i AS t, node, pr FROM pr$i").mkString(" UNION ALL ") + "),\n"
+    sb ++= "deltas AS (SELECT c.t, sum(abs(c.pr - p.pr)) AS d FROM rounds c " +
+      "JOIN rounds p ON p.t = c.t - 1 AND p.node = c.node WHERE c.t >= 1 GROUP BY c.t),\n"
+    sb ++= s"pick AS (SELECT coalesce(min(t), $maxIters) AS t FROM deltas WHERE d < CAST($tol AS DOUBLE))\n"
+    sb ++= "SELECT r.node, round(r.pr, 6) AS ppr " +
+      "FROM rounds r JOIN pick k ON r.t = k.t ORDER BY r.node"
+    sb.toString
+  }
+
   def personalizedPageRankOracle(source: String = "s:1", iters: Int = 5): String = {
     val sb = new StringBuilder
     sb ++= "WITH base AS MATERIALIZED (SELECT DISTINCT 'p:' || l_partkey AS a, 's:' || l_suppkey AS b FROM lineitem),\n"

@@ -24,6 +24,21 @@ class GraphSpec extends AnyFunSuite {
     assert(top.startsWith("s:"), s"expected a supplier hub at top, got $top")
   }
 
+  test("tolerance early exit: the exit round is the fixed-iteration equivalent") {
+    // tol above the first delta (L1 ≤ 2 on a prob vector) → exits after
+    // exactly one round == pageRank(iters=1); tol=0 can never trigger →
+    // runs the full budget == pageRank(iters=budget). Pins the
+    // stopping-rule wiring without depending on data-driven counts.
+    def vec(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(vec(Graph.pageRankUntil(spark, sf0001, tol = 3.0, maxIters = 12))
+      === vec(Graph.pageRank(spark, sf0001, iters = 1)))
+    assert(vec(Graph.pageRankUntil(spark, sf0001, tol = 0.0, maxIters = 3))
+      === vec(Graph.pageRank(spark, sf0001, iters = 3)))
+    assert(vec(Graph.personalizedPageRankUntil(spark, sf0001, tol = 0.0, maxIters = 3))
+      === vec(Graph.personalizedPageRank(spark, sf0001, iters = 3)))
+  }
+
   test("triangleCount counts K3 and K4 exactly on a known graph") {
     // orders as cliques: an order containing k parts contributes C(k,3)
     // triangles once edges are deduped. Build two overlapping cliques

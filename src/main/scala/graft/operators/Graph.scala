@@ -85,9 +85,10 @@ object Graph {
     * survives testdata regeneration that shifts the exit round.
     *
     * Measured on this corpus (BASELINE.md round 9): the per-round L1
-    * contraction is exactly the damping factor 0.85 — λ₂ ≈ 1, because
-    * the part↔supplier graph is ~1,229 disjoint components and
-    * bipartite (period-2) — so meaningful tolerances cost MORE rounds
+    * contraction is exactly the damping factor 0.85 — |λ₂| = 1,
+    * because the part↔supplier graph is bipartite (period-2 walk,
+    * eigenvalue −1; the graph itself is connected) — so meaningful
+    * tolerances cost MORE rounds
     * than the pinned-5 rung, not fewer. On production graphs
     * (connected, aperiodic: λ₂ < 1) the same driver exits early; the
     * default tol=0.5 is a ranking-stability budget (top-k order
@@ -583,6 +584,81 @@ object Graph {
     }
     dist.orderBy("node")
   }
+
+  /** Delta-stepping SSSP (Meyer & Sanders 2003) — the cluster-scale
+    * variant the bounded-Bellman-Ford scaladoc documents as the gap:
+    * instead of relaxing the FULL settled set every round, distances
+    * are processed in priority buckets of width `delta`; within a
+    * bucket only the CHANGED frontier re-relaxes light edges
+    * (w ≤ delta) to a fixpoint, then the settled bucket relaxes heavy
+    * edges (w > delta) exactly once. Per-join work is O(frontier),
+    * not O(settled) — on a 1000-executor graph the frontier is the
+    * working set, the settled ocean never re-shuffles.
+    *
+    * Runs to the TRUE shortest-path fixpoint (not a hop bound);
+    * terminates when no node sits at or beyond the next bucket.
+    * Every relaxation candidate is min-aggregated before touching
+    * `dist`, and `dist` only ever decreases — the standard
+    * delta-stepping invariant (nodes below the processed bucket are
+    * final) holds because a light improvement inside the bucket
+    * cannot undercut an already-processed bucket and heavy edges
+    * always land strictly beyond the current one.
+    *
+    * delta=4 splits the md5-derived 1..9 weights into light (≤4) /
+    * heavy (>4) roughly evenly; max corpus distance is 6 (BASELINE.md
+    * round 9), so sf-scale runs process 2 buckets. */
+  def ssspDelta(edges: DataFrame, source: String, delta: Long = 4,
+                maxBuckets: Int = 64): DataFrame = {
+    val spark = edges.sparkSession
+    val light = edges.filter(col("w") <= delta).localCheckpoint()
+    val heavy = edges.filter(col("w") > delta).localCheckpoint()
+    var dist = spark.createDataFrame(Seq(Tuple2(source, 0L)))
+      .toDF("node", "dist").localCheckpoint()
+    var bucket = 0L
+    var active = true
+    while (active && bucket < maxBuckets) {
+      def inBucket(d: DataFrame) = d.filter(
+        col("dist") >= bucket * delta && col("dist") < (bucket + 1) * delta)
+      def improvedOf(cand: DataFrame) =
+        cand.join(dist.select(col("node"), col("dist").as("old")), Seq("node"), "left")
+          .filter(col("old").isNull || col("dist") < col("old"))
+          .select("node", "dist")
+      // phase 1: light edges from the changed frontier, to a fixpoint
+      var frontier = inBucket(dist).localCheckpoint()
+      while (frontier.count() > 0) {
+        val improved = improvedOf(
+          light.join(frontier, light("a") === frontier("node"))
+            .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+            .groupBy("node").agg(min("dist").as("dist")))
+          .localCheckpoint()
+        dist = dist.unionByName(improved)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+        frontier = inBucket(improved).localCheckpoint()
+      }
+      // phase 2: heavy edges from the now-settled bucket, once
+      val settled = inBucket(dist)
+      val himproved = improvedOf(
+        heavy.join(settled, heavy("a") === settled("node"))
+          .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+          .groupBy("node").agg(min("dist").as("dist")))
+      dist = dist.unionByName(himproved)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      bucket += 1
+      active = dist.filter(col("dist") >= bucket * delta).count() > 0
+    }
+    dist.orderBy("node")
+  }
+
+  /** Delta-stepping over the corpus graph. The oracle is the
+    * Bellman-Ford unroll run PAST its fixpoint ([[ssspOracle]] with 10
+    * rounds; the corpus stabilizes after 3 — measured, with regeneration
+    * margin): two different algorithms, one answer, which is exactly
+    * the fixpoint check the gate should pin. */
+  def ssspDeltaQuery(spark: SparkSession, dir: String,
+                     source: String = "s:1"): DataFrame =
+    ssspDelta(weightedEdges(spark, dir).localCheckpoint(), source)
 
   def sssp(spark: SparkSession, dir: String, source: String = "s:1",
            rounds: Int = 4): DataFrame =

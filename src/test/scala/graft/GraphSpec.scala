@@ -113,6 +113,28 @@ class GraphSpec extends AnyFunSuite {
     assert(r2("m") === 2L && r2("s") === 0L)
   }
 
+  test("delta-stepping reaches the exact fixpoint across bucket boundaries") {
+    // Adversarial for bucketing (delta=4): the heavy direct edge s->t
+    // (9) is beaten by a chain of three light edges (2+2+2=6) that
+    // CROSSES the bucket boundary (m2 sits at dist 4, bucket 1), and a
+    // heavy edge from bucket 0 (s->h, 5) is later undercut by a light
+    // path through t (6+2=8 loses; 5 stays). Exercises: light fixpoint
+    // within a bucket, heavy relaxation landing beyond the boundary,
+    // and re-improvement of a heavy tentative dist by a later bucket.
+    val und = Seq(
+      ("s", "t", 9L), ("s", "m1", 2L), ("m1", "m2", 2L), ("m2", "t", 2L),
+      ("s", "h", 5L), ("t", "h", 2L))
+    val edges = (und ++ und.map { case (a, b, w) => (b, a, w) }).toDF("a", "b", "w")
+    val got = Graph.ssspDelta(edges, "s").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("s" -> 0L, "m1" -> 2L, "m2" -> 4L, "t" -> 6L, "h" -> 5L), s"$got")
+    // corpus-scale parity: delta-stepping == Bellman-Ford run past its
+    // fixpoint (two algorithms, one answer)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m(Graph.ssspDeltaQuery(spark, sf0001)) === m(Graph.sssp(spark, sf0001, rounds = 10)))
+  }
+
   test("clustering coefficient: K4 corners are 1.0, the bridge node is a broker") {
     // two triangles sharing node 3: {1,2,3} and {3,4,5}. Nodes 1,2,4,5
     // have d=2, t=1 -> cc=1; node 3 has d=4, t=2 -> cc = 2*2/(4*3)=1/3

@@ -199,7 +199,11 @@ object ScaleProbe {
       // sparse/hybrid retrieval paths (index built untimed, see
       // `prebuilt`)
       "graph_clustering", "cdc_pit_enrich", "search_bm25_served",
-      "search_hybrid_served")
+      "search_hybrid_served",
+      // round-9: frontier-relaxation SSSP (per-round join is on the
+      // changed set, not the settled set) and the tolerance-exit
+      // PageRank/PPR pair (round count is data-driven)
+      "graph_sssp_delta", "graph_pagerank_tol", "graph_ppr_tol")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state
@@ -220,6 +224,9 @@ object ScaleProbe {
       "graph_ppr" -> s"$bigDir/graph10",
       "graph_kcore" -> s"$bigDir/graph10",
       "graph_clustering" -> s"$bigDir/graph10",
+      "graph_sssp_delta" -> s"$bigDir/graph10",
+      "graph_pagerank_tol" -> s"$bigDir/graph10",
+      "graph_ppr_tol" -> s"$bigDir/graph10",
       "skyline_parts" -> s"$bigDir/part10",
       "dedup_fuzzy_names" -> s"$bigDir/part10",
       "dedup_name_entities" -> s"$bigDir/part10")

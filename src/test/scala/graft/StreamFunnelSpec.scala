@@ -57,4 +57,39 @@ class StreamFunnelSpec extends AnyFunSuite {
       assert(!streamed.exists(_._1 == 4L))
     } finally query.stop()
   }
+
+  test("hot key in one huge micro-batch: transient buffering completes correctly") {
+    // Pins the documented transient-buffer behavior (StreamFunnel
+    // scaladoc: update() materializes a key's micro-batch slice to
+    // sort it; bound trigger size via maxOffsetsPerTrigger /
+    // maxFilesPerTrigger when keys can be hot). One user floods a
+    // single trigger with 60k events — noise arrivals plus the three
+    // stage events deliberately placed out of arrival order (the sort
+    // is what makes the fold deterministic) — and the machine must
+    // still complete the funnel exactly once with the batch-identical
+    // stage times.
+    implicit val sqlCtx = spark.sqlContext
+    val noise = (0 until 60000).map { i =>
+      (9L, new Timestamp(ts(0).getTime + (i % 300) * 1000L), "scroll")
+    }
+    val stagesOutOfOrder = Seq(
+      (9L, ts(9), "purchase"), (9L, ts(3), "click"), (9L, ts(1), "view"))
+    val cold = Seq((10L, ts(0), "view")) // a second key keeps the group iterator honest
+    val stream = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamFunnel.funnelStream(
+      stream.toDF().toDF("user_id", "ts", "event_type"))
+    val query = out.writeStream.format("memory").queryName("funnel_hot")
+      .outputMode("append").start()
+    try {
+      stream.addData(scala.util.Random.shuffle(noise ++ stagesOutOfOrder) ++ cold)
+      query.processAllAvailable()
+      val streamed = spark.table("funnel_hot")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(streamed === Set(
+        (9L, 1, "view", ts(1).getTime * 1000L),
+        (9L, 2, "click", ts(3).getTime * 1000L),
+        (9L, 3, "purchase", ts(9).getTime * 1000L),
+        (10L, 1, "view", ts(0).getTime * 1000L)), s"got $streamed")
+    } finally query.stop()
+  }
 }

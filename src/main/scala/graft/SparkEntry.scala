@@ -2507,7 +2507,7 @@ object SparkEntry {
         |s AS (SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd FROM h GROUP BY 1)
         |SELECT h.event_type, h.hour, h.n, round((h.n - s.mu) / s.sd, 4) AS z
         |FROM h JOIN s USING (event_type)
-        |WHERE s.sd > 0 AND abs((h.n - s.mu) / s.sd) > 2
+        |WHERE s.sd > 0 AND abs(round((h.n - s.mu) / s.sd, 4)) > 2
         |ORDER BY h.event_type, h.hour""".stripMargin,
     "ts_cusum_changepoints" ->
       """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n

@@ -453,10 +453,18 @@ object Events {
       .agg(count(lit(1)).as("n"))
     val stats = hourly.groupBy("event_type")
       .agg(avg("n").as("mu"), stddev_pop("n").as("sd"))
-    val z = (col("n") - col("mu")) / col("sd")
+    // The threshold compares the ROUNDED z (TieSpec round-9 finding):
+    // a series whose true z lands exactly on sigma — integer counts
+    // make that reachable, e.g. (4,4,4,4,24) → z = 2 — otherwise
+    // flips with float summation order (one layout computes
+    // 2.0000000000000004, another 2.0). Rounding first quantizes the
+    // comparison to the 1e-4 grid both engines agree on; a flip now
+    // needs the true z within ~1e-15 of a half-grid point, which the
+    // avg/stddev of integer counts cannot produce.
+    val z = round((col("n") - col("mu")) / col("sd"), 4)
     hourly.join(stats, "event_type")
       .filter(col("sd") > 0 && abs(z) > sigma)
-      .select(col("event_type"), col("hour"), col("n"), round(z, 4).as("z"))
+      .select(col("event_type"), col("hour"), col("n"), z.as("z"))
       .orderBy("event_type", "hour")
   }
 

@@ -189,6 +189,43 @@ class PlanContractSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"sessionize should shuffle once + final sort, got $exchanges:\n$p")
   }
 
+  test("user_id-bucketed events layout: the temporal family goes zero-exchange on user_id") {
+    // The events spine (sessionize / as-of / interval counts /
+    // attribution) shuffles on user_id per query when reading plain
+    // parquet. Written ONCE bucketed by user_id (the proven band-index
+    // move), the catalog scan reports hash partitioning and every
+    // user-keyed window/join/aggregate plans with NO user_id exchange
+    // — the 100-TB layout contract for this table.
+    import graft.operators.Temporal
+    val table = "graft_events_bucketed_fixture"
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+      graft.sources.Bucketed.writeBucketed(
+        Tables(spark, sf, "events"), table, "user_id", 8)
+    }
+    val ev = spark.table(table)
+    val plans = Map(
+      "sessionize" -> Temporal.sessionize(ev),
+      "asof" -> Temporal.asofPriorEvent(ev, "purchase", "view"),
+      "interval" -> Temporal.windowedCount(ev, "purchase", "click", 3600L),
+      "first_touch" -> Temporal.firstTouch(ev, "purchase", "view"))
+      .view.mapValues(_.queryExecution.executedPlan.toString)
+    for ((name, p) <- plans) {
+      assert(!"hashpartitioning\\(user_id".r.findFirstIn(p).isDefined,
+        s"$name must not re-shuffle bucketed events on user_id:\n$p")
+      assert(p.contains("Bucketed: true"), s"$name must use the bucketed scan:\n$p")
+    }
+    // parity: the bucketed layout changes the PLAN, never the rows
+    val plain = Temporal.sessionize(Tables(spark, sf, "events"))
+      .orderBy("user_id", "session_start").collect().toSeq
+    val bucketed = Temporal.sessionize(ev)
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(bucketed === plain, "bucketed layout altered sessionize rows")
+  }
+
   test("hash sampling pushes the md5 filter below everything else") {
     val p = plan("sample_hash")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale10")
-    val replicas = 10
+    // replica count is the probe's scale axis: 10 for the standing
+    // sweeps, 100 for the decade probe (auto-nlist re-listing, band
+    // occupancy, and the O(m^1.5) triangle wedge get their first
+    // non-overhead-dominated test there)
+    val replicas = sys.env.getOrElse("SPARK_GRAFT_PROBE_REPLICAS", "10").toInt
+    val bigDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft_scale$replicas")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -50,16 +54,26 @@ object ScaleProbe {
           col("lang"), col("source"), col("n_chars"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+      println(s"[probe] generated $replicas x documents at $bigDir")
+    }
+    // own existence gate (not documents'): a run that died between the
+    // two writes would otherwise resume with documents present and
+    // silently skip embeddings forever
+    if (!new java.io.File(s"$bigDir/embeddings.parquet").exists()) {
+      val reps = spark.range(replicas).select(col("id").as("rep"))
       val emb = Tables(spark, baseDir, "embeddings")
       val nVecs = emb.agg(max("vec_id")).head().getLong(0) + 1
       val dims = emb.select(size(col("embedding"))).head().getInt(0)
       emb.crossJoin(reps)
+        // rotate by rep MOD dims positions (replicas can exceed the
+        // dimension count at the 100x decade): slice ∥ slice,
+        // norm-preserving
+        .withColumn("rot", pmod(col("rep"), lit(dims)))
         .select(
           (col("vec_id") + col("rep") * nVecs).as("vec_id"),
-          // rotate by rep positions: slice ∥ slice, norm-preserving
           concat(
-            slice(col("embedding"), col("rep") + lit(1), lit(dims) - col("rep")),
-            slice(col("embedding"), lit(1), col("rep"))).as("embedding"),
+            slice(col("embedding"), col("rot") + lit(1), lit(dims) - col("rot")),
+            slice(col("embedding"), lit(1), col("rot"))).as("embedding"),
           col("label"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")

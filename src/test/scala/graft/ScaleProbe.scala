@@ -267,7 +267,7 @@ object ScaleProbe {
       val tBig = time(q, specialBigDir.getOrElse(q, bigDir))
       (q, tBase, tBig, tBig / tBase)
     }
-    println(f"${"query"}%-22s ${"sf0.1_s"}%8s ${"x10_s"}%8s ${"ratio"}%7s")
+    println(f"${"query"}%-22s ${"sf0.1_s"}%8s ${s"x${replicas}_s"}%8s ${"ratio"}%7s")
     results.foreach { case (q, a, b, r) =>
       println(f"$q%-22s $a%8.2f $b%8.2f $r%7.2f")
     }

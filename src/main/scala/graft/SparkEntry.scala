@@ -265,6 +265,10 @@ object SparkEntry {
     "txt_bpe_tokenize" -> ((s, d) => TextAnalysis.bpeTokenizeQuery(s, d)),
     "txt_lang_stats" -> ((s, d) => TextAnalysis.langStats(s, d)),
     "txt_fingerprints" -> ((s, d) => TextAnalysis.fingerprints(s, d).select("doc_id", "md5_fp")),
+    // PII scrub: deterministic planted spans (derived from doc_id in
+    // both engines) -> detect/count/redact/fingerprint; the gate pins
+    // the exact redacted string via its md5 prefix
+    "txt_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
     // rows-only by nature: language ID is a scored n-gram heuristic with
     // no SQL-oracle ground truth; TextSpec asserts per-language
     // classification on labeled fixtures instead.
@@ -339,6 +343,23 @@ object SparkEntry {
     // collisions gate candidate pairs); SimilaritySpec asserts the
     // planted duplicates are found.
     "emb_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(s, d, threshold = 0.3)),
+    // semantic dedup keep-list (SemDeDup-style): exact cosine-threshold
+    // graph -> CC closure -> keep lowest id per component. The exact
+    // pair join is the AUDIT rung by contract (oracle = recursive-CTE
+    // closure over the brute-force pair relation, so a false negative
+    // anywhere in the closure fails the gate)
+    "emb_semantic_keep" -> ((s, d) => Similarity.semanticKeep(s, d)),
+    // rows-only by nature: the production-scale sibling generates
+    // candidate edges from LSH buckets (recall < 1); SimilaritySpec
+    // pins keep-decision parity with the exact rung on planted dups
+    "emb_semantic_keep_lsh" -> ((s, d) => Similarity.semanticKeepLsh(s, d)),
+    // MMR diversified re-rank over the exact top-20 candidates:
+    // integer-micro rel/sim scores make the greedy argmax chain
+    // engine-exact; the oracle replays all k picks as unrolled CTEs
+    "emb_mmr_rerank" -> ((s, d) => Similarity.mmrRerank(s, d)),
+    // per-source quota retrieval ("diversified top-k"): at most one
+    // result per documents.source, exact on surviving candidates
+    "search_topk_diverse" -> ((s, d) => Similarity.diverseTopK(s, d)),
     // --- graph analytics (north star) ---
     // 5-iteration PageRank over the part<->supplier bipartite graph;
     // oracle unrolls the iteration into MATERIALIZED CTEs
@@ -2256,6 +2277,33 @@ object SparkEntry {
         |  count(*) AS tf
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "txt_pii_redact" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+        |    AS aug
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, aug,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(aug, '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,6}', '<EMAIL>', 'g'),
+        |        '555-[0-9]{4}', '<PHONE>', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS clean
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(aug, '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,6}')) AS INTEGER) AS n_email,
+        |  CAST(len(regexp_extract_all(aug, '555-[0-9]{4}')) AS INTEGER) AS n_phone,
+        |  CAST(len(regexp_extract_all(aug, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INTEGER) AS n_ip,
+        |  CAST(length(clean) AS INTEGER) AS clean_len,
+        |  substr(md5(clean), 1, 16) AS clean_fp
+        |FROM red ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_md5, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
@@ -2363,6 +2411,42 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
         |  FROM scored) t
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "emb_semantic_keep" ->
+      """WITH RECURSIVE c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM c),
+        |pairs AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS w
+        |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= CAST(0.3 AS DOUBLE)),
+        |edges AS (SELECT u, w FROM pairs UNION ALL SELECT w, u FROM pairs),
+        |reach(u, w) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+        |  UNION
+        |  SELECT r.u, e.w FROM reach r JOIN edges e ON e.u = r.w),
+        |comp AS (SELECT u AS vec_id, min(w) AS keep_id FROM reach GROUP BY u)
+        |SELECT n.vec_id, coalesce(comp.keep_id, n.vec_id) AS keep_id,
+        |  coalesce(comp.keep_id, n.vec_id) = n.vec_id AS is_kept
+        |FROM n LEFT JOIN comp ON comp.vec_id = n.vec_id
+        |ORDER BY n.vec_id""".stripMargin,
+    "emb_mmr_rerank" -> Similarity.mmrOracleSql(),
+    "search_topk_diverse" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM c),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nm AS qn FROM n WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, n.vec_id AS cand_id,
+        |    list_dot_product(qv, v) / (qn * nm) AS cos, d.source
+        |  FROM q JOIN n ON n.vec_id <> q.query_id
+        |  JOIN documents d ON d.doc_id = n.vec_id),
+        |quota AS (
+        |  SELECT query_id, cand_id, cos, source,
+        |    row_number() OVER (PARTITION BY query_id, source ORDER BY cos DESC, cand_id) AS src_rank
+        |  FROM scored QUALIFY src_rank <= 1)
+        |SELECT query_id, rank, cand_id, source, round(cos, 4) AS cos_sim FROM (
+        |  SELECT query_id, cand_id, source, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+        |  FROM quota) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "search_hybrid_rrf" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM c WHERE vec_id < 5),

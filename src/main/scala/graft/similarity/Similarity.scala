@@ -812,6 +812,231 @@ object Similarity {
     * (txt_inverted_index) with postings caps; queries are broadcast in
     * both legs, so the corpus is scanned once per leg and fusion
     * touches only 2·legK rows per query. */
+  /** Exact semantic-dedup keep-list (SemDeDup-style; Abbas et al.
+    * 2023, arXiv:2303.09540 §3 describes the cluster-then-dedup idea —
+    * this is the exact-graph form): the curation DECISION layered on
+    * the cosine near-dup relation. Edges = every pair with cosine >=
+    * threshold (exact all-pairs — the audit rung, same role as
+    * dedup_jaccard_prefix); components = min-label closure
+    * (Components.labelGraph, the proven dup-cluster CC); keep the
+    * lowest vec_id per component, singletons keep themselves. Output
+    * one row per vector: (vec_id, keep_id, is_kept) — the relation a
+    * curation pipeline semi-joins its corpus against.
+    *
+    * Scale: the exact pair join is O(n²) BY CONTRACT — it is the audit
+    * baseline that makes false negatives of any approximate candidate
+    * generator a measurable quantity. The production path is
+    * [[semanticKeepLsh]]: the SAME closure + keep decision over the
+    * occupancy-scaled LSH bucketed pairs (O(n·occupancy) candidates).
+    * The closure shuffles only (node, label) ids either way. */
+  def semanticKeepOn(all: DataFrame, threshold: Double = 0.3): DataFrame = {
+    VectorExpressions.register(all.sparkSession)
+    val a = all.select(col("vec_id").as("u"), col("vec").as("va"), col("norm").as("na"))
+    val b = all.select(col("vec_id").as("v"), col("vec").as("vb"), col("norm").as("nb"))
+    val edges = a.join(broadcast(b), col("u") < col("v"))
+      .withColumn("cos", ndot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("u", "v")
+    keepDecision(all, edges)
+  }
+
+  /** (vec_id, keep_id, is_kept) from a near-dup edge relation: CC
+    * min-label closure + keep-the-lowest-id; vectors with no edge are
+    * their own component. */
+  private def keepDecision(all: DataFrame, edges: DataFrame): DataFrame = {
+    val comp = graft.operators.Components.labelGraph(edges)
+    all.select(col("vec_id"))
+      .join(comp.select(col("node").as("vec_id"), col("component")), Seq("vec_id"), "left")
+      .withColumn("keep_id", coalesce(col("component"), col("vec_id")))
+      .select(col("vec_id"), col("keep_id"),
+        (col("keep_id") === col("vec_id")).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
+  def semanticKeep(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
+    semanticKeepOn(corpus(spark, dir), threshold)
+
+  /** Production-scale sibling of [[semanticKeepOn]]: same keep
+    * decision over the LSH bucketed candidate edges
+    * (cosineNearDupPairsOn — occupancy-scaled planes, linear pair
+    * count). Rows-only at the gate by nature (bucket collisions gate
+    * candidates, recall < 1); SimilaritySpec pins that planted
+    * near-identical vectors collapse to the same keep_id as the exact
+    * rung. */
+  def semanticKeepLsh(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
+    semanticKeepLshOn(corpus(spark, dir), threshold)
+
+  def semanticKeepLshOn(all: DataFrame, threshold: Double = 0.3,
+                        dims: Int = 64): DataFrame = {
+    val edges = cosineNearDupPairsOn(all, threshold, dims = dims)
+      .select(col("vec_a").as("u"), col("vec_b").as("v"))
+    keepDecision(all, edges)
+  }
+
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick argmax of λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s)
+    * over the top-`candK` exact-cosine candidates, k picks per query —
+    * the standard diversification pass between retrieval and serving.
+    *
+    * Engine-exactness: both rel and pairwise sims are rounded to
+    * integer MICROS before the greedy loop (the BM25 discipline —
+    * order-free, engine-exact); with λ = 0.5 the ×2-scaled objective is
+    * rel_micro − maxsim_micro, pure integer arithmetic, ties broken by
+    * cand_id. So the argmax chain — and hence the whole unrolled
+    * greedy — is deterministic across engines and partitionings, and
+    * the DuckDB oracle replays it step for step.
+    *
+    * Scale: the loop runs k unrolled DataFrame steps over a BOUNDED
+    * relation (nQueries × candK candidate rows, candK² sims per
+    * query, localCheckpoint'ed once) — per-query work is O(candK²)
+    * regardless of corpus size; the corpus-sized work is the candidate
+    * top-k, which rides the same broadcast-query scan as emb_knn
+    * (or any ANN leg at serving time). No collect: the selection state
+    * stays a (query_id, cand_id, rank) relation throughout. */
+  def mmrRerank(spark: SparkSession, dir: String, nQueries: Int = 5,
+                candK: Int = 20, k: Int = 5): DataFrame =
+    mmrRerankOn(corpus(spark, dir), nQueries, candK, k)
+
+  def mmrRerankOn(all: DataFrame, nQueries: Int = 5,
+                  candK: Int = 20, k: Int = 5): DataFrame = {
+    VectorExpressions.register(all.sparkSession)
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val cand0 = all.select(col("vec_id").as("cand_id"), col("vec").as("cv"), col("norm").as("cn"))
+    val byCos = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    val cands = cand0.join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("r", row_number().over(byCos))
+      .filter(col("r") <= candK)
+      .withColumn("rel", round(col("cos") * lit(1e6)).cast("long"))
+      .select(col("query_id"), col("cand_id"), col("cv"), col("cn"), col("rel"))
+      .localCheckpoint()
+    val simA = cands.select(col("query_id"), col("cand_id").as("id_a"),
+      col("cv").as("va"), col("cn").as("na"))
+    val simB = cands.select(col("query_id"), col("cand_id").as("id_b"),
+      col("cv").as("vb"), col("cn").as("nb"))
+    val sims = simA.join(simB, Seq("query_id"))
+      .filter(col("id_a") =!= col("id_b"))
+      .withColumn("sim",
+        round(ndot(col("va"), col("vb")) / (col("na") * col("nb")) * lit(1e6)).cast("long"))
+      .select(col("query_id"), col("id_a"), col("id_b"), col("sim"))
+      .localCheckpoint()
+    val lean = cands.select(col("query_id"), col("cand_id"), col("rel"))
+    val w1 = Window.partitionBy("query_id").orderBy(col("rel").desc, col("cand_id"))
+    var selected = lean.withColumn("rn", row_number().over(w1)).filter(col("rn") === 1)
+      .select(col("query_id"), col("cand_id"), lit(1).as("rank"), col("rel").as("mmr_micro"))
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val rem = lean.join(selected.select(col("query_id"), col("cand_id")),
+        Seq("query_id", "cand_id"), "left_anti")
+      // every remaining candidate has >= 1 selected peer in sims
+      // (selected ⊆ candidates, self-pairs excluded) -> inner join
+      val maxsim = sims
+        .join(selected.select(col("query_id"), col("cand_id").as("id_b")), Seq("query_id", "id_b"))
+        .groupBy(col("query_id"), col("id_a").as("cand_id"))
+        .agg(max(col("sim")).as("maxsim"))
+      val wS = Window.partitionBy("query_id").orderBy(col("mmr_micro").desc, col("cand_id"))
+      val pick = rem.join(maxsim, Seq("query_id", "cand_id"))
+        .withColumn("mmr_micro", col("rel") - col("maxsim"))
+        .withColumn("rn", row_number().over(wS)).filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), lit(step).as("rank"), col("mmr_micro"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.orderBy("query_id", "rank")
+  }
+
+  /** DuckDB replay of [[mmrRerank]]: candidate top-candK and the
+    * candK² sim matrix in integer micros, then the k greedy picks
+    * unrolled as MATERIALIZED CTEs (DuckDB inlines CTEs referenced
+    * more than once — the BPE-oracle lesson — and each selN is read by
+    * both the next pick's maxsim join and its NOT EXISTS guard). */
+  def mmrOracleSql(nQueries: Int = 5, candK: Int = 20, k: Int = 5): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM c),
+         |q AS (SELECT vec_id AS query_id, v AS qv, nm AS qn FROM n WHERE vec_id < $nQueries),
+         |scored AS (
+         |  SELECT query_id, n.vec_id AS cand_id, list_dot_product(qv, v) / (qn * nm) AS cos
+         |  FROM q JOIN n ON n.vec_id <> q.query_id),
+         |cands AS MATERIALIZED (
+         |  SELECT query_id, cand_id, CAST(round(cos * 1e6) AS BIGINT) AS rel
+         |  FROM (SELECT query_id, cand_id, cos,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS r
+         |        FROM scored) t
+         |  WHERE r <= $candK),
+         |sims AS MATERIALIZED (
+         |  SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
+         |    CAST(round(list_dot_product(va.v, vb.v) / (va.nm * vb.nm) * 1e6) AS BIGINT) AS sim
+         |  FROM cands a JOIN cands b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id
+         |  JOIN n va ON va.vec_id = a.cand_id
+         |  JOIN n vb ON vb.vec_id = b.cand_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT query_id, cand_id, CAST(1 AS INTEGER) AS rank, rel AS mmr_micro
+         |  FROM (SELECT query_id, cand_id, rel,
+         |          row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+         |        FROM cands) t WHERE rn = 1)""".stripMargin)
+    for (step <- 2 to k) {
+      val prev = s"sel${step - 1}"
+      sb.append(
+        s""",
+           |pick$step AS MATERIALIZED (
+           |  SELECT query_id, cand_id, CAST($step AS INTEGER) AS rank, mmr_micro
+           |  FROM (SELECT r.query_id, r.cand_id, r.rel - m.maxsim AS mmr_micro,
+           |          row_number() OVER (PARTITION BY r.query_id
+           |            ORDER BY (r.rel - m.maxsim) DESC, r.cand_id) AS rn
+           |        FROM cands r
+           |        JOIN (SELECT s.query_id, s.id_a AS cand_id, max(s.sim) AS maxsim
+           |              FROM sims s JOIN $prev p
+           |                ON p.query_id = s.query_id AND p.cand_id = s.id_b
+           |              GROUP BY 1, 2) m
+           |          ON m.query_id = r.query_id AND m.cand_id = r.cand_id
+           |        WHERE NOT EXISTS (SELECT 1 FROM $prev p
+           |          WHERE p.query_id = r.query_id AND p.cand_id = r.cand_id)) t
+           |  WHERE rn = 1),
+           |sel$step AS MATERIALIZED (
+           |  SELECT * FROM $prev UNION ALL SELECT * FROM pick$step)""".stripMargin)
+    }
+    sb.append(s"\nSELECT query_id, rank, cand_id, mmr_micro FROM sel$k ORDER BY query_id, rank")
+    sb.toString
+  }
+
+  /** Source-diversified top-k: exact cosine retrieval under a
+    * per-source quota (at most `perSource` results from any one
+    * `documents.source` value) — the "don't fill the context window
+    * from one crawl domain" serving rule. Two windowed ranks: within
+    * (query, source) by score to enforce the quota, then global by
+    * score for the final k. Exact on the surviving candidates, hence
+    * fully oracled.
+    *
+    * Scale: same broadcast-query corpus scan as emb_knn; the quota
+    * window shuffles (query_id, source)-keyed scored rows — at corpus
+    * scale the candidate relation would be an ANN leg's bounded top-N,
+    * so the windows run over serving-sized, not corpus-sized, data. */
+  def diverseTopK(spark: SparkSession, dir: String, nQueries: Int = 5,
+                  perSource: Int = 1, k: Int = 5): DataFrame = {
+    val all = corpus(spark, dir)
+    val src = Tables(spark, dir, "documents")
+      .select(col("doc_id").as("cand_id"), col("source"))
+    val q = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val scored = all
+      .select(col("vec_id").as("cand_id"), col("vec").as("cv"), col("norm").as("cn"))
+      .join(broadcast(q), col("query_id") =!= col("cand_id"))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .join(src, Seq("cand_id"))
+    val bySrc = Window.partitionBy("query_id", "source")
+      .orderBy(col("cos").desc, col("cand_id"))
+    val overall = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("src_rank", row_number().over(bySrc))
+      .filter(col("src_rank") <= perSource)
+      .withColumn("rank", row_number().over(overall))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("source"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   def hybridRrf(spark: SparkSession, dir: String, nQueries: Int = 5,
                 legK: Int = 20, k: Int = 5, rrfK: Int = 60): DataFrame = {
     val all = corpus(spark, dir)

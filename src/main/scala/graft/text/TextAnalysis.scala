@@ -80,6 +80,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII detection + redaction — the scrub pass every training-data
+    * pipeline runs before release (email / phone / IPv4 here; the
+    * pattern set is the pluggable part, the relational shape is the
+    * operator). The synthetic corpus carries no PII, so a
+    * deterministic planting step derives PII spans from doc_id FIRST —
+    * in both engines identically — and the operator under test is the
+    * detect/count/redact/fingerprint pass over the augmented text.
+    * Output per doc: match counts per category, redacted length, and
+    * an md5 fingerprint of the redacted text (so the gate pins the
+    * exact redacted STRING, not just counts).
+    *
+    * Engine portability: patterns stay in the char-class + bounded-
+    * quantifier subset that Java regex (Spark) and RE2 (DuckDB) agree
+    * on — no backreferences, no lookaround, no \b. Replacement order
+    * (email → phone → ip) matters only if patterns overlap; these
+    * cannot (the email class breaks on '@'-less spans, placeholders
+    * contain no digits).
+    *
+    * Scale: pure per-row map work — regex count + three chained
+    * regexp_replace, all codegen'd, zero shuffles before the ordered
+    * output; at 100 TB this is scan-bound and embarrassingly parallel,
+    * exactly like the reference's per-row F-functions. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOn(Tables(spark, dir, "documents"))
+
+  def piiRedactOn(docs: DataFrame): DataFrame = {
+    val emailRe = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,6}"
+    val phoneRe = "555-[0-9]{4}"
+    val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val aug = docs.withColumn("aug",
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0."), (col("doc_id") % 100).cast("string")))
+          .otherwise(lit(""))))
+    aug
+      .withColumn("n_email", size(regexp_extract_all(col("aug"), lit(emailRe), lit(0))))
+      .withColumn("n_phone", size(regexp_extract_all(col("aug"), lit(phoneRe), lit(0))))
+      .withColumn("n_ip", size(regexp_extract_all(col("aug"), lit(ipRe), lit(0))))
+      .withColumn("clean",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          ipRe, "<IP>"))
+      .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+        length(col("clean")).as("clean_len"),
+        substring(md5(col("clean")), 1, 16).as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition filters (Rae et al. 2021, arXiv:2112.11446
     * Table A1), word-level: these documents carry no line/paragraph
     * structure, so the repetition family collapses to the word n-gram

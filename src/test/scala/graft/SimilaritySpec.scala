@@ -268,4 +268,75 @@ class SimilaritySpec extends AnyFunSuite {
       assert(top >= 1.0 / 61.0 - 1e-6, s"query $q fused top-1 below dense-#1 floor: $top")
     }
   }
+
+  test("semantic keep-list collapses transitive chains and keeps singletons") {
+    // 2-D by angle, threshold cos >= 0.8 (~36.9°): 0°–30°–60° form a
+    // CHAIN (adjacent pairs at cos 0.866 pass, the 0°–60° endpoints at
+    // cos 0.5 do not) — the closure must still collapse all three to
+    // one component; 150° is everyone's stranger and keeps itself.
+    import math.Pi
+    def v(deg: Double) = Seq(math.cos(deg * Pi / 180), math.sin(deg * Pi / 180))
+    val c = corpusOf(0L -> v(0), 1L -> v(30), 2L -> v(60), 3L -> v(150))
+    val rows = Similarity.semanticKeepOn(c, threshold = 0.8).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_kept")))
+    assert(rows.toSeq === Seq((0L, 0L, true), (1L, 0L, false), (2L, 0L, false), (3L, 3L, true)))
+  }
+
+  test("LSH semantic keep matches the exact rung on planted near-identical dups") {
+    // near-identical vectors collide on nearly every hyperplane, so the
+    // bucketed candidate generator must recover the same components —
+    // and hence the same keep decisions — as the exact all-pairs rung.
+    val base = Seq(1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.0)
+    def jitter(eps: Double) = base.zipWithIndex.map { case (x, i) => x + (if (i == 0) eps else 0.0) }
+    val c = corpusOf(
+      100L -> base, 101L -> jitter(0.01), 102L -> jitter(-0.01),
+      1L -> Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      3L -> Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0))
+    def keeps(df: DataFrame): Seq[(Long, Long, Boolean)] = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_kept"))).toSeq
+    val exact = keeps(Similarity.semanticKeepOn(c, threshold = 0.95))
+    val lsh = keeps(Similarity.semanticKeepLshOn(c, threshold = 0.95, dims = 8))
+    assert(exact === lsh)
+    assert(exact.filter(!_._3).map(_._1).toSet === Set(101L, 102L),
+      s"expected the planted dups to fold into 100: $exact")
+  }
+
+  test("MMR re-rank: first pick is pure relevance, second pick trades rel for diversity") {
+    // q = id0. id1: best rel (~0.900); id2: same DIRECTION as id1
+    // (scaled copy -> pairwise sim 1.0) with the same rel; id3: lower
+    // rel (~0.851) but diverse (sim to id1 ~0.635). Under λ=0.5 the
+    // ×2-scaled objective is rel_micro − maxsim_micro: id2 scores
+    // ~0.9 − 1.0 < 0 while id3 scores ~0.851 − 0.635 > 0, so the
+    // greedy MUST jump to the diverse candidate at rank 2.
+    val c = corpusOf(
+      0L -> Seq(1.0, 0.0, 0.0),
+      1L -> Seq(0.9, 0.436, 0.0),
+      2L -> Seq(0.45, 0.218, 0.0),
+      3L -> Seq(0.85, -0.3, 0.43))
+    val out = Similarity.mmrRerankOn(c, nQueries = 1, candK = 3, k = 3).collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("cand_id")))
+    assert(out.toSeq === Seq((1, 1L), (2, 3L), (3, 2L)))
+  }
+
+  test("diversified top-k enforces the per-source quota and global score order") {
+    val out = Similarity.diverseTopK(spark, sf0001).collect()
+    // quota: no (query, source) appears twice
+    val bySrc = out.groupBy(r => (r.getAs[Long]("query_id"), r.getAs[String]("source")))
+    assert(bySrc.values.forall(_.length == 1),
+      s"per-source quota violated: ${bySrc.filter(_._2.length > 1).keys}")
+    // within each query, rank order == descending cos order
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos_sim"))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q scores not monotone in rank: ${byRank.toSeq}")
+    }
+    // the diversified top-1 IS the unconstrained top-1 (quota cannot
+    // bite before the first pick)
+    val exactTop = Similarity.bruteForceTopK(spark, sf0001, k = 1).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cand_id"))).toMap
+    out.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(exactTop(r.getAs[Long]("query_id")) === r.getAs[Long]("cand_id"))
+    }
+  }
 }

@@ -458,4 +458,28 @@ class TextSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     assert(cm.toSeq === cm2.toSeq)
   }
+
+  test("PII redaction: counts, exact redacted strings, and in-text PII detection") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // doc 0 plants all three categories (0 ≡ 0 mod 3, 5, 7); doc 1
+    // plants nothing but carries an IN-TEXT email the detector must
+    // find; doc 2 is clean end to end.
+    val docs = Seq(
+      (0L, "plain words here"),
+      (1L, "write to a.b-c@mail.co now"),
+      (2L, "nothing sensitive"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedactOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_email"), r.getAs[Int]("n_phone"), r.getAs[Int]("n_ip")),
+          r.getAs[Int]("clean_len"), r.getAs[String]("clean_fp"))).toMap
+    val clean0 = "plain words here contact <EMAIL> call <PHONE> from <IP>"
+    val clean1 = "write to <EMAIL> now"
+    val clean2 = "nothing sensitive"
+    assert(out(0L) === (((1, 1, 1), clean0.length, md5hex(clean0).take(16))))
+    assert(out(1L) === (((1, 0, 0), clean1.length, md5hex(clean1).take(16))))
+    assert(out(2L) === (((0, 0, 0), clean2.length, md5hex(clean2).take(16))))
+  }
 }

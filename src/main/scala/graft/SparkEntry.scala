@@ -41,6 +41,10 @@ object SparkEntry {
     // recency-weighted engagement; libm-free power-of-two decay
     "a_decay_engagement" -> ((s, d) => Temporal.decayedEngagementQuery(s, d)),
     "mix_rebalance" -> ((s, d) => TextAnalysis.mixRebalance(s, d)),
+    // DSIR importance weights: rank docs by hashed-unigram likelihood
+    // ratio vs the lang='en' target slice; per-bucket log-ratio in
+    // integer micros before the per-doc sum (order-free reduction)
+    "mix_dsir_weights" -> ((s, d) => TextAnalysis.dsirWeights(s, d)),
     // supervised ML as relational algebra: NB train+score+confusion
     "txt_nb_classify" -> ((s, d) => TextAnalysis.nbClassify(s, d)),
     // last-writer-wins change application (MERGE INTO kernel)
@@ -954,6 +958,32 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'orders', CAST(count(*) AS BIGINT), bit_xor(fp), min(fp), max(fp) FROM ofp
         |ORDER BY table_name""".stripMargin,
+    "mix_dsir_weights" ->
+      """WITH tf AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 256 AS INTEGER) AS bucket,
+        |    count(*) AS tf
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |srcb AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS sb FROM tf GROUP BY 1),
+        |tgtb AS (SELECT bucket, CAST(sum(tf) AS BIGINT) AS tb FROM tf WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(sum(sb) AS BIGINT) FROM srcb) AS s_tot,
+        |               (SELECT CAST(sum(tb) AS BIGINT) FROM tgtb) AS t_tot),
+        |lr AS (
+        |  SELECT s.bucket,
+        |    CAST(round(ln(
+        |      (coalesce(t.tb, 0) + CAST(0.5 AS DOUBLE)) * (tot.s_tot + CAST(128 AS DOUBLE))
+        |      / ((tot.t_tot + CAST(128 AS DOUBLE)) * (s.sb + CAST(0.5 AS DOUBLE)))
+        |    ) * 1e6) AS BIGINT) AS lr_micro
+        |  FROM srcb s LEFT JOIN tgtb t ON t.bucket = s.bucket CROSS JOIN tot),
+        |sc AS (
+        |  SELECT tf.doc_id, CAST(sum(tf.tf * lr.lr_micro) AS BIGINT) AS score_micro
+        |  FROM tf JOIN lr ON lr.bucket = tf.bucket GROUP BY 1)
+        |SELECT rank, doc_id, score_micro FROM (
+        |  SELECT doc_id, score_micro,
+        |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS INTEGER) AS rank
+        |  FROM sc) t
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "mix_rebalance" ->
       """WITH by_src AS (
         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars_before

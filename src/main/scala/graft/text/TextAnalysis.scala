@@ -1104,6 +1104,65 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every document by how much its hashed-unigram distribution
+    * looks like a TARGET domain relative to the raw corpus — the
+    * principled replacement for per-source keep-rates when the
+    * "domain" is defined by content, not provenance. Target here =
+    * the lang='en' slice; features = the same md5 % dim hashed
+    * buckets as [[featureHash]].
+    *
+    * score(d) = Σ_b tf_db · log( p̂_target(b) / p̂_source(b) ) with
+    * add-0.5 smoothing on both distributions. Engine-exactness: the
+    * per-bucket log-ratio is ONE libm log of ONE exactly-rounded
+    * IEEE quotient of exact doubles (counts + 0.5 — the lift lesson),
+    * rounded to integer micros BEFORE the per-doc sum, so the
+    * reduction is associative and order-free (the BM25 discipline)
+    * and the ranking is engine-deterministic.
+    *
+    * Scale: the feature relation shuffles (doc_id, bucket) ids once;
+    * both distributions reduce it to dim-sized relations (256 rows —
+    * config-sized, broadcast); the per-doc score is one partial+final
+    * hash agg over the tf relation with the log-ratio mapped in via a
+    * broadcast join. Top-N lands via sort+limit, not a global window,
+    * so nothing single-partitions before the bounded head. */
+  def dsirWeights(spark: SparkSession, dir: String, dim: Int = 256,
+                  topN: Int = 100): DataFrame =
+    dsirWeightsOn(Tables(spark, dir, "documents"), dim, topN)
+
+  def dsirWeightsOn(docs: DataFrame, dim: Int = 256, topN: Int = 100): DataFrame = {
+    val tf = docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+      .withColumn("bucket",
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % dim).cast("int"))
+      .groupBy("doc_id", "lang", "bucket")
+      .agg(count(lit(1)).as("tf"))
+    val srcB = tf.groupBy("bucket").agg(sum("tf").as("sb"))
+    val tgtB = tf.filter(col("lang") === "en")
+      .groupBy("bucket").agg(sum("tf").as("tb"))
+    val totals = srcB.agg(sum("sb").as("s_tot"))
+      .crossJoin(tgtB.agg(sum("tb").as("t_tot")))
+    val half = dim / 2.0 // 0.5 * dim, exact in double
+    val lr = srcB.join(tgtB, Seq("bucket"), "left")
+      .na.fill(0L, Seq("tb"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr_micro",
+        round(log((col("tb") + lit(0.5)) * (col("s_tot") + lit(half)) /
+          ((col("t_tot") + lit(half)) * (col("sb") + lit(0.5)))) * lit(1e6)).cast("long"))
+      .select("bucket", "lr_micro")
+    val scored = tf.join(broadcast(lr), "bucket")
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("lr_micro")).as("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(topN)
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_micro").desc, col("doc_id"))))
+      .select(col("rank"), col("doc_id"), col("score_micro"))
+      .orderBy("rank")
+  }
+
   /** Multinomial Naive Bayes classifier — supervised ML expressed
     * PURELY as relational algebra: the train/score/evaluate loop of a
     * classic distributed text classifier with no ML library, no UDF,

@@ -482,4 +482,28 @@ class TextSpec extends AnyFunSuite {
     assert(out(1L) === (((1, 0, 0), clean1.length, md5hex(clean1).take(16))))
     assert(out(2L) === (((0, 0, 0), clean2.length, md5hex(clean2).take(16))))
   }
+
+  test("DSIR weights rank target-vocabulary docs above mixed and off-target docs") {
+    // target (en) speaks {alpha beta gamma}; off-target (de) speaks
+    // {zeta eta theta}; doc 4 mixes both. Token counts are inflated
+    // (60/doc) so the add-0.5·dim smoothing term cannot drown the
+    // signal the way it would on a 5-token toy corpus.
+    val docs = Seq(
+      (0L, List.fill(20)("alpha beta gamma").mkString(" "), "en"),
+      (1L, List.fill(20)("alpha beta gamma").mkString(" "), "en"),
+      (2L, List.fill(20)("zeta eta theta").mkString(" "), "de"),
+      (3L, List.fill(20)("zeta eta theta").mkString(" "), "de"),
+      (4L, List.fill(10)("alpha beta zeta eta").mkString(" "), "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.dsirWeightsOn(docs, topN = 5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("rank"), r.getAs[Long]("score_micro")))).toMap
+    // identical target docs tie on score -> doc_id breaks the tie
+    assert(out(0L)._1 === 1 && out(1L)._1 === 2)
+    assert(out(0L)._2 === out(1L)._2)
+    assert(out(4L)._1 === 3, s"mixed doc should sit between: $out")
+    assert(out(2L)._1 === 4 && out(3L)._1 === 5)
+    // signs: target docs positive, off-target negative
+    assert(out(0L)._2 > 0 && out(2L)._2 < 0 && out(4L)._2 < 0)
+  }
 }

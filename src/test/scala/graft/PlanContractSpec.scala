@@ -356,4 +356,28 @@ class PlanContractSpec extends AnyFunSuite {
     assert(bnl.forall(l => "ta#\\d+ < tb#\\d+".r.findFirstIn(l).isDefined),
       s"a non-pair BNL join appeared (hash relation leaked into a loop join):\n${bnl.mkString("\n")}")
   }
+
+  test("PII scrub is join-free map work: one exchange (the output sort), no join") {
+    val p = plan("txt_pii_redact")
+    assert(!p.contains("Join"), s"PII scrub must plan no join:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, // range exchange for the sort (+AQE read)
+      s"PII scrub should shuffle nothing but the ordered output:\n$p")
+  }
+
+  test("DSIR weights: bucket side tables broadcast into the corpus aggregation") {
+    val p = plan("mix_dsir_weights")
+    assert(!p.contains("CartesianProduct"), s"dsir plans a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the dim-sized log-ratio relation must broadcast into the tf join:\n$p")
+  }
+
+  test("diversified/semantic/MMR retrieval additions plan no cartesian products") {
+    // (the query-side broadcast nested loop of the exact candidate
+    // scan is the sanctioned emb_knn shape; CartesianProduct is not)
+    for (n <- Seq("search_topk_diverse", "emb_semantic_keep_lsh", "emb_mmr_rerank")) {
+      val p = plan(n)
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product:\n$p")
+    }
+  }
 }

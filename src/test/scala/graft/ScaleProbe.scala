@@ -217,7 +217,15 @@ object ScaleProbe {
       // round-9: frontier-relaxation SSSP (per-round join is on the
       // changed set, not the settled set) and the tolerance-exit
       // PageRank/PPR pair (round count is data-driven)
-      "graph_sssp_delta", "graph_pagerank_tol", "graph_ppr_tol")
+      "graph_sssp_delta", "graph_pagerank_tol", "graph_ppr_tol",
+      // round-9 second batch: the PII scrub (pure map — the flattest
+      // expected row), DSIR scoring (bucket-bounded side tables +
+      // one corpus agg), the semantic-dedup pair (exact audit rung is
+      // O(n²) BY CONTRACT vs the LSH production sibling), MMR
+      // (bounded per-query work over the exact candidate scan), and
+      // quota-diversified retrieval (same scan + two windows)
+      "txt_pii_redact", "mix_dsir_weights", "emb_semantic_keep",
+      "emb_semantic_keep_lsh", "emb_mmr_rerank", "search_topk_diverse")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state

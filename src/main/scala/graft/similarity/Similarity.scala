@@ -699,11 +699,20 @@ object Similarity {
       mode = "append")
   }
 
-  def ivfpqServedTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
-                      nProbe: Int = 8, nlist: Int = 0, m: Int = 16, ksub: Int = 16): DataFrame = {
+  /** Ensure the persisted IVFADC index for `dir` exists in the catalog
+    * and return its prefix — the handle batch AND streaming serving
+    * callers probe (build-once contract; see ivfpqBuildIndex). */
+  def ensureIndex(spark: SparkSession, dir: String, nlist: Int = 0,
+                  m: Int = 16, ksub: Int = 16): String = {
     val prefix = indexPrefix(dir, nlist, m, ksub)
     if (!spark.catalog.tableExists(s"${prefix}_codes"))
       ivfpqBuildIndex(corpus(spark, dir), prefix, nlist, m, ksub)
+    prefix
+  }
+
+  def ivfpqServedTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
+                      nProbe: Int = 8, nlist: Int = 0, m: Int = 16, ksub: Int = 16): DataFrame = {
+    val prefix = ensureIndex(spark, dir, nlist, m, ksub)
     ivfpqServeIndex(spark, prefix, queriesOf(corpus(spark, dir), nQueries), k, nProbe)
   }
 

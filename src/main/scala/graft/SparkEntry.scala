@@ -308,9 +308,11 @@ object SparkEntry {
     // exist); SimilaritySpec replays the fusion in Scala bit-for-bit
     // and bounds fused recall against the exact-dense hybrid
     "search_hybrid_served" -> ((s, d) => Similarity.hybridServed(s, d)),
-    // rows-only by nature: hyperplane LSH has recall < 1 by
-    // construction, so no exact SQL oracle exists; SimilaritySpec bounds
-    // its recall against the oracled brute-force top-k.
+    // FULLY oracled despite recall < 1: the fixed-resolution (4×8)
+    // hyperplane family is deterministic, so the oracle interpolates
+    // the coefficients as literals and replays bucketing + candidate
+    // join + exact re-rank bit-for-bit (Similarity.lshOracleSql); the
+    // auto-scaled LSH ops stay rows-only (corpus-dependent planes)
     "emb_lsh_topk" -> ((s, d) => Similarity.lshTopK(s, d)),
     // rows-only by nature: the k-means coarse quantizer is not
     // SQL-expressible; SimilaritySpec proves nProbe=nlist degenerates
@@ -2459,6 +2461,7 @@ object SparkEntry {
         |FROM n LEFT JOIN comp ON comp.vec_id = n.vec_id
         |ORDER BY n.vec_id""".stripMargin,
     "emb_mmr_rerank" -> Similarity.mmrOracleSql(),
+    "emb_lsh_topk" -> Similarity.lshOracleSql(),
     "search_topk_diverse" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM c),

@@ -203,6 +203,48 @@ object Similarity {
               nPlanes: Int = 4, nTables: Int = 8, dims: Int = 64): DataFrame =
     lshTopKOn(corpus(spark, dir), nQueries, k, nPlanes, nTables, dims)
 
+  /** DuckDB replay of [[lshTopKOn]] at its FIXED default resolution
+    * (4 planes × 8 tables): the deterministic hyperplane coefficients
+    * are interpolated as SQL literals (Double.toString round-trips
+    * bit-exactly; DuckDB parses correctly rounded), so the oracle
+    * reproduces the sign-pattern bucketing — and hence the candidate
+    * set and the exact re-rank — bit-for-bit. This upgrades the LSH
+    * top-k from rows-only to fully oracled. Only legitimate at FIXED
+    * resolution: the occupancy-auto-scaled operators (emb_near_dup,
+    * emb_semantic_keep_lsh) derive their plane count from the corpus
+    * size, so a literal-coefficient oracle would silently pin the
+    * resolution the round-7 probe proved must float — they stay
+    * rows-only with recall/parity specs instead. */
+  def lshOracleSql(nQueries: Int = 5, k: Int = 3, nPlanes: Int = 4,
+                   nTables: Int = 8, dims: Int = 64): String = {
+    def lits(plane: Int): String =
+      (0 until dims).map(d => planeComponent(plane, d).toString).mkString("[", ", ", "]")
+    val tableSelects = (0 until nTables).map { t =>
+      val bits = (0 until nPlanes).map { p =>
+        s"(CASE WHEN list_dot_product(v, ${lits(t * nPlanes + p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"  SELECT vec_id, $t AS tbl,\n    $bits AS bucket FROM n"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM c),
+       |b AS MATERIALIZED (
+       |$tableSelects),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, cb.vec_id AS cand_id
+       |  FROM b q JOIN b cb ON q.tbl = cb.tbl AND q.bucket = cb.bucket
+       |  WHERE q.vec_id < $nQueries AND q.vec_id <> cb.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.cand_id,
+       |    list_dot_product(qv.v, cv.v) / (qv.nm * cv.nm) AS cos
+       |  FROM cand JOIN n qv ON qv.vec_id = cand.query_id
+       |  JOIN n cv ON cv.vec_id = cand.cand_id)
+       |SELECT query_id, rank, cand_id, round(cos, 4) AS cos_sim FROM (
+       |  SELECT query_id, cand_id, cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+       |  FROM scored) t
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** nlist ≈ 4√n, the standard IVF re-listing rule, clamped so every
     * list keeps ≥ ~32 vectors (k-means with more centroids than the
     * data supports degenerates) and floored at the historical 16 so

@@ -273,9 +273,10 @@ object SparkEntry {
     // both engines) -> detect/count/redact/fingerprint; the gate pins
     // the exact redacted string via its md5 prefix
     "txt_pii_redact" -> ((s, d) => TextAnalysis.piiRedact(s, d)),
-    // rows-only by nature: language ID is a scored n-gram heuristic with
-    // no SQL-oracle ground truth; TextSpec asserts per-language
-    // classification on labeled fixtures instead.
+    // fully oracled after all: the heuristic is deterministic
+    // relational scoring (stopword-hit counts + (score DESC, lang
+    // DESC) argmax), so the oracle replays the profile table and the
+    // tie-break exactly; TextSpec keeps the labeled-fixture checks
     "txt_lang_id" -> ((s, d) => TextAnalysis.languageId(s, d)),
     // --- dedup (north star) ---
     "dedup_exact" -> ((s, d) => Dedup.exactDedup(s, d)),
@@ -2123,6 +2124,7 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_lang_id" -> TextAnalysis.langIdOracleSql,
     // Chunk replay: DuckDB list slicing is 1-based INCLUSIVE-end, so
     // [k*step+1 : k*step+size] is exactly Spark's slice(toks,
     // k*step+1, size); k ranges over 0..(n-1) div step.

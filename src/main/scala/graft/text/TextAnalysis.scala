@@ -241,6 +241,30 @@ object TextAnalysis {
   def languageId(spark: SparkSession, dir: String): DataFrame =
     languageIdOn(Tables(spark, dir, "documents"))
 
+  /** DuckDB replay of [[languageIdOn]]: the "heuristic" is in fact
+    * deterministic relational scoring — stopword-hit counts per
+    * profile and a (score DESC, lang DESC) argmax (Spark's greatest-
+    * over-structs tie semantics made explicit) — so it oracles
+    * exactly. The profile table is generated from [[langProfiles]] so
+    * the two sides cannot drift. */
+  def langIdOracleSql: String = {
+    val profileRows = langProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      s"('$lang', [${ws.map(w => s"'$w'").mkString(", ")}])"
+    }.mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang AS labeled_lang, string_split(text, ' ') AS t FROM documents),
+       |s AS (
+       |  SELECT doc_id, labeled_lang, p.cand,
+       |    CAST(len(list_filter(t, x -> list_contains(p.words, x))) AS INTEGER) AS score
+       |  FROM toks CROSS JOIN (VALUES
+       |    $profileRows) p(cand, words))
+       |SELECT doc_id, cand AS predicted_lang, score, labeled_lang FROM (
+       |  SELECT doc_id, labeled_lang, cand, score,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand DESC) AS rn
+       |  FROM s) t
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+  }
+
   /** Document fingerprinting: md5 content hash (exact-dup key) plus a
     * 64-bit xxhash. A rolling-hash (Rabin-Karp over shingles) variant
     * is in Dedup.ngramShingles. */

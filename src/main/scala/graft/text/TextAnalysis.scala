@@ -1155,25 +1155,55 @@ object TextAnalysis {
                   topN: Int = 100): DataFrame =
     dsirWeightsOn(Tables(spark, dir, "documents"), dim, topN)
 
-  def dsirWeightsOn(docs: DataFrame, dim: Int = 256, topN: Int = 100): DataFrame = {
-    val tf = docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+  /** (doc_id, lang, bucket, tf) hashed-unigram feature relation —
+    * shared by the log-ratio training and the per-doc scoring. */
+  private def dsirTf(docs: DataFrame, dim: Int): DataFrame =
+    docs.select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
       .withColumn("bucket",
         (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % dim).cast("int"))
       .groupBy("doc_id", "lang", "bucket")
       .agg(count(lit(1)).as("tf"))
+
+  /** Per-bucket integer-micro log ratios ln(p̂_target/p̂_source) from a
+    * tf relation — the trained DSIR "model" (dim-sized by contract). */
+  private def dsirLogRatiosFromTf(tf: DataFrame, dim: Int): DataFrame = {
     val srcB = tf.groupBy("bucket").agg(sum("tf").as("sb"))
     val tgtB = tf.filter(col("lang") === "en")
       .groupBy("bucket").agg(sum("tf").as("tb"))
     val totals = srcB.agg(sum("sb").as("s_tot"))
       .crossJoin(tgtB.agg(sum("tb").as("t_tot")))
     val half = dim / 2.0 // 0.5 * dim, exact in double
-    val lr = srcB.join(tgtB, Seq("bucket"), "left")
+    srcB.join(tgtB, Seq("bucket"), "left")
       .na.fill(0L, Seq("tb"))
       .crossJoin(broadcast(totals))
       .withColumn("lr_micro",
         round(log((col("tb") + lit(0.5)) * (col("s_tot") + lit(half)) /
           ((col("t_tot") + lit(half)) * (col("sb") + lit(0.5)))) * lit(1e6)).cast("long"))
       .select("bucket", "lr_micro")
+  }
+
+  /** The trained DSIR model in driver form for broadcast into
+    * streaming/scoring expressions: (bucket -> lr_micro) plus the
+    * unseen-bucket default (tb = sb = 0 ⇒ ln((S+δ)/(T+δ))). The
+    * collect is dim-sized (256 rows) — config-scale by contract, the
+    * same class as the K-row k-means/BPE collects. */
+  def dsirModel(docs: DataFrame, dim: Int = 256): (Map[Int, Long], Long) = {
+    val tf = dsirTf(docs, dim).localCheckpoint()
+    val lr = dsirLogRatiosFromTf(tf, dim).collect()
+      .map(r => r.getAs[Int]("bucket") -> r.getAs[Long]("lr_micro")).toMap
+    val half = dim / 2.0
+    val Array(sTot, tTot) = {
+      val r = tf.agg(sum("tf").as("s"),
+        sum(when(col("lang") === "en", col("tf")).otherwise(lit(0L))).as("t")).head()
+      Array(r.getAs[Long]("s"), r.getAs[Long]("t"))
+    }
+    val default = math.round(math.log((sTot + half) / (tTot + half)) * 1e6)
+    (lr, default)
+  }
+
+  def dsirWeightsOn(docs: DataFrame, dim: Int = 256, topN: Int = 100): DataFrame = {
+    val tf = dsirTf(docs, dim)
+    val lr = dsirLogRatiosFromTf(tf, dim)
     val scored = tf.join(broadcast(lr), "bucket")
       .groupBy("doc_id")
       .agg(sum(col("tf") * col("lr_micro")).as("score_micro"))

@@ -1,0 +1,165 @@
+package graft.serving
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+
+import graft.functions.Crypto
+import graft.operators.Events
+
+/** Minimal REST serving facade over the engine's query surface — the
+  * reference's front door (Rest_webservice/app/routers.py, main.py:11)
+  * rebuilt with ZERO web-framework dependencies: the JDK's built-in
+  * com.sun.net.httpserver carries HTTP, graft.functions.Crypto signs /
+  * verifies the HS256 JWTs (security.py:34-58), the fixed-window rate
+  * limiter reproduces rate_limit.py:37-53's in-memory fallback
+  * semantics exactly (count per (resource, ip, window = now/per),
+  * deny once count reaches burst, window expiry by id), and responses
+  * carry routers.py's HATEOAS `_links` shape.
+  *
+  * Routes (subset demonstrating every cross-cutting concern — auth,
+  * roles, rate limit, HATEOAS, engine-backed analytics):
+  *   GET  /health                                  -> {"status":"ok"}
+  *   POST /auth/login    {"email":..,"password":..} -> bearer JWT
+  *   GET  /users                    admin + rate-limited, _links
+  *   GET  /analytics/frequent-pairs admin + rate-limited (J1 query)
+  *   GET  /analytics/top-events     admin + rate-limited (A3 query)
+  *
+  * Serving posture: the analytics relations are computed ONCE (lazily,
+  * on first request) by the engine and cached as rendered JSON — a
+  * serving layer reads precomputed relations; it does not launch a
+  * distributed job per GET. Everything analytical remains an oracled
+  * engine query (j1_frequent_pairs, a3_top_event_types); this file is
+  * presentation only, which is why it lives outside the operator
+  * packages and carries no oracle of its own (RestServerSpec drives
+  * it end-to-end over HTTP instead).
+  */
+class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secret",
+                 clock: () => Long = () => System.currentTimeMillis()) {
+
+  // --- seeded users (the reference's app-owned users table; PBKDF2
+  // exactly as security.py hash_password) ---
+  private val salt = "graft-salt".getBytes(UTF_8)
+  private case class User(id: Long, email: String, passwordHash: String, role: String)
+  private val users = Seq(
+    User(1L, "admin@example.com", Crypto.pbkdf2Sha256("admin-pw", salt, 1000, 32), "admin"),
+    User(2L, "user@example.com", Crypto.pbkdf2Sha256("user-pw", salt, 1000, 32), "user"))
+
+  // --- fixed-window rate limiter (rate_limit.py:46-53 in-mem path) ---
+  private val rlCounts = new ConcurrentHashMap[String, AtomicInteger]()
+  private def rateAllow(resource: String, ip: String, perMs: Long, burst: Int): Boolean = {
+    val window = clock() / perMs
+    val key = s"rl:$resource:$ip:$window"
+    // opportunistic prune of dead windows keeps the map O(live keys)
+    rlCounts.keySet.removeIf(k => k.substring(k.lastIndexOf(':') + 1).toLong < window - 1)
+    val n = rlCounts.computeIfAbsent(key, _ => new AtomicInteger(0))
+    n.incrementAndGet() <= burst
+  }
+
+  // --- engine-backed analytics, computed once and served as JSON ---
+  private lazy val frequentPairsJson: String = {
+    val rows = Events.frequentPairs(spark, dir, minSupport = 5L).collect()
+    rows.map(r => s"""{"pair":${js(s"${r.getString(0)},${r.getString(1)}")},"support":${r.getLong(2)}}""")
+      .mkString("[", ",", "]")
+  }
+  private lazy val topEventsJson: String = {
+    val rows = Events.topEventTypes(spark, dir).collect()
+    rows.map(r => s"""{"event_type":${js(r.getString(0))},"n":${r.getLong(1)}}""")
+      .mkString("[", ",", "]")
+  }
+
+  private def js(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def userLinks(uid: Long): String =
+    s"""{"self":{"href":"/users/$uid"},"events":{"href":"/users/$uid/events"},""" +
+      s""""update":{"href":"/users/$uid","method":"PUT"},"delete":{"href":"/users/$uid","method":"DELETE"}}"""
+
+  // --- JWT helpers (claims parse only our own compact payloads) ---
+  private def issueToken(u: User): String =
+    Crypto.jwtSign(
+      s"""{"sub":${js(u.email)},"uid":${u.id},"role":${js(u.role)},"exp":${clock() / 1000 + 3600}}""",
+      secret)
+  private def claimOf(payload: String, name: String): Option[String] =
+    s""""$name":"([^"]*)"""".r.findFirstMatchIn(payload).map(_.group(1))
+  private def bearerRole(ex: HttpExchange): Option[String] = for {
+    auth <- Option(ex.getRequestHeaders.getFirst("Authorization"))
+    token <- auth.split(' ') match { case Array("Bearer", t) => Some(t); case _ => None }
+    payload <- Crypto.jwtVerify(token, secret)
+    exp <- """"exp":(\d+)""".r.findFirstMatchIn(payload).map(_.group(1).toLong)
+    if exp > clock() / 1000
+    role <- claimOf(payload, "role")
+  } yield role
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  /** 401 without a valid admin token, 429 past the burst, else 200. */
+  private def guarded(ex: HttpExchange, resource: String, burst: Int)(ok: => String): Unit = {
+    val ip = ex.getRemoteAddress.getAddress.getHostAddress
+    bearerRole(ex) match {
+      case None => respond(ex, 401, """{"detail":"Not authenticated"}""")
+      case Some(role) if role != "admin" => respond(ex, 403, """{"detail":"Forbidden"}""")
+      case Some(_) =>
+        if (!rateAllow(resource, ip, perMs = 1000L, burst = burst))
+          respond(ex, 429, """{"detail":"Rate limit exceeded"}""")
+        else respond(ex, 200, ok)
+    }
+  }
+
+  private var server: HttpServer = _
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+    server.createContext("/health", (ex: HttpExchange) =>
+      respond(ex, 200, """{"status":"ok"}"""))
+    server.createContext("/auth/login", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val cred = for {
+        email <- claimOf(body, "email")
+        pw <- claimOf(body, "password")
+        u <- users.find(_.email == email)
+        if Crypto.verifyPassword(pw, salt, 1000, u.passwordHash)
+      } yield u
+      cred match {
+        case Some(u) =>
+          respond(ex, 200, s"""{"access_token":${js(issueToken(u))},"token_type":"bearer"}""")
+        case None => respond(ex, 401, """{"detail":"Invalid credentials"}""")
+      }
+    })
+    server.createContext("/users", (ex: HttpExchange) =>
+      guarded(ex, "users:get", burst = 10) {
+        val items = users.map(u =>
+          s"""{"id":${u.id},"email":${js(u.email)},"role":${js(u.role)},"_links":${userLinks(u.id)}}""")
+          .mkString("[", ",", "]")
+        s"""{"data":$items,"_links":{"self":{"href":"/users"}}}"""
+      })
+    server.createContext("/analytics/frequent-pairs", (ex: HttpExchange) =>
+      guarded(ex, "analytics:pairs", burst = 8) {
+        s"""{"data":$frequentPairsJson,"_links":{"self":{"href":"/analytics/frequent-pairs"}}}"""
+      })
+    server.createContext("/analytics/top-events", (ex: HttpExchange) =>
+      guarded(ex, "analytics:top", burst = 8) {
+        s"""{"data":$topEventsJson,"_links":{"self":{"href":"/analytics/top-events"}}}"""
+      })
+    server.setExecutor(null)
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+}

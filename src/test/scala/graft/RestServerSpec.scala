@@ -1,0 +1,79 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.serving.RestServer
+
+/** End-to-end HTTP coverage of the REST facade: health, JWT login,
+  * role enforcement, the fixed-window rate limiter's burst/deny/reset
+  * behavior, HATEOAS links, and engine-backed analytics payloads. */
+class RestServerSpec extends AnyFunSuite {
+  import SparkTestSession.{spark, sf0001}
+
+  private val client = HttpClient.newHttpClient()
+  private def get(port: Int, path: String, token: Option[String] = None): HttpResponse[String] = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+    token.foreach(t => b.header("Authorization", s"Bearer $t"))
+    client.send(b.GET().build(), HttpResponse.BodyHandlers.ofString())
+  }
+  private def post(port: Int, path: String, body: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+  private def tokenOf(resp: HttpResponse[String]): String =
+    """"access_token":"([^"]+)"""".r.findFirstMatchIn(resp.body).get.group(1)
+
+  test("health, login, roles, HATEOAS, and engine-backed analytics over real HTTP") {
+    val srv = new RestServer(spark, sf0001)
+    val port = srv.start()
+    try {
+      assert(get(port, "/health").statusCode() === 200)
+
+      // bad credentials -> 401; good -> bearer token
+      assert(post(port, "/auth/login",
+        """{"email":"admin@example.com","password":"wrong"}""").statusCode() === 401)
+      val adminTok = tokenOf(post(port, "/auth/login",
+        """{"email":"admin@example.com","password":"admin-pw"}"""))
+      val userTok = tokenOf(post(port, "/auth/login",
+        """{"email":"user@example.com","password":"user-pw"}"""))
+
+      // role enforcement: no token 401, non-admin 403, admin 200
+      assert(get(port, "/users").statusCode() === 401)
+      assert(get(port, "/users", Some(userTok)).statusCode() === 403)
+      val usersResp = get(port, "/users", Some(adminTok))
+      assert(usersResp.statusCode() === 200)
+      assert(usersResp.body.contains(""""_links""""), "HATEOAS links present")
+      assert(usersResp.body.contains(""""href":"/users/1""""))
+
+      // engine-backed analytics: payload mirrors the oracled queries
+      val pairs = get(port, "/analytics/frequent-pairs", Some(adminTok))
+      assert(pairs.statusCode() === 200)
+      val expectedPairs = graft.operators.Events.frequentPairs(spark, sf0001, 5L).count()
+      assert(""""pair":""".r.findAllIn(pairs.body).length === expectedPairs.toInt)
+      val top = get(port, "/analytics/top-events", Some(adminTok))
+      assert(""""event_type":""".r.findAllIn(top.body).length === 5)
+
+      // tampered token -> 401
+      assert(get(port, "/users", Some(adminTok.dropRight(2) + "xx")).statusCode() === 401)
+    } finally srv.stop()
+  }
+
+  test("fixed-window rate limiter: burst cap, 429 deny, reset on the next window") {
+    var now = 1000000000000L
+    val srv = new RestServer(spark, sf0001, clock = () => now)
+    val port = srv.start()
+    try {
+      val tok = tokenOf(post(port, "/auth/login",
+        """{"email":"admin@example.com","password":"admin-pw"}"""))
+      // burst = 10 on /users: 10 pass, the 11th in the same window is denied
+      val codes = (1 to 11).map(_ => get(port, "/users", Some(tok)).statusCode())
+      assert(codes.take(10).forall(_ == 200), s"first 10 must pass: $codes")
+      assert(codes.last === 429, s"11th must be denied: $codes")
+      // next window (now // per advances) -> counter resets
+      now += 1000L
+      assert(get(port, "/users", Some(tok)).statusCode() === 200)
+    } finally srv.stop()
+  }
+}

@@ -260,6 +260,9 @@ object SparkEntry {
     // on the shared n-gram fingerprint relation
     "txt_substring_dup" -> ((s, d) => TextAnalysis.substringDupQuery(s, d)),
     "txt_decontaminate" -> ((s, d) => TextAnalysis.decontaminateQuery(s, d)),
+    // span-level masking: the exact token intervals overlapping the
+    // benchmark, merged by gaps-and-islands — mask these, keep the doc
+    "txt_mask_spans" -> ((s, d) => TextAnalysis.maskContaminationQuery(s, d)),
     // same semantics behind a broadcast Bloom pre-filter (the runtime-
     // filter pattern): clean grams die before the join; exact verify
     // removes Bloom false positives, so the oracle is shared verbatim
@@ -2236,6 +2239,34 @@ object SparkEntry {
         |FROM grams JOIN bench USING (fp)
         |WHERE doc_id % 10 != 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "txt_mask_spans" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, i AS widx, md5(array_to_string(toks[i:i+12], ' ')) AS fp
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM tok WHERE len(toks) >= 13)),
+        |bench AS (SELECT DISTINCT fp FROM grams WHERE doc_id % 10 = 0),
+        |hits AS (
+        |  SELECT doc_id, widx, widx + 12 AS wend
+        |  FROM grams JOIN bench USING (fp)
+        |  WHERE doc_id % 10 != 0),
+        |isl AS (
+        |  SELECT doc_id, widx, wend,
+        |    CASE WHEN widx > coalesce(max(wend) OVER (PARTITION BY doc_id ORDER BY widx
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2147483648) + 1
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM hits),
+        |isl2 AS (
+        |  SELECT doc_id, widx, wend,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY widx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |  FROM isl)
+        |SELECT doc_id, CAST(min(widx) AS INTEGER) AS span_start,
+        |  CAST(max(wend) AS INTEGER) AS span_end,
+        |  CAST(max(wend) - min(widx) + 1 AS INTEGER) AS span_tokens
+        |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin,
     // Bloom pre-filter + exact verify ≡ exact semi-join (no false
     // negatives; false positives removed by the verify join), so the
     // oracle is the exact path's SQL verbatim.

@@ -834,6 +834,46 @@ object TextAnalysis {
   def decontaminateQuery(spark: SparkSession, dir: String): DataFrame =
     decontaminate(Tables(spark, dir, "documents"))
 
+  /** Span-level contamination MASKING — the surgical refinement of
+    * [[decontaminate]]: instead of dropping every contaminated
+    * document whole, emit the exact token spans that overlap the
+    * benchmark so the pipeline can mask (zero-loss-weight) just those
+    * tokens and keep the rest of the document. Each benchmark-hit
+    * window [widx, widx+w−1] is an interval; overlapping or adjacent
+    * intervals merge into maximal spans by gaps-and-islands (running
+    * max of prior ends over the per-doc widx order — a new island
+    * starts where widx jumps past prev_end + 1). One row per masked
+    * span: (doc_id, span_start, span_end, span_tokens), 1-based
+    * inclusive token positions.
+    *
+    * Scale: identical join shape to decontaminate (benchmark grams
+    * are eval-set-sized and broadcast); the islands pass adds one
+    * (doc_id)-partitioned window over the HIT rows only — hits are
+    * contamination-sized, not corpus-sized. */
+  def maskContamination(docs: DataFrame, w: Int = 13, benchEvery: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = ngramFingerprints(docs, w)
+    val benchFps = grams.filter(pmod(col("doc_id"), lit(benchEvery)) === 0)
+      .select("fp").distinct()
+    val hits = grams.filter(pmod(col("doc_id"), lit(benchEvery)) =!= 0)
+      .join(benchFps, "fp")
+      .select(col("doc_id"), col("widx"), (col("widx") + lit(w - 1)).as("wend"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("widx")
+    val prevEnd = max(col("wend")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      .withColumn("new_island",
+        when(col("widx") > coalesce(prevEnd, lit(Int.MinValue)) + 1, 1).otherwise(0))
+      .withColumn("island", sum(col("new_island")).over(byDoc))
+      .groupBy("doc_id", "island")
+      .agg(min(col("widx")).as("span_start"), max(col("wend")).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_tokens"))
+      .orderBy("doc_id", "span_start")
+  }
+
+  def maskContaminationQuery(spark: SparkSession, dir: String): DataFrame =
+    maskContamination(Tables(spark, dir, "documents"))
+
   /** Bloom-pre-filtered decontamination — same semantics as
     * [[decontaminate]] (exact same output, same oracle), different
     * scale shape. The exact path streams EVERY corpus w-gram through

@@ -483,6 +483,24 @@ class TextSpec extends AnyFunSuite {
     assert(out(2L) === (((0, 0, 0), clean2.length, md5hex(clean2).take(16))))
   }
 
+  test("contamination span masking merges overlapping windows and splits disjoint regions") {
+    // w=3: a shared 4-token phrase at positions p..p+3 produces hit
+    // windows p and p+1, which must MERGE into one span [p, p+3].
+    // doc 0 is the benchmark (0 mod 10); doc 1 carries the phrase
+    // twice, separated by >w unique tokens -> exactly two spans.
+    val phrase = "alpha beta gamma delta"
+    val docs = Seq(
+      (0L, s"$phrase filler0"),
+      (1L, s"u1 u2 $phrase m1 m2 m3 m4 m5 $phrase t1 t2"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.maskContamination(docs, w = 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("span_start"),
+        r.getAs[Int]("span_end"), r.getAs[Int]("span_tokens")))
+    // doc 1 tokens: u1 u2 alpha beta gamma delta m1..m5 alpha beta gamma delta t1 t2
+    // phrase 1 at 3..6 -> windows 3,4 -> span [3,6]; phrase 2 at 12..15 -> span [12,15]
+    assert(out.toSeq === Seq((1L, 3, 6, 4), (1L, 12, 15, 4)))
+  }
+
   test("DSIR weights rank target-vocabulary docs above mixed and off-target docs") {
     // target (en) speaks {alpha beta gamma}; off-target (de) speaks
     // {zeta eta theta}; doc 4 mixes both. Token counts are inflated

@@ -225,7 +225,10 @@ object ScaleProbe {
       // (bounded per-query work over the exact candidate scan), and
       // quota-diversified retrieval (same scan + two windows)
       "txt_pii_redact", "mix_dsir_weights", "emb_semantic_keep",
-      "emb_semantic_keep_lsh", "emb_mmr_rerank", "search_topk_diverse")
+      "emb_semantic_keep_lsh", "emb_mmr_rerank", "search_topk_diverse",
+      // span masking shares decontaminate's join shape; its islands
+      // window runs over hit rows only
+      "txt_mask_spans")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state

@@ -232,6 +232,9 @@ object SparkEntry {
     // the full composition: keepers x quality MINUS holdout MINUS
     // contamination — the manifest that actually ships to training
     "txt_pipeline_manifest" -> ((s, d) => TextAnalysis.pipelineManifest(s, d)),
+    // cross-modality composition: the manifest further gated by the
+    // embedding-side semantic-dedup keepers
+    "txt_manifest_semantic" -> ((s, d) => TextAnalysis.pipelineManifestSemantic(s, d)),
     // within-doc sliding chunker (64-token windows, 16 overlap)
     "txt_chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlapQuery(s, d)),
     // tf × ln(N/df) keyword extraction, top-3 per doc
@@ -2175,6 +2178,53 @@ object SparkEntry {
         |  SELECT DISTINCT doc_id FROM grams JOIN bench USING (fp) WHERE doc_id % 10 != 0)
         |SELECT k.doc_id, k.n_tokens, k.type_token_ratio
         |FROM kept k LEFT JOIN contaminated c ON k.doc_id = c.doc_id
+        |WHERE c.doc_id IS NULL
+        |ORDER BY k.doc_id""".stripMargin,
+    "txt_manifest_semantic" ->
+      """WITH RECURSIVE keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    round(CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS stopword_ratio,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS type_token_ratio
+        |  FROM documents),
+        |kept AS (
+        |  SELECT q.doc_id, q.n_tokens, q.type_token_ratio
+        |  FROM q JOIN keepers USING (doc_id)
+        |  WHERE q.n_tokens >= 20 AND q.stopword_ratio <= 0.2 AND q.doc_id % 10 != 0),
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS fp
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM tok WHERE len(toks) >= 13)),
+        |bench AS (SELECT DISTINCT fp FROM grams WHERE doc_id % 10 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM grams JOIN bench USING (fp) WHERE doc_id % 10 != 0),
+        |ec AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |en AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM ec),
+        |ep AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS w2
+        |  FROM en a JOIN en b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= CAST(0.3 AS DOUBLE)),
+        |ee AS (SELECT u, w2 FROM ep UNION ALL SELECT w2, u FROM ep),
+        |reach(u, w2) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM ee) s
+        |  UNION
+        |  SELECT r.u, e.w2 FROM reach r JOIN ee e ON e.u = r.w2),
+        |comp AS (SELECT u AS vec_id, min(w2) AS keep_id FROM reach GROUP BY u),
+        |sem_kept AS (
+        |  SELECT en.vec_id AS doc_id FROM en LEFT JOIN comp ON comp.vec_id = en.vec_id
+        |  WHERE coalesce(comp.keep_id, en.vec_id) = en.vec_id)
+        |SELECT k.doc_id, k.n_tokens, k.type_token_ratio
+        |FROM kept k
+        |JOIN sem_kept s ON s.doc_id = k.doc_id
+        |LEFT JOIN contaminated c ON k.doc_id = c.doc_id
         |WHERE c.doc_id IS NULL
         |ORDER BY k.doc_id""".stripMargin,
     "txt_curation_keep" ->

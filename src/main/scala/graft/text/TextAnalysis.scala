@@ -393,6 +393,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Cross-MODALITY manifest: [[pipelineManifest]] further intersected
+    * with the embedding-side semantic-dedup keepers
+    * (Similarity.semanticKeep — lowest vec_id per cosine-threshold
+    * component). Pins the composition where text-side and
+    * embedding-side curation meet: a doc survives only if it is an
+    * exact-dedup keeper, passes quality, is not holdout, shares no
+    * 13-gram with the holdout, AND is its embedding component's
+    * canonical representative. Each leg is independently oracled; this
+    * query gates their JOIN ORDER and key identification
+    * (vec_id ≡ doc_id in the testdata contract). */
+  def pipelineManifestSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val semKept = graft.similarity.Similarity.semanticKeep(spark, dir)
+      .filter(col("is_kept"))
+      .select(col("vec_id").as("doc_id"))
+    pipelineManifest(spark, dir).join(semKept, Seq("doc_id")).orderBy("doc_id")
+  }
+
   /** Vocabulary build + OOV accounting: corpus token counts → top-V
     * vocabulary (count DESC, token ASC — the tie-break makes the
     * boundary deterministic) → per-document out-of-vocabulary rate.

@@ -483,6 +483,18 @@ class TextSpec extends AnyFunSuite {
     assert(out(2L) === (((0, 0, 0), clean2.length, md5hex(clean2).take(16))))
   }
 
+  test("semantic manifest == text manifest ∩ embedding keepers (set identity)") {
+    val manifest = TextAnalysis.pipelineManifest(spark, sf0001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val semKept = graft.similarity.Similarity.semanticKeep(spark, sf0001).collect()
+      .filter(_.getAs[Boolean]("is_kept")).map(_.getAs[Long]("vec_id")).toSet
+    val got = TextAnalysis.pipelineManifestSemantic(spark, sf0001).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(got === (manifest intersect semKept))
+    assert(got.nonEmpty, "empty results validate nothing")
+    assert(got !== manifest, "the semantic gate must actually remove something here")
+  }
+
   test("contamination span masking merges overlapping windows and splits disjoint regions") {
     // w=3: a shared 4-token phrase at positions p..p+3 produces hit
     // windows p and p+1, which must MERGE into one span [p, p+3].

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators.{BlockMatch, Canny, Components, Ellipse, Events, Graph, HMRF, Hough, Motion, Recommend, Relational, Temporal, Vision}
-import graft.sources.{Avi, ImageSource}
+import graft.sources.{AudioSource, Avi, ImageSource}
 import graft.text.TextAnalysis
 import graft.dedup.Dedup
 import graft.similarity.Similarity
@@ -201,6 +201,11 @@ object SparkEntry {
     // per-source totals; ids/sizes/source all cross the container
     "warc_roundtrip" -> ((s, d) => graft.sources.Warc.roundtripQuery(s, d)),
     // S11 container leg: real RIFF/AVI bytes -> frames (lossless DIB)
+    // audio modality: RMS + zero-crossing features over tumbling
+    // windows of the synthesized sine clips; testdata-independent, so
+    // the oracle VALUE-PINS the 64 constant rows (the u4/avi pattern)
+    "audio_window_features" -> ((s, _) => AudioSource.windowFeatures(
+      AudioSource.samples(AudioSource.syntheticClips(s)), 256).orderBy("clip_id", "win")),
     "avi_decode_stats" -> ((s, _) => Avi.aviDecodeStatsQuery(s)),
     // MJPEG leg, oracled by driver-side same-decoder literal injection
     // (see Avi.mjpegDecodeStatsOracleSql)
@@ -2392,6 +2397,76 @@ object SparkEntry {
         |  count(*) AS tf
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "audio_window_features" ->
+      """SELECT CAST(c AS INTEGER) AS clip_id, CAST(w AS BIGINT) AS win,
+        |  CAST(n AS BIGINT) AS n_samples, CAST(r AS DOUBLE) AS rms,
+        |  CAST(z AS BIGINT) AS zero_crossings
+        |FROM (VALUES
+        |    (0, 0, 256, 5640.3878, 7),
+        |    (0, 1, 256, 5641.0159, 7),
+        |    (0, 2, 256, 5642.6859, 7),
+        |    (0, 3, 256, 5645.1661, 7),
+        |    (0, 4, 256, 5648.3554, 7),
+        |    (0, 5, 256, 5652.0828, 7),
+        |    (0, 6, 256, 5656.0454, 7),
+        |    (0, 7, 256, 5660.0617, 7),
+        |    (0, 8, 256, 5663.8373, 7),
+        |    (0, 9, 256, 5667.111, 7),
+        |    (0, 10, 256, 5669.7685, 7),
+        |    (0, 11, 256, 5671.5692, 7),
+        |    (0, 12, 256, 5672.3804, 7),
+        |    (0, 13, 256, 5672.2566, 7),
+        |    (0, 14, 256, 5671.1002, 7),
+        |    (0, 15, 256, 5669.0038, 7),
+        |    (1, 0, 256, 5661.3798, 10),
+        |    (1, 1, 256, 5620.8679, 11),
+        |    (1, 2, 256, 5717.0965, 10),
+        |    (1, 3, 256, 5577.9168, 11),
+        |    (1, 4, 256, 5739.8194, 10),
+        |    (1, 5, 256, 5577.6732, 11),
+        |    (1, 6, 256, 5717.549, 10),
+        |    (1, 7, 256, 5620.2653, 11),
+        |    (1, 8, 256, 5662.0303, 10),
+        |    (1, 9, 256, 5682.0156, 11),
+        |    (1, 10, 256, 5602.9067, 11),
+        |    (1, 11, 256, 5729.3893, 10),
+        |    (1, 12, 256, 5572.5405, 11),
+        |    (1, 13, 256, 5737.2727, 10),
+        |    (1, 14, 256, 5587.8873, 11),
+        |    (1, 15, 256, 5701.533, 10),
+        |    (2, 0, 256, 5640.5293, 14),
+        |    (2, 1, 256, 5643.1211, 14),
+        |    (2, 2, 256, 5649.0035, 14),
+        |    (2, 3, 256, 5656.7314, 14),
+        |    (2, 4, 256, 5664.4006, 14),
+        |    (2, 5, 256, 5670.102, 14),
+        |    (2, 6, 256, 5672.4297, 14),
+        |    (2, 7, 256, 5670.8144, 14),
+        |    (2, 8, 256, 5665.6736, 14),
+        |    (2, 9, 256, 5658.2404, 14),
+        |    (2, 10, 256, 5650.3599, 14),
+        |    (2, 11, 256, 5644.0013, 14),
+        |    (2, 12, 256, 5640.7341, 14),
+        |    (2, 13, 256, 5641.3488, 15),
+        |    (2, 14, 256, 5645.7117, 14),
+        |    (2, 15, 256, 5652.7541, 14),
+        |    (3, 0, 256, 5661.2323, 17),
+        |    (3, 1, 256, 5623.7608, 18),
+        |    (3, 2, 256, 5704.1075, 17),
+        |    (3, 3, 256, 5611.3232, 18),
+        |    (3, 4, 256, 5681.1664, 17),
+        |    (3, 5, 256, 5661.2323, 18),
+        |    (3, 6, 256, 5623.7608, 18),
+        |    (3, 7, 256, 5704.1075, 17),
+        |    (3, 8, 256, 5611.3232, 18),
+        |    (3, 9, 256, 5681.1664, 17),
+        |    (3, 10, 256, 5661.2323, 18),
+        |    (3, 11, 256, 5623.7608, 18),
+        |    (3, 12, 256, 5704.1075, 17),
+        |    (3, 13, 256, 5611.3232, 18),
+        |    (3, 14, 256, 5681.1664, 17),
+        |    (3, 15, 256, 5661.2323, 18)) t(c, w, n, r, z)
+        |ORDER BY clip_id, win""".stripMargin,
     "txt_pii_redact" ->
       """WITH aug AS (
         |  SELECT doc_id,

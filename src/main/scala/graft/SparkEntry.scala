@@ -206,6 +206,10 @@ object SparkEntry {
     // the oracle VALUE-PINS the 64 constant rows (the u4/avi pattern)
     "audio_window_features" -> ((s, _) => AudioSource.windowFeatures(
       AudioSource.samples(AudioSource.syntheticClips(s)), 256).orderBy("clip_id", "win")),
+    // tone detection: Goertzel bin-energy argmax per clip; each clip
+    // must recover its own synthesis frequency (value-pinned oracle)
+    "audio_dominant_freq" -> ((s, _) => AudioSource.dominantFreq(
+      AudioSource.samples(AudioSource.syntheticClips(s)))),
     "avi_decode_stats" -> ((s, _) => Avi.aviDecodeStatsQuery(s)),
     // MJPEG leg, oracled by driver-side same-decoder literal injection
     // (see Avi.mjpegDecodeStatsOracleSql)
@@ -2397,6 +2401,12 @@ object SparkEntry {
         |  count(*) AS tf
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "audio_dominant_freq" ->
+      """SELECT CAST(c AS INTEGER) AS clip_id, CAST(f AS INTEGER) AS dominant_hz,
+        |  CAST(m AS DOUBLE) AS margin_db
+        |FROM (VALUES
+        |    (0, 220, 44.39), (1, 330, 43.43), (2, 440, 46.0), (3, 550, 44.88)) t(c, f, m)
+        |ORDER BY clip_id""".stripMargin,
     "audio_window_features" ->
       """SELECT CAST(c AS INTEGER) AS clip_id, CAST(w AS BIGINT) AS win,
         |  CAST(n AS BIGINT) AS n_samples, CAST(r AS DOUBLE) AS rms,

@@ -74,6 +74,45 @@ object AudioSource {
           1L).otherwise(0L)).as("zero_crossings"))
   }
 
+  /** Dominant-frequency detection per clip (Goertzel/DFT-bin energy
+    * over a candidate set — the tone-detection "feature extract" step
+    * of an audio pipeline): for each candidate f, the bin power is
+    * (Σ s_i·cos θ_i)² + (Σ s_i·sin θ_i)² with θ = 2πf·i/rate; the
+    * clip's dominant frequency is the argmax bin, ties to the lowest
+    * frequency. Per-term products are rounded to integer MICROS before
+    * the sums (the BM25 discipline), so the reductions are associative
+    * and order-free — the emitted powers are deterministic under any
+    * partitioning, which is what lets the oracle value-pin them.
+    *
+    * Scale: candidates explode map-side (|cands| rows per sample),
+    * then ONE partial+final hash agg per (clip, f) — linear in
+    * samples, and the argmax window runs over |cands| rows per clip. */
+  def dominantFreq(samples: DataFrame,
+                   candidates: Seq[Double] = Seq(220.0, 330.0, 440.0, 550.0)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val binPowers = samples
+      .withColumn("f", explode(array(candidates.map(lit): _*)))
+      .withColumn("theta",
+        lit(2 * math.Pi) * col("f") * col("sample_idx") / col("sample_rate"))
+      .withColumn("cs_micro", round(col("amp") * cos(col("theta")) * lit(1e6)).cast("long"))
+      .withColumn("sn_micro", round(col("amp") * sin(col("theta")) * lit(1e6)).cast("long"))
+      .groupBy("clip_id", "f")
+      .agg(sum("cs_micro").as("cs"), sum("sn_micro").as("sn"))
+      .withColumn("power",
+        (col("cs") / lit(1e6)) * (col("cs") / lit(1e6)) +
+          (col("sn") / lit(1e6)) * (col("sn") / lit(1e6)))
+    val byPower = Window.partitionBy("clip_id").orderBy(col("power").desc, col("f"))
+    val ranked = binPowers.withColumn("rk", row_number().over(byPower))
+    val best = ranked.filter(col("rk") === 1)
+      .select(col("clip_id"), col("f").as("dominant_hz"), col("power").as("p1"))
+    val second = ranked.filter(col("rk") === 2)
+      .select(col("clip_id"), col("power").as("p2"))
+    best.join(second, "clip_id")
+      .select(col("clip_id"), col("dominant_hz").cast("int").as("dominant_hz"),
+        round(log10(col("p1") / col("p2")) * lit(10.0), 2).as("margin_db"))
+      .orderBy("clip_id")
+  }
+
   /** Synthesize a mono 16-bit WAV: clip k is a sine at (220 + 110·k) Hz,
     * amplitude 8000, 16 kHz — zero-crossing counts recover ~2·f/windows. */
   def synthesize(freqHz: Double, nSamples: Int, sampleRate: Int = 16000,

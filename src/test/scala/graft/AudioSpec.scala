@@ -31,6 +31,17 @@ class AudioSpec extends AnyFunSuite {
     }
   }
 
+  test("Goertzel bin argmax recovers each clip's synthesis frequency with clear margin") {
+    val clips = AudioSource.syntheticClips(spark)
+    val out = AudioSource.dominantFreq(AudioSource.samples(clips)).collect()
+      .map(r => r.getAs[Int]("clip_id") ->
+        ((r.getAs[Int]("dominant_hz"), r.getAs[Double]("margin_db")))).toMap
+    for (k <- 0 until 4) {
+      assert(out(k)._1 === 220 + 110 * k, s"clip $k detected ${out(k)._1}")
+      assert(out(k)._2 > 20.0, s"clip $k margin ${out(k)._2} dB too thin to trust")
+    }
+  }
+
   test("area downsample averages blocks; stride sample picks every Nth pixel") {
     import spark.implicits._
     val px = (for (y <- 0 until 4; x <- 0 until 4) yield (0, y, x, y * 4 + x))

@@ -244,6 +244,9 @@ object SparkEntry {
     // cross-modality composition: the manifest further gated by the
     // embedding-side semantic-dedup keepers
     "txt_manifest_semantic" -> ((s, d) => TextAnalysis.pipelineManifestSemantic(s, d)),
+    // per-source data card: docs/tokens/PII/quality/dup/kept counts —
+    // all integers, composing five oracled families per source
+    "txt_corpus_report" -> ((s, d) => TextAnalysis.corpusReport(s, d)),
     // within-doc sliding chunker (64-token windows, 16 overlap)
     "txt_chunk_overlap" -> ((s, d) => TextAnalysis.chunkOverlapQuery(s, d)),
     // tf × ln(N/df) keyword extraction, top-3 per doc
@@ -2189,6 +2192,66 @@ object SparkEntry {
         |FROM kept k LEFT JOIN contaminated c ON k.doc_id = c.doc_id
         |WHERE c.doc_id IS NULL
         |ORDER BY k.doc_id""".stripMargin,
+    "txt_corpus_report" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END
+        |    AS aug
+        |  FROM documents),
+        |piic AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(aug, '[a-z0-9._%-]+@[a-z0-9.-]+\.[a-z]{2,6}')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(aug, '555-[0-9]{4}')) AS BIGINT)
+        |    + CAST(len(regexp_extract_all(aug, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_pii
+        |  FROM aug),
+        |q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |    round(CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')), 4) AS stopword_ratio
+        |  FROM documents),
+        |keepers AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
+        |kept AS (
+        |  SELECT q.doc_id
+        |  FROM q JOIN keepers USING (doc_id)
+        |  WHERE q.n_tokens >= 20 AND q.stopword_ratio <= 0.2 AND q.doc_id % 10 != 0),
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS fp
+        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 12)) AS i
+        |        FROM tok WHERE len(toks) >= 13)),
+        |bench AS (SELECT DISTINCT fp FROM grams WHERE doc_id % 10 = 0),
+        |contaminated AS (
+        |  SELECT DISTINCT doc_id FROM grams JOIN bench USING (fp) WHERE doc_id % 10 != 0),
+        |manifest AS (
+        |  SELECT k.doc_id FROM kept k LEFT JOIN contaminated c ON k.doc_id = c.doc_id
+        |  WHERE c.doc_id IS NULL),
+        |base AS (
+        |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents)
+        |SELECT b.source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(b.n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(p.n_pii) AS BIGINT) AS n_pii,
+        |  CAST(sum(CASE WHEN q.n_tokens >= 20 AND q.stopword_ratio <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+        |  CAST(sum(CASE WHEN kk.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+        |  CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM base b
+        |JOIN piic p USING (doc_id)
+        |JOIN q USING (doc_id)
+        |LEFT JOIN keepers kk ON kk.doc_id = b.doc_id
+        |LEFT JOIN manifest m ON m.doc_id = b.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "txt_manifest_semantic" ->
       """WITH RECURSIVE keepers AS (
         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),

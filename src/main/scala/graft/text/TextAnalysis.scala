@@ -410,6 +410,55 @@ object TextAnalysis {
     pipelineManifest(spark, dir).join(semKept, Seq("doc_id")).orderBy("doc_id")
   }
 
+  /** Per-source corpus DATA CARD — the accounting table a dataset
+    * release ships: for every provenance source, document and token
+    * counts, PII span totals (from the scrub), quality-gate pass
+    * count, exact-duplicate count (docs that are not their own
+    * fingerprint keeper), and how many documents actually survive the
+    * full curation manifest. Every column composes an already-oracled
+    * family, so this query gates the per-source GROUPING of all of
+    * them at once; all outputs are integers — nothing float ever
+    * reaches the gate.
+    *
+    * Scale: each leg reduces to (doc_id, small ints) before the
+    * source join; the wide text column is consumed independently
+    * inside each leg exactly as its standalone query does. */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val base = docs.select(col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_toks"))
+    val pii = piiRedact(spark, dir)
+      .select(col("doc_id"),
+        (col("n_email") + col("n_phone") + col("n_ip")).cast("long").as("n_pii"))
+    val quality = qualityScores(spark, dir)
+      .select(col("doc_id"),
+        when(col("quality_class") === "ok", 1L).otherwise(0L).as("q_ok"))
+    val keepers = docs
+      .groupBy(graft.dedup.Dedup.fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keeper_id"))
+    val dupFlag = docs
+      .select(col("doc_id"), graft.dedup.Dedup.fingerprint(col("text")).as("fp"))
+      .join(keepers, "fp")
+      .select(col("doc_id"),
+        when(col("doc_id") =!= col("keeper_id"), 1L).otherwise(0L).as("is_dup"))
+    val kept = pipelineManifest(spark, dir)
+      .select(col("doc_id"), lit(1L).as("in_manifest"))
+    base
+      .join(pii, "doc_id")
+      .join(quality, "doc_id")
+      .join(dupFlag, "doc_id")
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        sum("n_pii").as("n_pii"),
+        sum("q_ok").as("n_quality_ok"),
+        sum("is_dup").as("n_exact_dup"),
+        sum(coalesce(col("in_manifest"), lit(0L))).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** Vocabulary build + OOV accounting: corpus token counts → top-V
     * vocabulary (count DESC, token ASC — the tie-break makes the
     * boundary deterministic) → per-document out-of-vocabulary rate.

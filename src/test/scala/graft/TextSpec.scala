@@ -483,6 +483,22 @@ class TextSpec extends AnyFunSuite {
     assert(out(2L) === (((0, 0, 0), clean2.length, md5hex(clean2).take(16))))
   }
 
+  test("corpus report columns reconcile with their standalone families") {
+    val rep = TextAnalysis.corpusReport(spark, sf0001).collect()
+    val totDocs = rep.map(_.getAs[Long]("n_docs")).sum
+    assert(totDocs === Tables(spark, sf0001, "documents").count())
+    val totKept = rep.map(_.getAs[Long]("n_kept")).sum
+    assert(totKept === TextAnalysis.pipelineManifest(spark, sf0001).count())
+    val totOk = rep.map(_.getAs[Long]("n_quality_ok")).sum
+    assert(totOk === TextAnalysis.qualityScores(spark, sf0001)
+      .filter(col("quality_class") === "ok").count())
+    val totPii = rep.map(_.getAs[Long]("n_pii")).sum
+    assert(totPii === TextAnalysis.piiRedact(spark, sf0001)
+      .agg(sum(col("n_email") + col("n_phone") + col("n_ip"))).head().getLong(0))
+    assert(rep.forall(r => r.getAs[Long]("n_kept") <= r.getAs[Long]("n_quality_ok")),
+      "kept docs are a subset of quality-ok docs per source")
+  }
+
   test("semantic manifest == text manifest ∩ embedding keepers (set identity)") {
     val manifest = TextAnalysis.pipelineManifest(spark, sf0001).collect()
       .map(_.getAs[Long]("doc_id")).toSet

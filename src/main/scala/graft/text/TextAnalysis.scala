@@ -105,7 +105,13 @@ object TextAnalysis {
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
     piiRedactOn(Tables(spark, dir, "documents"))
 
-  def piiRedactOn(docs: DataFrame): DataFrame = {
+  def piiRedactOn(docs: DataFrame): DataFrame =
+    piiRedactRows(docs).orderBy("doc_id")
+
+  /** The per-row scrub without the terminal sort — stream-safe (used
+    * verbatim by streaming/StreamPii, so batch and stream CANNOT
+    * drift: same planting, same patterns, same fingerprint). */
+  def piiRedactRows(docs: DataFrame): DataFrame = {
     val emailRe = "[a-z0-9._%-]+@[a-z0-9.-]+\\.[a-z]{2,6}"
     val phoneRe = "555-[0-9]{4}"
     val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
@@ -135,7 +141,6 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
         length(col("clean")).as("clean_len"),
         substring(md5(col("clean")), 1, 16).as("clean_fp"))
-      .orderBy("doc_id")
   }
 
   /** Gopher-style repetition filters (Rae et al. 2021, arXiv:2112.11446

@@ -308,6 +308,10 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables(s, d, "documents"))),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(Tables(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables(s, d, "documents"))),
+    // O(delta) exact-dedup serving: delta keeper decisions against the
+    // persisted fp→keeper index must equal whole-corpus exact dedup —
+    // which is exactly what the oracle computes
+    "dedup_exact_served" -> ((s, d) => Dedup.exactServedQuery(s, d)),
     // --- similarity search (north star) ---
     "emb_knn_cosine" -> ((s, d) => Similarity.bruteForceTopK(s, d)),
     // hybrid RAG retrieval: sparse (shared-token) + dense (cosine) legs
@@ -2570,6 +2574,14 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(lower(trim(text))) AS content_md5, min(doc_id) AS keeper_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper_doc_id""".stripMargin,
+    "dedup_exact_served" ->
+      """WITH fps AS (
+        |  SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+        |keepers AS (SELECT fp, min(doc_id) AS keeper FROM fps GROUP BY fp)
+        |SELECT f.doc_id, k.keeper AS keeper_doc_id, k.keeper = f.doc_id AS is_kept
+        |FROM fps f JOIN keepers k USING (fp)
+        |WHERE f.doc_id % 10 = 9
+        |ORDER BY f.doc_id""".stripMargin,
     "dedup_minhash_sig" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,

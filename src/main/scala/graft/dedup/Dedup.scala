@@ -224,6 +224,74 @@ object Dedup {
   def minhashPairsServed(spark: SparkSession, table: String): DataFrame =
     pairsFromBands(spark.table(table), spark.table(table))
 
+  /** Persisted EXACT-dedup keeper index: (fp, keeper_id) written once,
+    * bucketed by fp — the exact-rung twin of the minhash band index.
+    * A live corpus probes and appends it in O(delta) instead of
+    * re-fingerprinting history nightly. */
+  def exactBuildIndex(docs: DataFrame, table: String, nBuckets: Int = 16): Unit = {
+    val spark = docs.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      // clear a previous JVM's orphaned location (ivfpqBuildIndex contract)
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+    graft.sources.Bucketed.writeBucketed(
+      docs.groupBy(fingerprint(col("text")).as("fp")).agg(min("doc_id").as("keeper_id")),
+      table, "fp", nBuckets)
+  }
+
+  /** Keeper decisions for a DELTA batch against the index, with
+    * UNION-corpus semantics: a delta doc's keeper is the global
+    * minimum doc_id of its fingerprint group across index ∪ delta
+    * (least of the index keeper and the delta's own per-fp min), so
+    * the decision is identical to running exactDedup over the whole
+    * corpus — regardless of how ids interleave. O(delta)
+    * fingerprinting; the index join is bucketed on fp (no index-side
+    * exchange). */
+  def exactServedKeep(spark: SparkSession, table: String, delta: DataFrame): DataFrame = {
+    val d = delta.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .localCheckpoint()
+    val dMin = d.groupBy("fp").agg(min("doc_id").as("delta_min"))
+    val idx = spark.table(table).select(col("fp"), col("keeper_id"))
+    d.join(dMin, "fp")
+      .join(idx, Seq("fp"), "left")
+      .select(col("doc_id"),
+        coalesce(least(col("keeper_id"), col("delta_min")), col("delta_min"))
+          .as("keeper_doc_id"))
+      .withColumn("is_kept", col("keeper_doc_id") === col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Append the delta's NEW fingerprints (left_anti on the index) with
+    * their delta-local keepers. Keeper-exactness after append relies
+    * on the immutable-increasing-id contract (delta ids are fresh and
+    * larger than every indexed id — the minhashAppendPairs contract);
+    * [[exactServedKeep]] itself needs no such ordering. */
+  def exactAppend(spark: SparkSession, table: String, delta: DataFrame,
+                  nBuckets: Int = 16): Unit = {
+    val d = delta.groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keeper_id"))
+    val fresh = d.join(spark.table(table).select("fp"), Seq("fp"), "left_anti")
+    graft.sources.Bucketed.writeBucketed(fresh, table, "fp", nBuckets, mode = "append")
+  }
+
+  /** Driver-surface form: index = docs with doc_id % 10 != 9 (built
+    * once per (dir, data fingerprint)), delta = the % 10 == 9 slice —
+    * keeper decisions must equal the whole-corpus exact dedup, which
+    * is what the SQL oracle checks directly. */
+  def exactServedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val fp = graft.Tables.dataFingerprint(s"$dir/documents.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$fp|exactfp".getBytes("UTF-8"))
+    val table = "graft_exactfp_" + md.take(5).map("%02x".format(_)).mkString
+    val docs = graft.Tables(spark, dir, "documents")
+    if (!spark.catalog.tableExists(table))
+      exactBuildIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 9), table)
+    exactServedKeep(spark, table, docs.filter(pmod(col("doc_id"), lit(10)) === 9))
+  }
+
   /** Duplicate-cluster resolution — the step AFTER pair generation in a
     * real dedup pipeline: LSH emits candidate PAIRS, but dedup acts on
     * CLUSTERS (the transitive closure: if a~b and b~c, keep one of

@@ -164,4 +164,33 @@ class DedupSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(pruned === brute)
   }
+
+  test("exact-dedup keeper index: served delta decisions == whole-corpus dedup; append keeps it current") {
+    import org.apache.spark.sql.functions.col
+    val table = "graft_test_exactfp"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val docs = Tables(spark, SparkTestSession.sf0001, "documents")
+    val old = docs.filter(col("doc_id") < 250)
+    val delta = docs.filter(col("doc_id") >= 250)
+    // whole-corpus truth: keeper = global min doc_id per fingerprint
+    val truth = docs.select(col("doc_id"), Dedup.fingerprint(col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val keeperOf = truth.groupBy(_._2).map { case (fp, xs) => fp -> xs.map(_._1).min }
+    val expect = truth.filter(_._1 >= 250)
+      .map { case (id, fp) => id -> ((keeperOf(fp), keeperOf(fp) == id)) }.toMap
+
+    Dedup.exactBuildIndex(old, table)
+    val got = Dedup.exactServedKeep(spark, table, delta).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keeper_doc_id"), r.getAs[Boolean]("is_kept")))).toMap
+    assert(got === expect, "served keeper decisions must equal whole-corpus exact dedup")
+
+    // after appending, a REPLAY of the same delta still matches (the
+    // index now contains the delta fps with their union keepers)
+    Dedup.exactAppend(spark, table, delta)
+    val replay = Dedup.exactServedKeep(spark, table, delta).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("keeper_doc_id"), r.getAs[Boolean]("is_kept")))).toMap
+    assert(replay === expect, "append must not change settled decisions (idempotent replay)")
+  }
 }

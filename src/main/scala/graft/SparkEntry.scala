@@ -382,6 +382,21 @@ object SparkEntry {
     // candidate edges from LSH buckets (recall < 1); SimilaritySpec
     // pins keep-decision parity with the exact rung on planted dups
     "emb_semantic_keep_lsh" -> ((s, d) => Similarity.semanticKeepLsh(s, d)),
+    // deterministic seeded Lloyd k-means (integer-micro distances,
+    // strided-rank init, int-sum updates) — engine-exact, so the
+    // clustering itself is hash-green: the oracle replays quantize ->
+    // seed -> assign -> update -> assign as unrolled CTEs
+    "emb_kmeans_clusters" -> ((s, d) => Similarity.kmeansClusters(s, d)),
+    // SemDeDup (cluster-then-dedup, arXiv:2303.09540): the keep
+    // decision over WITHIN-CLUSTER exact-cosine edges only — pair work
+    // n²/k instead of n², the published production path between the
+    // exact audit rung and the LSH rung; fully oracled because the
+    // deterministic k-means above is
+    "emb_semdedup_keep" -> ((s, d) => Similarity.semanticKeepClustered(s, d)),
+    // IVF probe semantics under a hash-green gate: same probe/re-rank
+    // plan as emb_ivf_topk but on the deterministic integer quantizer,
+    // so training + probing + re-rank replay bit-for-bit in SQL
+    "emb_ivf_det_topk" -> ((s, d) => Similarity.ivfDetTopK(s, d)),
     // MMR diversified re-rank over the exact top-20 candidates:
     // integer-micro rel/sim scores make the greedy argmax chain
     // engine-exact; the oracle replays all k picks as unrolled CTEs
@@ -2704,6 +2719,9 @@ object SparkEntry {
         |FROM n LEFT JOIN comp ON comp.vec_id = n.vec_id
         |ORDER BY n.vec_id""".stripMargin,
     "emb_mmr_rerank" -> Similarity.mmrOracleSql(),
+    "emb_kmeans_clusters" -> Similarity.kmeansOracleSql(),
+    "emb_semdedup_keep" -> Similarity.semdedupOracleSql(),
+    "emb_ivf_det_topk" -> Similarity.ivfDetOracleSql(),
     "emb_lsh_topk" -> Similarity.lshOracleSql(),
     "search_topk_diverse" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -1128,4 +1128,300 @@ object Similarity {
         round(col("rrf"), 6).as("rrf_score"))
       .orderBy("query_id", "rank")
   }
+
+  // ----- Deterministic Lloyd k-means + SemDeDup (cluster-then-dedup) -----
+  //
+  // The third rung of the semantic-dedup ladder. semanticKeepOn is the
+  // exact O(n²) audit rung; semanticKeepLsh is the bucketed candidate
+  // path; this is the published production shape (SemDeDup, Abbas et
+  // al. 2023, arXiv:2303.09540 §2: k-means-cluster the embeddings,
+  // then compare pairs ONLY within a cluster) — pair work drops from
+  // O(n²) to Σ|cluster|² ≈ n²/k, and with k grown as √n that is
+  // O(n^1.5), the same trade IVF makes for search. Unlike the spark.ml
+  // trainer behind IVF (sampled init, float sums), THIS k-means is
+  // engine-exact end to end, so the whole family oracles in DuckDB:
+  //  - element micros: m_d = floor(x_d·1e6 + 0.5) — float32→double is
+  //    exact, one IEEE multiply+add, identical in both engines;
+  //  - init: centroids = the k corpus vectors at strided global ranks
+  //    0, s, 2s, … (s = n div k) in vec_id order — rank-strided for
+  //    distribution coverage, no RNG;
+  //  - assignment: argmin over k centroids of the INTEGER squared L2
+  //    distance Σ(m_d − c_d)² (int64, exact, order-free), ties to the
+  //    lowest cluster_id;
+  //  - update: per-element int64 sums (associative, partial-agg-safe)
+  //    and one double division sum/cnt (two exactly-representable
+  //    integers → one correctly-rounded IEEE result), re-rounded to
+  //    micros; empty clusters keep their previous centroid.
+  //
+  // Scale: the global init rank is the packSequences two-phase scan
+  // (parallel per-partition row_number + broadcast base offsets —
+  // never a single-partition window); each Lloyd round is one
+  // broadcast nested-loop assignment scan (k centroid rows) and one
+  // (cluster, pos) sum shuffle of integer scalars; rounds are bounded
+  // (`iters`), lineage truncated per round. Fixed k=8/iters=2 at the
+  // gate is the oracle-able resolution (the emb_lsh_topk rule: only
+  // FIXED resolutions get literal-replay oracles); at corpus scale
+  // callers pass k ≈ √n and more rounds.
+
+  private def quantizeMicros(all: DataFrame): DataFrame =
+    all.select(col("vec_id"),
+      transform(col("vec"), x => floor(x * lit(1e6) + lit(0.5))).as("mv"))
+
+  /** k strided-rank seed centroids (cluster_id, cv): the vectors at
+    * global vec_id-order ranks 0, s, 2s, … with s = n div k. */
+  private def stridedInit(withM: DataFrame, k: Int): DataFrame = {
+    val spark = withM.sparkSession
+    val local = withM
+      .repartitionByRange(col("vec_id"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn",
+        row_number().over(Window.partitionBy("pid").orderBy("vec_id")).cast("long"))
+      .localCheckpoint()
+    val counts = local.groupBy("pid").agg(count(lit(1)).as("pcnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val stride = math.max(1L, n / k)
+    val bases = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+      .tail.zip(counts).map { case ((pid, after), (_, c)) => (pid, after - c) }
+    val baseDf = spark.createDataFrame(bases.toSeq).toDF("pid", "base")
+    local.join(broadcast(baseDf), Seq("pid"))
+      .withColumn("rn", col("base") + col("lrn"))
+      .filter(((col("rn") - 1) % stride) === 0)
+      .withColumn("cluster_id", ((col("rn") - 1) / stride).cast("int"))
+      .filter(col("cluster_id") < k)
+      .select(col("cluster_id"), col("mv").as("cv"))
+  }
+
+  /** One assignment pass: nearest centroid by integer squared L2,
+    * ties to the lowest cluster_id. Output (vec_id, cluster_id, mv). */
+  private def assignToCentroids(withM: DataFrame, cent: DataFrame): DataFrame =
+    withM.crossJoin(broadcast(cent))
+      .withColumn("d", aggregate(
+        zip_with(col("mv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .groupBy("vec_id")
+      .agg(min(struct(col("d"), col("cluster_id"))).as("best"),
+        first(col("mv")).as("mv"))
+      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"), col("mv"))
+
+  /** One Lloyd update: element-wise integer mean per cluster, rounded
+    * back to micros; clusters that lost every member keep `prev`. */
+  private def updateCentroids(assigned: DataFrame, prev: DataFrame): DataFrame = {
+    val fresh = assigned
+      .select(col("cluster_id"), posexplode(col("mv")).as(Seq("pos", "v")))
+      .groupBy("cluster_id", "pos")
+      .agg(sum("v").as("sm"), count(lit(1)).as("cnt"))
+      .select(col("cluster_id"), col("pos"),
+        floor(col("sm").cast("double") / col("cnt").cast("double") + lit(0.5)).as("cd"))
+      .groupBy("cluster_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("cd")))),
+        s => s.getField("cd")).as("cvf"))
+    prev.join(fresh, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), coalesce(col("cvf"), col("cv")).as("cv"))
+  }
+
+  /** Centroids after `iters − 1` Lloyd updates from the strided seed —
+    * exactly the table the final assignment pass reads. */
+  def kmeansCentroidsDet(all: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
+    val withM = quantizeMicros(all).localCheckpoint()
+    var cent = stridedInit(withM, k).localCheckpoint()
+    for (_ <- 1 until iters)
+      cent = updateCentroids(assignToCentroids(withM, cent), cent).localCheckpoint()
+    cent
+  }
+
+  /** Final deterministic assignment (vec_id, cluster_id, mv) after
+    * `iters` assignment rounds with Lloyd updates in between. */
+  def kmeansAssignOn(all: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
+    assignToCentroids(quantizeMicros(all), kmeansCentroidsDet(all, k, iters))
+
+  /** Gate query: per-vector cluster assignment plus the size of the
+    * assigned cluster — (vec_id, cluster_id, cluster_n). */
+  def kmeansClusters(spark: SparkSession, dir: String,
+                     k: Int = 8, iters: Int = 2): DataFrame = {
+    val assign = kmeansAssignOn(corpus(spark, dir), k, iters)
+      .select("vec_id", "cluster_id")
+    val sizes = assign.groupBy("cluster_id").agg(count(lit(1)).as("cluster_n"))
+    assign.join(broadcast(sizes), Seq("cluster_id"))
+      .select(col("vec_id"), col("cluster_id"), col("cluster_n"))
+      .orderBy("vec_id")
+  }
+
+  /** SemDeDup keep-list: the semanticKeepOn decision computed from
+    * WITHIN-CLUSTER exact-cosine edges only — the equality join on
+    * cluster_id bounds pair work at Σ|cluster|² instead of the audit
+    * rung's O(n²) broadcast nested loop. Same min-label closure, same
+    * (vec_id, keep_id, is_kept) relation; cross-cluster near-dups are
+    * the recall trade, measurable against semanticKeepOn by
+    * construction (SimilaritySpec pins planted-dup parity). */
+  def semanticKeepClusteredOn(all: DataFrame, threshold: Double = 0.3,
+                              k: Int = 8, iters: Int = 2): DataFrame = {
+    VectorExpressions.register(all.sparkSession)
+    val withC = all.join(
+      kmeansAssignOn(all, k, iters).select("vec_id", "cluster_id"), Seq("vec_id"))
+    val a = withC.select(col("cluster_id"), col("vec_id").as("u"),
+      col("vec").as("va"), col("norm").as("na"))
+    val b = withC.select(col("cluster_id"), col("vec_id").as("v"),
+      col("vec").as("vb"), col("norm").as("nb"))
+    val edges = a.join(b, Seq("cluster_id"))
+      .filter(col("u") < col("v"))
+      .withColumn("cos", ndot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("u", "v")
+    keepDecision(all, edges)
+  }
+
+  def semanticKeepClustered(spark: SparkSession, dir: String,
+                            threshold: Double = 0.3,
+                            k: Int = 8, iters: Int = 2): DataFrame =
+    semanticKeepClusteredOn(corpus(spark, dir), threshold, k, iters)
+
+  /** IVF top-k on the deterministic quantizer — the oracle-able IVF
+    * leg: identical probe/re-rank shape to ivfTopKOn (rank lists per
+    * query, probe `nProbe`, exact-cosine re-rank inside probed lists)
+    * but with list ranking in exact INTEGER centroid space, so the
+    * whole plan — training included — replays bit-for-bit in SQL.
+    * ivfTopKOn (spark.ml trainer, auto-nlist) stays the corpus-scale
+    * driver; this rung exists to put a hash-green gate under the IVF
+    * probe semantics themselves. */
+  def ivfDetTopKOn(all: DataFrame, nQueries: Int = 5, k: Int = 3,
+                   nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame = {
+    VectorExpressions.register(all.sparkSession)
+    val cent = kmeansCentroidsDet(all, nlist, iters).localCheckpoint()
+    val withM = quantizeMicros(all)
+    val assigned = assignToCentroids(withM, cent)
+      .select(col("vec_id").as("cand_id"), col("cluster_id").as("list_id"))
+      .join(all.select(col("vec_id").as("cand_id"), col("vec").as("cv"),
+        col("norm").as("cn")), Seq("cand_id"))
+    val q = withM.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("mv").as("qmv"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("d"), col("cluster_id"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("d", aggregate(
+        zip_with(col("qmv"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nProbe)
+      .select(col("query_id"), col("cluster_id").as("list_id"))
+    val qv = all.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vec").as("qv"), col("norm").as("qn"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    probed.join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  def ivfDetTopK(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 3,
+                 nlist: Int = 16, nProbe: Int = 4, iters: Int = 2): DataFrame =
+    ivfDetTopKOn(corpus(spark, dir), nQueries, k, nlist, nProbe, iters)
+
+  /** CTE chain replaying [[kmeansAssignOn]] in DuckDB: quantize →
+    * strided seed → `iters` assignment rounds with updates between.
+    * Ends with `assign(vec_id, cluster_id)` plus `cent(cluster_id,
+    * cv)` holding the final (post-update) centroid table. */
+  private def kmeansCteSql(k: Int, iters: Int): String = {
+    val dist = "list_sum(list_transform(list_zip(mv, cv), s -> (s[1]-s[2])*(s[1]-s[2])))"
+    def assignCte(t: Int, centName: String) =
+      s"""a$t AS (
+         |  SELECT vec_id, cluster_id, mv FROM (
+         |    SELECT r.vec_id, c.cluster_id, r.mv,
+         |      row_number() OVER (PARTITION BY r.vec_id ORDER BY $dist, c.cluster_id) AS rk
+         |    FROM m r CROSS JOIN $centName c) t
+         |  WHERE rk = 1)""".stripMargin
+    def updateCte(t: Int, prevName: String) =
+      s"""c$t AS (
+         |  SELECT $prevName.cluster_id, coalesce(u.cvf, $prevName.cv) AS cv
+         |  FROM $prevName LEFT JOIN (
+         |    SELECT cluster_id,
+         |      list(CAST(floor(CAST(sm AS DOUBLE)/CAST(cnt AS DOUBLE) + 0.5) AS BIGINT) ORDER BY pos) AS cvf
+         |    FROM (
+         |      SELECT cluster_id, pos, sum(v) AS sm, count(*) AS cnt FROM (
+         |        SELECT cluster_id, generate_subscripts(mv, 1) AS pos, unnest(mv) AS v
+         |        FROM a$t) e
+         |      GROUP BY 1, 2) s
+         |    GROUP BY 1) u USING (cluster_id))""".stripMargin
+    val rounds = (1 to iters).flatMap { t =>
+      val a = assignCte(t, s"c${t - 1}")
+      if (t < iters) Seq(a, updateCte(t, s"c${t - 1}")) else Seq(a)
+    }.mkString(",\n")
+    s"""m AS (
+       |  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000000.0+0.5) AS BIGINT)) AS mv
+       |  FROM embeddings),
+       |ranked AS (
+       |  SELECT vec_id, mv, row_number() OVER (ORDER BY vec_id) AS rn,
+       |         count(*) OVER () AS n
+       |  FROM m),
+       |c0 AS (
+       |  SELECT CAST((rn-1) // greatest(1, n // $k) AS INT) AS cluster_id, mv AS cv
+       |  FROM ranked
+       |  WHERE (rn-1) % greatest(1, n // $k) = 0 AND (rn-1) // greatest(1, n // $k) < $k),
+       |$rounds,
+       |cent AS (SELECT * FROM c${math.max(0, iters - 1)}),
+       |assign AS (SELECT vec_id, cluster_id FROM a$iters)""".stripMargin
+  }
+
+  def kmeansOracleSql(k: Int = 8, iters: Int = 2): String =
+    s"""WITH ${kmeansCteSql(k, iters)}
+       |SELECT a.vec_id, a.cluster_id, s.cluster_n
+       |FROM assign a JOIN (
+       |  SELECT cluster_id, count(*) AS cluster_n FROM assign GROUP BY 1) s
+       |USING (cluster_id)
+       |ORDER BY a.vec_id""".stripMargin
+
+  def semdedupOracleSql(threshold: Double = 0.3, k: Int = 8, iters: Int = 2): String =
+    s"""WITH RECURSIVE ${kmeansCteSql(k, iters)},
+       |nv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS u, b.vec_id AS w
+       |  FROM assign sa JOIN assign sb ON sa.cluster_id = sb.cluster_id AND sa.vec_id < sb.vec_id
+       |  JOIN nv a ON a.vec_id = sa.vec_id JOIN nv b ON b.vec_id = sb.vec_id
+       |  WHERE list_dot_product(a.v, b.v) / (a.nm * b.nm) >= CAST($threshold AS DOUBLE)),
+       |edges AS (SELECT u, w FROM pairs UNION ALL SELECT w, u FROM pairs),
+       |reach(u, w) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) s
+       |  UNION
+       |  SELECT r.u, e.w FROM reach r JOIN edges e ON e.u = r.w),
+       |comp AS (SELECT u AS vec_id, min(w) AS keep_id FROM reach GROUP BY u)
+       |SELECT nv.vec_id, coalesce(comp.keep_id, nv.vec_id) AS keep_id,
+       |  coalesce(comp.keep_id, nv.vec_id) = nv.vec_id AS is_kept
+       |FROM nv LEFT JOIN comp ON comp.vec_id = nv.vec_id
+       |ORDER BY nv.vec_id""".stripMargin
+
+  def ivfDetOracleSql(nQueries: Int = 5, k: Int = 3, nlist: Int = 16,
+                      nProbe: Int = 4, iters: Int = 2): String = {
+    val dist = "list_sum(list_transform(list_zip(qmv, cv), s -> (s[1]-s[2])*(s[1]-s[2])))"
+    s"""WITH ${kmeansCteSql(nlist, iters)},
+       |nv AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v,
+       |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nm
+       |  FROM embeddings),
+       |probed AS (
+       |  SELECT query_id, cluster_id AS list_id FROM (
+       |    SELECT q.vec_id AS query_id, c.cluster_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY $dist, c.cluster_id) AS pr
+       |    FROM (SELECT vec_id, mv AS qmv FROM m WHERE vec_id < $nQueries) q
+       |    CROSS JOIN cent c) t
+       |  WHERE pr <= $nProbe),
+       |cands AS (
+       |  SELECT p.query_id, a.vec_id AS cand_id
+       |  FROM probed p JOIN assign a ON a.cluster_id = p.list_id
+       |  WHERE a.vec_id <> p.query_id)
+       |SELECT query_id, rank, cand_id, round(cos, 4) AS cos_sim FROM (
+       |  SELECT query_id, cand_id,
+       |    list_dot_product(q.v, c.v) / (q.nm * c.nm) AS cos,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY list_dot_product(q.v, c.v) / (q.nm * c.nm) DESC, cand_id) AS INTEGER) AS rank
+       |  FROM cands JOIN nv q ON q.vec_id = query_id JOIN nv c ON c.vec_id = cand_id) t
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 }

@@ -397,6 +397,12 @@ object SparkEntry {
     // plan as emb_ivf_topk but on the deterministic integer quantizer,
     // so training + probing + re-rank replay bit-for-bit in SQL
     "emb_ivf_det_topk" -> ((s, d) => Similarity.ivfDetTopK(s, d)),
+    // rows-only by nature: the production configuration of the cluster
+    // rung scales k as 2*sqrt(n) with the corpus (pair work n^1.5), so
+    // the resolution floats and no fixed-literal oracle can exist; the
+    // fixed-k sibling above carries the hash gate, KMeansSpec pins the
+    // keep-decision semantics
+    "emb_semdedup_keep_auto" -> ((s, d) => Similarity.semanticKeepClusteredAuto(s, d)),
     // MMR diversified re-rank over the exact top-20 candidates:
     // integer-micro rel/sim scores make the greedy argmax chain
     // engine-exact; the oracle replays all k picks as unrolled CTEs

@@ -1256,7 +1256,15 @@ object Similarity {
     * the recall trade, measurable against semanticKeepOn by
     * construction (SimilaritySpec pins planted-dup parity). */
   def semanticKeepClusteredOn(all: DataFrame, threshold: Double = 0.3,
-                              k: Int = 8, iters: Int = 2): DataFrame = {
+                              k: Int = 8, iters: Int = 2): DataFrame =
+    keepDecision(all, clusteredEdgesOn(all, threshold, k, iters))
+
+  /** The pair-generation term of the cluster rung, exposed so
+    * PlanContractSpec can assert its shape (the CC closure checkpoints
+    * eagerly, hiding this join from the final plan): within-cluster
+    * exact-cosine edges via an equality join on cluster_id. */
+  private[graft] def clusteredEdgesOn(all: DataFrame, threshold: Double,
+                                      k: Int, iters: Int): DataFrame = {
     VectorExpressions.register(all.sparkSession)
     val withC = all.join(
       kmeansAssignOn(all, k, iters).select("vec_id", "cluster_id"), Seq("vec_id"))
@@ -1264,18 +1272,33 @@ object Similarity {
       col("vec").as("va"), col("norm").as("na"))
     val b = withC.select(col("cluster_id"), col("vec_id").as("v"),
       col("vec").as("vb"), col("norm").as("nb"))
-    val edges = a.join(b, Seq("cluster_id"))
+    a.join(b, Seq("cluster_id"))
       .filter(col("u") < col("v"))
       .withColumn("cos", ndot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("u", "v")
-    keepDecision(all, edges)
   }
 
   def semanticKeepClustered(spark: SparkSession, dir: String,
                             threshold: Double = 0.3,
                             k: Int = 8, iters: Int = 2): DataFrame =
     semanticKeepClusteredOn(corpus(spark, dir), threshold, k, iters)
+
+  /** Production k for the cluster rung: k ≈ 2√n keeps expected
+    * per-cluster size at √n/2, so Σ|cluster|² ≈ n^1.5 — the IVF
+    * trade applied to dedup (autoNlist's 4√n targets probe cost;
+    * dedup pays |cluster|² so it wants the smaller constant). */
+  def autoKmeansK(n: Long): Int =
+    math.max(8, math.min(2.0 * math.sqrt(n.toDouble), n / 4.0).toInt)
+
+  /** The auto-resolution production configuration of the cluster rung:
+    * k floats with the corpus (rows-only at the gate by the
+    * fixed-resolution rule), giving the probe the true O(n^1.5) leg. */
+  def semanticKeepClusteredAuto(spark: SparkSession, dir: String,
+                                threshold: Double = 0.3): DataFrame = {
+    val all = corpus(spark, dir)
+    semanticKeepClusteredOn(all, threshold, autoKmeansK(all.count()), iters = 2)
+  }
 
   /** IVF top-k on the deterministic quantizer — the oracle-able IVF
     * leg: identical probe/re-rank shape to ivfTopKOn (rank lists per

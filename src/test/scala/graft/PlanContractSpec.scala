@@ -380,4 +380,21 @@ class PlanContractSpec extends AnyFunSuite {
       assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product:\n$p")
     }
   }
+
+  test("SemDeDup cluster rung: pair generation is an equality join on cluster_id") {
+    // the k-row centroid broadcast nested loop inside Lloyd assignment
+    // is the sanctioned scalar-broadcast shape; the PAIR join — the
+    // term that would go quadratic — must be a hash/merge equality
+    // join keyed on cluster_id, and nothing may plan a cartesian.
+    // Inspect the edge-generation relation directly: the CC closure
+    // checkpoints eagerly, so the registry query's final plan only
+    // shows the keep-decision join.
+    val p = graft.similarity.Similarity
+      .clusteredEdgesOn(graft.similarity.Similarity.corpus(spark, sf), 0.3, 8, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cluster rung plans a cartesian:\n$p")
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[cluster_id".r
+      .findFirstIn(p).nonEmpty,
+      s"no equality join on cluster_id found in the cluster-rung plan:\n$p")
+  }
 }

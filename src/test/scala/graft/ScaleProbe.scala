@@ -228,7 +228,15 @@ object ScaleProbe {
       "emb_semantic_keep_lsh", "emb_mmr_rerank", "search_topk_diverse",
       // span masking shares decontaminate's join shape; its islands
       // window runs over hit rows only
-      "txt_mask_spans")
+      "txt_mask_spans",
+      // third session: the deterministic-Lloyd family — clustering is
+      // k bounded Lloyd rounds (broadcast assignment scan + integer
+      // (cluster,pos) sum shuffle, linear per round); SemDeDup bounds
+      // pair work at sum(|cluster|^2) ~ n^2/k, the middle rung between
+      // the exact audit quadratic and LSH; ivf_det adds probed-list
+      // re-rank on top of the same centroids
+      "emb_kmeans_clusters", "emb_semdedup_keep", "emb_ivf_det_topk",
+      "emb_semdedup_keep_auto")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state

@@ -41,6 +41,10 @@ object SparkEntry {
     // recency-weighted engagement; libm-free power-of-two decay
     "a_decay_engagement" -> ((s, d) => Temporal.decayedEngagementQuery(s, d)),
     "mix_rebalance" -> ((s, d) => TextAnalysis.mixRebalance(s, d)),
+    // budget-constrained mixture fill: mixRebalance's equal-share
+    // target enforced by exact greedy prefix fill in md5 order (keyed
+    // two-phase prefix scan — no per-source single-partition window)
+    "mix_budget_fill" -> ((s, d) => TextAnalysis.budgetFill(s, d)),
     // DSIR importance weights: rank docs by hashed-unigram likelihood
     // ratio vs the lang='en' target slice; per-bucket log-ratio in
     // integer micros before the per-doc sum (order-free reduction)
@@ -307,6 +311,10 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhash(Tables(s, d, "documents")).orderBy("doc_id")),
     "dedup_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(Tables(s, d, "documents"))),
     "dedup_clusters" -> ((s, d) => Dedup.dupClusters(Tables(s, d, "documents"))),
+    // quality-aware keeper: within each dup cluster keep the longest
+    // member (ties to lowest id) — the CCNet/RefinedWeb convention —
+    // instead of dupClusters' first-seen min-id rule
+    "dedup_best_keeper" -> ((s, d) => Dedup.bestKeeperClusters(Tables(s, d, "documents"))),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(Tables(s, d, "documents"))),
     // O(delta) exact-dedup serving: delta keeper decisions against the
     // persisted fp→keeper index must equal whole-corpus exact dedup —
@@ -1050,6 +1058,23 @@ object SparkEntry {
         |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.chars_kept, 0) AS chars_kept
         |FROM rates r LEFT JOIN kept k ON r.source = k.source
         |ORDER BY r.source""".stripMargin,
+    "mix_budget_fill" ->
+      """WITH tot AS (
+        |  SELECT CAST(sum(n_chars) AS BIGINT) AS total,
+        |         CAST(count(DISTINCT source) AS BIGINT) AS nsrc
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    md5('fill:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |pre AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(coalesce(sum(n_chars) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        |  FROM h)
+        |SELECT doc_id, source, n_chars,
+        |  before < (SELECT total / (2 * nsrc) FROM tot) AS kept
+        |FROM pre ORDER BY doc_id""".stripMargin,
     // argmax margins are O(1e-2)+ while cross-engine libm noise on the
     // summed ln terms is ~1e-13, so the integer confusion matrix is
     // stable; MATERIALIZED keeps DuckDB from re-expanding the token CTE
@@ -2664,6 +2689,27 @@ object SparkEntry {
         |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v)
         |SELECT u AS doc_id, min(v) AS cluster, min(v) = u AS is_canonical
         |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin),
+    "dedup_best_keeper" ->
+      (s"""WITH RECURSIVE pairs AS ($minhashPairsOracleSql),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(u, v) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM edges) n
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v),
+        |comp AS (SELECT u AS doc_id, min(v) AS cluster FROM reach GROUP BY u),
+        |scored AS (
+        |  SELECT c.doc_id, c.cluster, d.n_chars
+        |  FROM comp c JOIN documents d USING (doc_id)),
+        |keeper AS (
+        |  SELECT cluster, doc_id AS keeper_id FROM (
+        |    SELECT cluster, doc_id,
+        |      row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rk
+        |    FROM scored) t
+        |  WHERE rk = 1)
+        |SELECT s.doc_id, s.cluster, k.keeper_id, s.doc_id = k.keeper_id AS is_kept
+        |FROM scored s JOIN keeper k USING (cluster)
+        |ORDER BY s.doc_id""".stripMargin),
     "dedup_jaccard_prefix" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,

@@ -311,6 +311,36 @@ object Dedup {
       .withColumn("is_canonical", col("doc_id") === col("cluster"))
       .orderBy("doc_id")
 
+  /** Quality-aware keeper selection — the production refinement of
+    * [[dupClusters]]' min-id rule: within each duplicate cluster keep
+    * the argmax-quality member (here n_chars — "keep the longest
+    * representative", the CCNet/RefinedWeb convention; ties break to
+    * the lowest doc_id so the choice is total). Real pipelines keep
+    * the best document, not the first-seen one — the min-id rule loses
+    * a long original to a truncated mirror that happens to have a
+    * smaller id. Output one row per clustered doc: (doc_id, cluster,
+    * keeper_id, is_kept).
+    *
+    * Scale: same CC closure as dupClusters (shuffles id pairs only);
+    * the keeper argmax is a per-cluster window over the clustered
+    * docs, which are the DUP subset (bounded by dup density), not the
+    * corpus; the quality column joins by doc_id, never carrying text. */
+  def bestKeeperClusters(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = Components.labelGraph(
+        minhashPairs(docs).select(col("doc_a").as("u"), col("doc_b").as("v"))
+          .localCheckpoint())
+      .select(col("node").as("doc_id"), col("component").as("cluster"))
+    val scored = comp.join(docs.select("doc_id", "n_chars"), Seq("doc_id"))
+    val w = Window.partitionBy("cluster").orderBy(col("n_chars").desc, col("doc_id"))
+    val keeper = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).select(col("cluster"), col("doc_id").as("keeper_id"))
+    scored.join(keeper, Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_kept"))
+      .orderBy("doc_id")
+  }
+
   /** Exact n-gram Jaccard over shingle sets: |A∩B| / |A∪B|, with
     * candidate pairs from the MinHash band join (minhashPairs) and the
     * exact shingle intersection computed only on candidates. A raw

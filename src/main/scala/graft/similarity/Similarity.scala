@@ -1193,21 +1193,26 @@ object Similarity {
   }
 
   /** One assignment pass: nearest centroid by integer squared L2,
-    * ties to the lowest cluster_id. Output (vec_id, cluster_id, mv). */
+    * ties to the lowest cluster_id. Output (vec_id, cluster_id) ONLY —
+    * the n×k joined rows reduce to two scalars before the argmin
+    * aggregation, so the agg buffer never carries the vector payload
+    * (carrying mv through first() tripled wall time at k ≈ 2√n). */
   private def assignToCentroids(withM: DataFrame, cent: DataFrame): DataFrame =
     withM.crossJoin(broadcast(cent))
-      .withColumn("d", aggregate(
+      .select(col("vec_id"), col("cluster_id"), aggregate(
         zip_with(col("mv"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0L), (acc, x) => acc + x))
+        lit(0L), (acc, x) => acc + x).as("d"))
       .groupBy("vec_id")
-      .agg(min(struct(col("d"), col("cluster_id"))).as("best"),
-        first(col("mv")).as("mv"))
-      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"), col("mv"))
+      .agg(min(struct(col("d"), col("cluster_id"))).as("best"))
+      .select(col("vec_id"), col("best.cluster_id").as("cluster_id"))
 
   /** One Lloyd update: element-wise integer mean per cluster, rounded
-    * back to micros; clusters that lost every member keep `prev`. */
-  private def updateCentroids(assigned: DataFrame, prev: DataFrame): DataFrame = {
-    val fresh = assigned
+    * back to micros; clusters that lost every member keep `prev`. The
+    * vectors re-attach by an n-row equality join on vec_id — cheaper
+    * than carrying them through the assignment argmin. */
+  private def updateCentroids(withM: DataFrame, assigned: DataFrame,
+                              prev: DataFrame): DataFrame = {
+    val fresh = assigned.join(withM, Seq("vec_id"))
       .select(col("cluster_id"), posexplode(col("mv")).as(Seq("pos", "v")))
       .groupBy("cluster_id", "pos")
       .agg(sum("v").as("sm"), count(lit(1)).as("cnt"))
@@ -1227,11 +1232,12 @@ object Similarity {
     val withM = quantizeMicros(all).localCheckpoint()
     var cent = stridedInit(withM, k).localCheckpoint()
     for (_ <- 1 until iters)
-      cent = updateCentroids(assignToCentroids(withM, cent), cent).localCheckpoint()
+      cent = updateCentroids(withM, assignToCentroids(withM, cent), cent)
+        .localCheckpoint()
     cent
   }
 
-  /** Final deterministic assignment (vec_id, cluster_id, mv) after
+  /** Final deterministic assignment (vec_id, cluster_id) after
     * `iters` assignment rounds with Lloyd updates in between. */
   def kmeansAssignOn(all: DataFrame, k: Int = 8, iters: Int = 2): DataFrame =
     assignToCentroids(quantizeMicros(all), kmeansCentroidsDet(all, k, iters))

@@ -1239,6 +1239,56 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Budget-constrained mixture fill — the deterministic-greedy
+    * counterpart of [[mixRebalance]]: the same equal-share-half-corpus
+    * target (budget_s = Σchars / 2·n_sources per source), but enforced
+    * by EXACT prefix fill instead of a probabilistic keep-rate. Docs
+    * are taken per source in md5-hash order (an unbiased deterministic
+    * permutation, the weightedSample trick) while the running chars
+    * BEFORE the doc stay under the budget — so the fill overshoots by
+    * at most one document and the selected SET is identical across
+    * engines and runs. Output one row per doc: (doc_id, source,
+    * n_chars, kept).
+    *
+    * Scale: the per-source ordered prefix sum is the packSequences
+    * two-phase scan GENERALIZED BY KEY — range-partition on (source,
+    * hash), cumsum within each partition in parallel, then
+    * exclusive-scan the per-(partition, source) totals (bounded by
+    * n_sources × n_partitions, cluster-sized not data-sized) on the
+    * driver and broadcast the base offsets — never a
+    * one-partition-per-source window, which would funnel each
+    * source's whole corpus through a single task at 100 TB. */
+  def budgetFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents").select("doc_id", "source", "n_chars")
+    val tot = docs.agg(sum("n_chars").as("total"),
+      count_distinct(col("source")).as("nsrc"))
+    val budget = tot.select((col("total") / (lit(2L) * col("nsrc"))).as("budget"))
+    val hashed = docs.withColumn("h",
+        md5(concat(lit("fill:"), col("doc_id").cast("string"))))
+      .repartitionByRange(col("source"), col("h"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val w = Window.partitionBy("pid", "source").orderBy("h", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = hashed.withColumn("local_before",
+      coalesce(sum("n_chars").over(w), lit(0L))).localCheckpoint()
+    val totals = local.groupBy("pid", "source").agg(sum("n_chars").as("ptotal"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      .groupBy(_._2).toSeq.flatMap { case (src, rows) =>
+        val sorted = rows.sortBy(_._1)
+        sorted.scanLeft((0, src, 0L)) { case ((_, _, acc), (pid, _, t)) =>
+          (pid, src, acc + t)
+        }.tail.zip(sorted).map { case ((pid, _, after), (_, _, t)) =>
+          (pid, src, after - t) }
+      }
+    val baseDf = spark.createDataFrame(totals).toDF("pid", "source", "base")
+    local.join(broadcast(baseDf), Seq("pid", "source"))
+      .crossJoin(broadcast(budget))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        ((col("base") + col("local_before")) < col("budget")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169
     * "Data Selection for Language Models via Importance Resampling"):
     * score every document by how much its hashed-unigram distribution

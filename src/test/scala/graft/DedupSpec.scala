@@ -18,6 +18,20 @@ class DedupSpec extends AnyFunSuite {
 
   private def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
 
+  test("best-keeper clusters keep the longest member, not the lowest id") {
+    // three exact dups (cluster {1,2,3}) with doc 2 the longest —
+    // dupClusters' min-id rule would keep 1; the quality rule must
+    // keep 2 (ties among {2,3} would break to the lower id)
+    val d = Seq((1L, docA, 10L), (2L, docA, 50L), (3L, docA, 40L), (4L, docB, 99L))
+      .toDF("doc_id", "text", "n_chars")
+    val got = Dedup.bestKeeperClusters(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.map(_._1).toSet === Set(1L, 2L, 3L), "doc 4 has no dup partner")
+    assert(got.forall(_._2 == 1L), "cluster label stays the min id")
+    assert(got.forall(_._3 == 2L), "keeper must be the longest member")
+    assert(got.filter(_._4).map(_._1).toSeq === Seq(2L))
+  }
+
   test("simhash: identical texts collide; near-identical beats unrelated") {
     val sigs = Dedup.simhash(docs(1L -> docA, 2L -> docA, 3L -> docANear, 4L -> docB))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

@@ -434,6 +434,33 @@ class TextSpec extends AnyFunSuite {
     assert(keptTotal < total, "rebalance must shrink an imbalanced corpus")
   }
 
+  test("budget fill: kept set == independent Scala greedy prefix per source") {
+    val got = TextAnalysis.budgetFill(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+    // independent recompute: md5 hash order per source, cumulative
+    // chars BEFORE the doc under the equal-share budget
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val total = got.map(_._3).sum
+    val nsrc = got.map(_._2).distinct.length
+    val budget = total.toDouble / (2L * nsrc)
+    val expectKept = got.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      val ordered = rows.sortBy(r => (md5hex(s"fill:${r._1}"), r._1))
+      ordered.scanLeft(0L)(_ + _._3).zip(ordered)
+        .filter { case (before, _) => before < budget }
+        .map(_._2._1)
+    }.toSet
+    assert(got.filter(_._4).map(_._1).toSet === expectKept)
+    // the fill bites: every source keeps something but not everything
+    got.groupBy(_._2).foreach { case (src, rows) =>
+      val kept = rows.count(_._4)
+      assert(kept > 0, s"$src kept nothing")
+      assert(kept < rows.length || rows.map(_._3).sum <= budget + rows.map(_._3).max,
+        s"$src kept everything against a binding budget")
+    }
+  }
+
   test("naive bayes: confusion matrix covers exactly the held-out docs") {
     val docs = Tables(spark, sf0001, "documents")
       .select(col("doc_id"), col("lang")).collect()

@@ -271,6 +271,9 @@ object SparkEntry {
     // capstone keep/drop with reasons: perplexity + entropy gates at
     // corpus-derived percentile thresholds
     "txt_curation_score" -> ((s, d) => TextAnalysis.curationScoreQuery(s, d)),
+    // CCNet head/middle/tail: per-language perplexity terciles over the
+    // rounded ppl relation — the quality stratification before mixing
+    "txt_ppl_buckets" -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
     // BPE merge-pair vocab induction, k=10 rounds, deterministic
     // tie-break — the merge table is exactly reproducible in SQL
     // (greedy-overlap rule and all), so it is oracled end to end
@@ -411,6 +414,12 @@ object SparkEntry {
     // fixed-k sibling above carries the hash gate, KMeansSpec pins the
     // keep-decision semantics
     "emb_semdedup_keep_auto" -> ((s, d) => Similarity.semanticKeepClusteredAuto(s, d)),
+    // semantic eval-set decontamination: flag training vectors whose
+    // cosine to ANY held-out eval vector (every 10th id, the
+    // txt_decontaminate stand-in) reaches 0.3 — catches paraphrased
+    // leakage the 13-gram exact overlap cannot see; eval side
+    // broadcasts, corpus scanned once
+    "emb_decontaminate" -> ((s, d) => Similarity.semanticDecontaminate(s, d)),
     // MMR diversified re-rank over the exact top-20 candidates:
     // integer-micro rel/sim scores make the greedy argmax chain
     // engine-exact; the oracle replays all k picks as unrolled CTEs
@@ -2508,6 +2517,41 @@ object SparkEntry {
         |        FROM scored GROUP BY doc_id)
         |SELECT doc_id, n_bigrams, nll, round(exp(nll), 4) AS ppl
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "txt_ppl_buckets" ->
+      """WITH tt AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |            WHERE len(string_split(text, ' ')) >= 2),
+        |inst AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |         FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tt)),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+        |       FROM (SELECT unnest(ws) AS w FROM tt) GROUP BY w),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM inst GROUP BY w1, w2),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uc),
+        |nllagg AS (
+        |  SELECT i.doc_id, round(avg(
+        |    ln(CAST(u.c1 + 0.5 * v.v AS DOUBLE) / CAST(b.c12 + 0.5 AS DOUBLE))), 4) AS nll
+        |  FROM inst i JOIN bc b ON i.w1 = b.w1 AND i.w2 = b.w2
+        |  JOIN uc u ON i.w1 = u.w CROSS JOIN v GROUP BY i.doc_id),
+        |pplt AS (SELECT doc_id, round(exp(nll), 4) AS ppl FROM nllagg),
+        |j AS (SELECT p.doc_id, d.lang, p.ppl FROM pplt p JOIN documents d USING (doc_id)),
+        |th AS (SELECT lang,
+        |         quantile_cont(ppl, CAST(1 AS DOUBLE)/CAST(3 AS DOUBLE)) AS t1,
+        |         quantile_cont(ppl, CAST(2 AS DOUBLE)/CAST(3 AS DOUBLE)) AS t2
+        |       FROM j GROUP BY lang)
+        |SELECT j.doc_id, j.lang, j.ppl,
+        |  round(th.t1, 4) AS t1, round(th.t2, 4) AS t2,
+        |  CASE WHEN j.ppl <= th.t1 THEN 'head'
+        |       WHEN j.ppl <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM j JOIN th USING (lang) ORDER BY j.doc_id""".stripMargin,
+    "emb_decontaminate" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM c),
+        |ev AS (SELECT vec_id AS ev_id, v AS evv, nm AS evn FROM n WHERE vec_id % 10 = 0),
+        |hits AS (
+        |  SELECT t.vec_id, list_dot_product(t.v, ev.evv) / (t.nm * ev.evn) AS cos
+        |  FROM n t CROSS JOIN ev WHERE t.vec_id % 10 <> 0)
+        |SELECT vec_id, count(*) AS n_close, round(max(cos), 4) AS max_cos
+        |FROM hits WHERE cos >= CAST(0.3 AS DOUBLE)
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "txt_feature_hash" ->
       """SELECT doc_id,
         |  CAST(CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT) % 256 AS INTEGER) AS bucket,

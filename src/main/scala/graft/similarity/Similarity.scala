@@ -1290,6 +1290,36 @@ object Similarity {
                             k: Int = 8, iters: Int = 2): DataFrame =
     semanticKeepClusteredOn(corpus(spark, dir), threshold, k, iters)
 
+  /** Semantic eval-set decontamination — the embedding-side twin of
+    * TextAnalysis.decontaminate (same stand-in eval set: every
+    * `benchEvery`-th id): flag every training vector whose cosine to
+    * ANY eval vector reaches `threshold` — catches paraphrased eval
+    * leakage that the 13-gram exact overlap cannot see. Output one row
+    * per contaminated training vec: (vec_id, n_close, max_cos).
+    *
+    * Scale: eval sets are benchmark-sized, so the eval side broadcasts
+    * (the emb_knn shape) and the corpus is scanned ONCE — no shuffle
+    * carries vectors; at a real 100 TB corpus this is a map-side
+    * filter pass. max/count are order-free aggregates, and max_cos
+    * rounds to 4 like every serving cosine. */
+  def semanticDecontaminateOn(all: DataFrame, threshold: Double = 0.3,
+                              benchEvery: Int = 10): DataFrame = {
+    VectorExpressions.register(all.sparkSession)
+    val ev = all.filter(pmod(col("vec_id"), lit(benchEvery)) === 0)
+      .select(col("vec_id").as("ev_id"), col("vec").as("evv"), col("norm").as("evn"))
+    all.filter(pmod(col("vec_id"), lit(benchEvery)) =!= 0)
+      .crossJoin(broadcast(ev))
+      .withColumn("cos", ndot(col("vec"), col("evv")) / (col("norm") * col("evn")))
+      .filter(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_close"), round(max(col("cos")), 4).as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  def semanticDecontaminate(spark: SparkSession, dir: String,
+                            threshold: Double = 0.3): DataFrame =
+    semanticDecontaminateOn(corpus(spark, dir), threshold)
+
   /** Production k for the cluster rung: k ≈ 2√n keeps expected
     * per-cluster size at √n/2, so Σ|cluster|² ≈ n^1.5 — the IVF
     * trade applied to dedup (autoNlist's 4√n targets probe cost;

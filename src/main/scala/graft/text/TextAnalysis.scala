@@ -1179,6 +1179,36 @@ object TextAnalysis {
   def curationScoreQuery(spark: SparkSession, dir: String): DataFrame =
     curationScore(Tables(spark, dir, "documents"))
 
+  /** CCNet-style perplexity buckets (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3: split each language's corpus into
+    * head/middle/tail by LM perplexity terciles): per-language tercile
+    * thresholds over the ROUNDED per-doc ppl (the established
+    * percentile↔quantile_cont parity), bucket = head (ppl ≤ t1),
+    * middle (≤ t2), tail. The standard quality stratification before
+    * mixture construction — head upsampled, tail dropped or
+    * down-weighted.
+    *
+    * Scale: thresholds are a per-language aggregate (a config-sized
+    * relation, broadcast); the bucket decision is a scan-side map over
+    * the already-computed ppl relation. The fraction literals are
+    * cast-divided doubles so both engines interpolate from the
+    * identical IEEE fraction. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val ppl = lmPerplexity(docs).select(col("doc_id"), col("ppl"))
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val th = ppl.groupBy("lang").agg(
+      expr("percentile(ppl, cast(1.0 as double)/cast(3.0 as double))").as("t1"),
+      expr("percentile(ppl, cast(2.0 as double)/cast(3.0 as double))").as("t2"))
+    ppl.join(broadcast(th), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("ppl"),
+        round(col("t1"), 4).as("t1"), round(col("t2"), 4).as("t2"),
+        when(col("ppl") <= col("t1"), "head")
+          .when(col("ppl") <= col("t2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Feature hashing (the "hashing trick"): each document becomes a
     * sparse term-frequency vector in a fixed `dim`-bucket space, with
     * the bucket = the first 8 md5 hex digits of the token mod dim —

@@ -339,4 +339,21 @@ class SimilaritySpec extends AnyFunSuite {
       assert(exactTop(r.getAs[Long]("query_id")) === r.getAs[Long]("cand_id"))
     }
   }
+
+  test("semantic decontamination flags a planted eval copy and ignores the orthogonal doc") {
+    // ids: 0 and 10 are eval (every 10th); 1 copies eval 0 exactly
+    // (max_cos 1.0), 2 is orthogonal to both eval vectors (no row)
+    val c = corpusOf(
+      0L -> Seq(1.0, 0.0, 0.0, 0.0),
+      10L -> Seq(0.0, 1.0, 0.0, 0.0),
+      1L -> Seq(1.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 0.0, 1.0, 0.0),
+      3L -> Seq(0.7, 0.7, 0.0, 0.0)) // cos ~0.707 to both evals
+    val got = Similarity.semanticDecontaminateOn(c, threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet === Set(1L, 3L), s"flagged set wrong: $got")
+    assert(got(1L) === ((1L, 1.0)))
+    assert(got(3L)._1 === 2L) // close to BOTH eval vectors
+    assert(math.abs(got(3L)._2 - 0.7071) < 1e-4)
+  }
 }

@@ -434,6 +434,27 @@ class TextSpec extends AnyFunSuite {
     assert(keptTotal < total, "rebalance must shrink an imbalanced corpus")
   }
 
+  test("ppl buckets: per-language terciles are near-balanced and ordered") {
+    val rows = TextAnalysis.pplBuckets(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getString(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, ppl, t1, t2, bucket) =>
+      assert(t1 <= t2, "tercile thresholds out of order")
+      val want = if (ppl <= t1) "head" else if (ppl <= t2) "middle" else "tail"
+      assert(bucket === want, s"bucket $bucket inconsistent with ppl=$ppl t1=$t1 t2=$t2")
+    }
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val n = rs.length
+      val byBucket = rs.groupBy(_._5).view.mapValues(_.length).toMap
+      for (b <- Seq("head", "middle", "tail")) {
+        val c = byBucket.getOrElse(b, 0)
+        assert(math.abs(c - n / 3.0) <= math.max(3, n / 6.0),
+          s"$lang bucket $b count $c far from tercile of $n")
+      }
+    }
+  }
+
   test("budget fill: kept set == independent Scala greedy prefix per source") {
     val got = TextAnalysis.budgetFill(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))

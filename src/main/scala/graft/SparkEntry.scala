@@ -41,6 +41,10 @@ object SparkEntry {
     // recency-weighted engagement; libm-free power-of-two decay
     "a_decay_engagement" -> ((s, d) => Temporal.decayedEngagementQuery(s, d)),
     "mix_rebalance" -> ((s, d) => TextAnalysis.mixRebalance(s, d)),
+    // multinomial temperature sampling (XLM-R/mT5 alpha=0.3): per-source
+    // tempered probabilities + upsample factors — the weights table a
+    // loader applies; config-sized aggregates only
+    "mix_temperature" -> ((s, d) => TextAnalysis.mixTemperature(s, d)),
     // budget-constrained mixture fill: mixRebalance's equal-share
     // target enforced by exact greedy prefix fill in md5 order (keyed
     // two-phase prefix scan — no per-source single-partition window)
@@ -129,6 +133,10 @@ object SparkEntry {
     // count-min sketch: 4x64 md5-derived counters, estimate = min over
     // rows — fixed 256-cell summary, estimates (not just shape) oracled
     "sketch_cms_freq" -> ((s, d) => Events.cmsUserFreq(s, d)),
+    // equi-width histogram quantile sketch: order-free bounded state
+    // (nbins longs/group), merge = vector add, error <= one bin width;
+    // the only quantile sketch in the family that oracles hash-exact
+    "sketch_hist_quantiles" -> ((s, d) => Events.histQuantiles(s, d)),
     // KMV set algebra: union sketch = k smallest of merged hashes,
     // intersection by inclusion-exclusion — mergeability made a query
     "sketch_kmv_setops" -> ((s, d) => Events.kmvSetOps(s, d)),
@@ -420,6 +428,10 @@ object SparkEntry {
     // leakage the 13-gram exact overlap cannot see; eval side
     // broadcasts, corpus scanned once
     "emb_decontaminate" -> ((s, d) => Similarity.semanticDecontaminate(s, d)),
+    // hard-negative mining (DPR/ANCE): per eval query, top-5 most
+    // similar DIFFERENT-label vectors with cosine < 0.9 (near-dup cap);
+    // broadcast query side, label predicate inside the join condition
+    "emb_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
     // MMR diversified re-rank over the exact top-20 candidates:
     // integer-micro rel/sim scores make the greedy argmax chain
     // engine-exact; the oracle replays all k picks as unrolled CTEs
@@ -431,6 +443,10 @@ object SparkEntry {
     // 5-iteration PageRank over the part<->supplier bipartite graph;
     // oracle unrolls the iteration into MATERIALIZED CTEs
     "graph_pagerank" -> ((s, d) => Graph.pageRank(s, d)),
+    // HITS hubs/authorities over the DIRECTED customer->supplier
+    // purchase graph — two-sided centrality; relational L1 normalizer
+    // (scalar crossJoin-broadcast), oracle unrolls both half-rounds
+    "graph_hits" -> ((s, d) => Graph.hits(s, d)),
     // tolerance-driven early exit; the oracle unrolls the rounds,
     // recomputes the L1 deltas, and self-selects the same exit round,
     // so the STOPPING RULE is what the gate verifies
@@ -1067,6 +1083,21 @@ object SparkEntry {
         |  coalesce(k.n_kept, 0) AS n_kept, coalesce(k.chars_kept, 0) AS chars_kept
         |FROM rates r LEFT JOIN kept k ON r.source = k.source
         |ORDER BY r.source""".stripMargin,
+    "mix_temperature" ->
+      """WITH by_src AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars FROM by_src),
+        |sh AS (
+        |  SELECT source, n_docs, n_chars,
+        |    CAST(n_chars AS DOUBLE) / total_chars AS share,
+        |    pow(CAST(n_chars AS DOUBLE) / total_chars, CAST(0.3 AS DOUBLE)) AS share_a
+        |  FROM by_src CROSS JOIN tot),
+        |z AS (SELECT sum(share_a) AS z FROM sh)
+        |SELECT source, n_docs, n_chars, round(share, 6) AS share,
+        |  round(share_a / z, 6) AS p_temp,
+        |  round((share_a / z) / share, 4) AS upsample
+        |FROM sh CROSS JOIN z ORDER BY source""".stripMargin,
     "mix_budget_fill" ->
       """WITH tot AS (
         |  SELECT CAST(sum(n_chars) AS BIGINT) AS total,
@@ -1405,6 +1436,33 @@ object SparkEntry {
         |FROM aged GROUP BY 1 ORDER BY 1""".stripMargin,
     // the estimate is 255·2^32 / h_k — one IEEE division of exact
     // integers, so even the "approximate" column compares bit-equal
+    "sketch_hist_quantiles" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |stats AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, min(value) AS lo, max(value) AS hi,
+        |    (max(value) - min(value)) / 64.0 AS w
+        |  FROM ev GROUP BY event_type),
+        |binned AS (
+        |  SELECT e.event_type,
+        |    CAST(CASE WHEN s.w = 0 THEN 0
+        |         ELSE least(floor((e.value - s.lo) / s.w), 63) END AS INTEGER) AS bin
+        |  FROM ev e JOIN stats s USING (event_type)),
+        |cnts AS (SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM binned GROUP BY event_type, bin),
+        |cum AS (SELECT event_type, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum FROM cnts),
+        |targets AS (
+        |  SELECT s.event_type, s.lo, s.w, q.q, q.q * s.n AS target
+        |  FROM stats s CROSS JOIN
+        |    (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS q) q),
+        |hit AS (
+        |  SELECT c.event_type, t.q, t.lo, t.w, c.bin, c.cnt, c.cum, t.target,
+        |    row_number() OVER (PARTITION BY c.event_type, t.q ORDER BY c.bin) AS rn
+        |  FROM cum c JOIN targets t ON c.event_type = t.event_type AND c.cum >= t.target)
+        |SELECT event_type, q,
+        |  round(CASE WHEN w = 0 THEN lo
+        |        ELSE lo + w * (bin + (target - (cum - cnt)) / cnt) END, 4) AS est
+        |FROM hit WHERE rn = 1 ORDER BY event_type, q""".stripMargin,
     "sketch_cms_freq" ->
       """WITH probeset AS (
         |  SELECT user_id, r,
@@ -2542,6 +2600,23 @@ object SparkEntry {
         |  CASE WHEN j.ppl <= th.t1 THEN 'head'
         |       WHEN j.ppl <= th.t2 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM j JOIN th USING (lang) ORDER BY j.doc_id""".stripMargin,
+    "emb_hard_negatives" ->
+      """WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nm FROM c),
+        |q AS (SELECT vec_id AS query_id, label AS qlabel, v AS qv, nm AS qn
+        |      FROM n WHERE vec_id % 10 = 0),
+        |cand AS (SELECT vec_id AS cand_id, label AS cand_label, v AS cv, nm AS cn
+        |         FROM n WHERE vec_id % 10 <> 0),
+        |scored AS (
+        |  SELECT q.query_id, c.cand_id, c.cand_label,
+        |    list_dot_product(q.qv, c.cv) / (q.qn * c.cn) AS cos
+        |  FROM cand c CROSS JOIN q WHERE q.qlabel <> c.cand_label),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cand_label, cos,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand_id) AS INTEGER) AS rank
+        |  FROM scored WHERE cos < CAST(0.9 AS DOUBLE))
+        |SELECT query_id, rank, cand_id, cand_label, round(cos, 4) AS cos_sim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "emb_decontaminate" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM c),
@@ -2916,6 +2991,7 @@ object SparkEntry {
         |  round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 4) AS avg_l2_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> Graph.pageRankOracle(),
+    "graph_hits" -> Graph.hitsOracle(),
     "graph_pagerank_tol" -> Graph.pageRankUntilOracle(),
     "graph_triangles" -> Graph.triangleOracle,
     "graph_components" -> Graph.componentsOracle(),

@@ -642,4 +642,54 @@ object Events {
 
   def expandingZscoreQuery(spark: SparkSession, dir: String): DataFrame =
     expandingZscore(Tables(spark, dir, "events"))
+
+  /** Equi-width histogram quantile sketch — the mergeable, bounded-state
+    * member of the A8 family (beside exact `percentile` and HLL-style
+    * `approx_percentile`): per group, `nbins` fixed-width bins over
+    * [min, max], quantile estimated by linear interpolation inside the
+    * first bin whose cumulative count reaches q·n. Error is bounded by
+    * ONE BIN WIDTH by construction (the spec pins it), and unlike
+    * GK/KLL the state is insertion-ORDER-FREE — bin counts are plain
+    * integer sums — so the estimate is exactly reproducible in SQL and
+    * the gate runs hash-exact.
+    *
+    * Scale: the per-(group, bin) count is one map-side-combined hash
+    * aggregate whose state is ≤ nbins longs per group per partition —
+    * the merge is vector addition, the shape a
+    * TypedImperativeAggregate would have, expressed relationally. Two
+    * scans here only because [lo, hi] is corpus-derived; a production
+    * run with a configured value range does it in ONE pass at 100 TB.
+    * The quantile extraction runs on the bounded (group × bin)
+    * relation — config-sized, never data-sized. */
+  def histQuantiles(spark: SparkSession, dir: String,
+                    nbins: Int = 64): DataFrame = {
+    val ev = Tables(spark, dir, "events").select(col("event_type"), col("value"))
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), min("value").as("lo"), max("value").as("hi"))
+      .withColumn("w", (col("hi") - col("lo")) / lit(nbins.toDouble))
+    val binned = ev.join(broadcast(stats.select("event_type", "lo", "w")), "event_type")
+      .withColumn("bin",
+        when(col("w") === 0, lit(0L))
+          .otherwise(least(floor((col("value") - col("lo")) / col("w")),
+            lit((nbins - 1).toLong))).cast("int"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("cnt"))
+    val cum = binned.withColumn("cum",
+      sum("cnt").over(Window.partitionBy("event_type").orderBy("bin")))
+    val targets = stats
+      .select(col("event_type"), col("n"), col("lo"), col("w"),
+        explode(array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+      .withColumn("target", col("q") * col("n"))
+    val firstBin = Window.partitionBy("event_type", "q").orderBy("bin")
+    cum.join(targets, "event_type")
+      .filter(col("cum") >= col("target"))
+      .withColumn("rn", row_number().over(firstBin))
+      .filter(col("rn") === 1)
+      .withColumn("est",
+        when(col("w") === 0, col("lo"))
+          .otherwise(col("lo") + col("w") *
+            (col("bin") + (col("target") - (col("cum") - col("cnt"))) / col("cnt"))))
+      .select(col("event_type"), col("q"), round(col("est"), 4).as("est"))
+      .orderBy("event_type", "q")
+  }
 }

@@ -838,4 +838,78 @@ object Graph {
       |       (SELECT count(*) FROM (SELECT e1.a FROM oe e1
       |          JOIN oe e2 ON e1.a = e2.a AND ((e1.bd < e2.bd) OR (e1.bd = e2.bd AND e1.b < e2.b))
       |          JOIN oe e3 ON e3.a = e1.b AND e3.b = e2.b)) AS n_triangles""".stripMargin
+
+  /** HITS hubs & authorities (Kleinberg 1999, JACM 46(5) §2) over the
+    * DIRECTED customer→supplier purchase graph (who-buys-from-whom,
+    * via orders ⋈ lineitem, distinct): per round, auth = in-sum of
+    * hub, hub = out-sum of auth, each L1-normalized. On this
+    * bipartite orientation hubs live on customers (broad buyers) and
+    * authorities on suppliers (widely-bought-from) — the two-sided
+    * centrality PageRank's single score conflates. Output one row per
+    * node: (node, kind, score) with scores normalized to side-mean 1
+    * (score · n_side), rounded to 6 like every Pregel-family query so
+    * summation-order noise (~1e-15/round) cannot flip the hash.
+    *
+    * Scale: per round, two equality joins on a localCheckpoint'ed
+    * edge relation + two hash aggregates — the pageRank shape run in
+    * both directions. The L1 normalizer stays RELATIONAL (scalar
+    * crossJoin-broadcast, the repo's standard idiom) so no per-round
+    * driver pull; hub/auth are checkpointed per round to keep the
+    * plan O(1) deep. */
+  def hits(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    val edges = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(
+        concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    var hub = edges.select(col("src").as("node")).distinct()
+      .withColumn("hub", lit(1.0).cast("double"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = edges.join(hub, edges("src") === hub("node"))
+        .groupBy(col("dst")).agg(sum("hub").as("a"))
+        .select(col("dst").as("node"), col("a"))
+      auth = aRaw.crossJoin(broadcast(aRaw.agg(sum("a").as("za"))))
+        .select(col("node"), (col("a") / col("za")).as("auth"))
+        .localCheckpoint()
+      val hRaw = edges.join(auth, edges("dst") === auth("node"))
+        .groupBy(col("src")).agg(sum("auth").as("h"))
+        .select(col("src").as("node"), col("h"))
+      hub = hRaw.crossJoin(broadcast(hRaw.agg(sum("h").as("zh"))))
+        .select(col("node"), (col("h") / col("zh")).as("hub"))
+        .localCheckpoint()
+    }
+    val na = auth.count().toDouble
+    val nh = hub.count().toDouble
+    auth.select(col("node"), lit("auth").as("kind"),
+        round(col("auth") * lit(na), 6).as("score"))
+      .unionAll(hub.select(col("node"), lit("hub").as("kind"),
+        round(col("hub") * lit(nh), 6).as("score")))
+      .orderBy("kind", "node")
+  }
+
+  /** Oracle SQL for [[hits]] — the unrolled-CTE replay, normalizers as
+    * scalar subqueries. */
+  def hitsOracle(iters: Int = 5): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e AS MATERIALIZED (SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst " +
+      "FROM orders JOIN lineitem ON o_orderkey = l_orderkey),\n"
+    sb ++= "h0 AS MATERIALIZED (SELECT src AS node, CAST(1.0 AS DOUBLE) AS hub FROM (SELECT DISTINCT src FROM e)),\n"
+    for (i <- 1 to iters) {
+      sb ++= s"a${i}r AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub) AS a FROM e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),\n"
+      sb ++= s"a$i AS MATERIALIZED (SELECT node, a / (SELECT sum(a) FROM a${i}r) AS auth FROM a${i}r),\n"
+      sb ++= s"h${i}r AS MATERIALIZED (SELECT e.src AS node, sum(a.auth) AS h FROM e JOIN a$i a ON e.dst = a.node GROUP BY e.src),\n"
+      sb ++= s"h$i AS MATERIALIZED (SELECT node, h / (SELECT sum(h) FROM h${i}r) AS hub FROM h${i}r),\n"
+    }
+    sb ++= s"na AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM a$iters),\n"
+    sb ++= s"nh AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM h$iters)\n"
+    sb ++= s"SELECT node, 'auth' AS kind, round(auth * (SELECT n FROM na), 6) AS score FROM a$iters " +
+      s"UNION ALL SELECT node, 'hub' AS kind, round(hub * (SELECT n FROM nh), 6) AS score FROM h$iters " +
+      "ORDER BY kind, node"
+    sb.toString
+  }
 }

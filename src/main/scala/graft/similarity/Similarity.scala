@@ -1320,6 +1320,45 @@ object Similarity {
                             threshold: Double = 0.3): DataFrame =
     semanticDecontaminateOn(corpus(spark, dir), threshold)
 
+  /** Hard-negative mining for retriever/embedding training (the DPR /
+    * ANCE recipe, Karpukhin et al. 2020 arXiv:2004.04906 §4.2): for
+    * each query vector (the same every-`benchEvery`-th-id stand-in as
+    * [[semanticDecontaminateOn]]), the top-`k` most-similar corpus
+    * vectors whose LABEL DIFFERS from the query's — maximally
+    * confusable negatives — with cosine capped below `hi` to exclude
+    * mislabeled near-duplicates (a known failure mode: the "hardest"
+    * negative is often a true positive with a wrong label).
+    *
+    * Scale: identical shape to [[bruteForceTopKOn]] — query side
+    * broadcasts (production query sets are training-batch-sized; only
+    * the testdata stand-in scales with the corpus), corpus scanned
+    * once, per-query top-k via a window on the broadcast-join output.
+    * The label predicate lands IN the join condition so mismatched
+    * pairs never materialize a cosine. Rank ties break on cand_id;
+    * cosine is a sequential fold, so no summation-order ambiguity. */
+  def hardNegativesOn(all: DataFrame, benchEvery: Int = 10,
+                      hi: Double = 0.9, k: Int = 5): DataFrame = {
+    VectorExpressions.register(all.sparkSession)
+    val q = all.filter(pmod(col("vec_id"), lit(benchEvery)) === 0)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("vec").as("qv"), col("norm").as("qn"))
+    val cand = all.filter(pmod(col("vec_id"), lit(benchEvery)) =!= 0)
+      .select(col("vec_id").as("cand_id"), col("label").as("cand_label"),
+        col("vec").as("cv"), col("norm").as("cn"))
+    val scored = cand.join(broadcast(q), col("qlabel") =!= col("cand_label"))
+      .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .filter(col("cos") < hi)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("cand_id"), col("cand_label"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    hardNegativesOn(corpus(spark, dir))
+
   /** Production k for the cluster rung: k ≈ 2√n keeps expected
     * per-cluster size at √n/2, so Σ|cluster|² ≈ n^1.5 — the IVF
     * trade applied to dedup (autoNlist's 4√n targets probe cost;

@@ -1269,6 +1269,39 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Multinomial temperature sampling weights — the multilingual
+    * mixing rule from XLM-R / mT5 (Conneau et al. 2020
+    * arXiv:1911.02116 §3.1; Xue et al. 2021 arXiv:2010.11934 §3.2):
+    * sample source s with p_s ∝ share_s^alpha, alpha < 1 flattening
+    * the natural distribution so low-resource sources are upsampled.
+    * Output one row per source: natural share, tempered sampling
+    * probability, and the upsample factor p_s / share_s the loader
+    * applies as a repeat-rate. alpha follows mT5's 0.3.
+    *
+    * Scale: one per-source aggregate (config-sized relation) and one
+    * scalar normalizer broadcast back over it — the weights table is
+    * what a 100 TB run ships to its data loader; no document-level
+    * work at all. pow/round are pointwise doubles, identical across
+    * engines. */
+  def mixTemperature(spark: SparkSession, dir: String,
+                     alpha: Double = 0.3): DataFrame = {
+    val bySrc = Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val tot = bySrc.agg(sum("n_chars").as("total_chars"))
+    val shared = bySrc.crossJoin(broadcast(tot))
+      .withColumn("share", col("n_chars") / col("total_chars"))
+      .withColumn("share_a", pow(col("share"), lit(alpha)))
+    val z = shared.agg(sum("share_a").as("z"))
+    shared.crossJoin(broadcast(z))
+      .withColumn("p_temp", col("share_a") / col("z"))
+      .select(col("source"), col("n_docs"), col("n_chars"),
+        round(col("share"), 6).as("share"),
+        round(col("p_temp"), 6).as("p_temp"),
+        round(col("p_temp") / col("share"), 4).as("upsample"))
+      .orderBy("source")
+  }
+
   /** Budget-constrained mixture fill — the deterministic-greedy
     * counterpart of [[mixRebalance]]: the same equal-share-half-corpus
     * target (budget_s = Σchars / 2·n_sources per source), but enforced

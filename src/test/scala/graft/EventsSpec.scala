@@ -315,4 +315,28 @@ class EventsSpec extends AnyFunSuite {
       assert(math.abs(est - exact) <= 2.0, "below k the sketch must be ~exact")
     }
   }
+
+  test("histogram quantile sketch is within one bin width of the target order statistic") {
+    // the sketch's guarantee is in RANK space: the estimate lies in the
+    // bin whose cumulative count crosses q·n, i.e. the bin holding the
+    // ceil(q·n)-th order statistic — so |est − stat| ≤ one bin width.
+    // (An interpolated-percentile comparison would be unbounded in a
+    // sparse tail bin, where adjacent order stats sit bins apart.)
+    val est = Events.histQuantiles(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val byType = graft.Tables(spark, sf0001, "events")
+      .select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, vs) => t -> vs.map(_._2).sorted }
+    assert(byType.nonEmpty)
+    byType.foreach { case (t, vs) =>
+      val w = (vs.last - vs.head) / 64.0
+      for (q <- Seq(0.5, 0.9, 0.99)) {
+        val stat = vs(math.ceil(q * vs.length).toInt - 1)
+        val e = est((t, q))
+        assert(math.abs(e - stat) <= w + 1e-9,
+          s"$t q=$q est=$e stat=$stat width=$w")
+      }
+    }
+  }
 }

@@ -260,4 +260,21 @@ class GraphSpec extends AnyFunSuite {
       .orderBy("o_custkey")
     assert(merged.collect().toSeq === scratch.collect().toSeq)
   }
+
+  test("HITS: sides partition by node prefix and each normalizes to mean 1") {
+    val rows = Graph.hits(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    val (auth, hub) = rows.partition(_._2 == "auth")
+    assert(auth.nonEmpty && hub.nonEmpty)
+    // authorities live on suppliers, hubs on customers — the directed
+    // bipartite orientation puts all in-links on one side
+    assert(auth.forall(_._1.startsWith("s:")), "authority on a non-supplier")
+    assert(hub.forall(_._1.startsWith("c:")), "hub on a non-customer")
+    assert(rows.forall(_._3 > 0), "HITS scores must be positive on a connected side")
+    // L1 normalization + side-mean-1 scaling → each side averages 1
+    val authMean = auth.map(_._3).sum / auth.length
+    val hubMean = hub.map(_._3).sum / hub.length
+    assert(math.abs(authMean - 1.0) < 1e-4, s"auth mean $authMean")
+    assert(math.abs(hubMean - 1.0) < 1e-4, s"hub mean $hubMean")
+  }
 }

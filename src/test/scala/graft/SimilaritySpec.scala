@@ -356,4 +356,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(3L)._1 === 2L) // close to BOTH eval vectors
     assert(math.abs(got(3L)._2 - 0.7071) < 1e-4)
   }
+
+  test("hard negatives: same-label and near-dup candidates excluded, rest ranked by cosine") {
+    // query 0 (label 0). cand 1 shares the label (excluded by the join
+    // condition); cand 2 has cos ~0.99995 >= hi (excluded as a probable
+    // mislabeled near-dup); cands 3 and 4 rank by cosine.
+    val c = Seq(
+      (0L, Seq(1.0, 0.0, 0.0), 0),
+      (1L, Seq(0.9, 0.1, 0.0), 0),
+      (2L, Seq(0.99, 0.01, 0.0), 1),
+      (3L, Seq(0.5, 0.5, 0.0), 1),
+      (4L, Seq(0.0, 1.0, 0.0), 2))
+      .toDF("vec_id", "vec", "label")
+      .select(col("vec_id"), col("vec").cast("array<double>").as("vec"), col("label"))
+      .withColumn("norm", Similarity.l2norm(col("vec")))
+    val rows = Similarity.hardNegativesOn(c, benchEvery = 10, hi = 0.9, k = 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("cand_id"), r.getAs[Int]("cand_label"), r.getAs[Double]("cos_sim")))
+    assert(rows.map(t => (t._1, t._2, t._3, t._4)).toSeq
+      === Seq((0L, 1, 3L, 1), (0L, 2, 4L, 2)))
+    assert(math.abs(rows(0)._5 - 0.7071) < 1e-4)
+    assert(rows(1)._5 === 0.0)
+  }
 }

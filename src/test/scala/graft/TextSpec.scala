@@ -455,6 +455,26 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("temperature sampling flattens the source distribution monotonically") {
+    val rows = TextAnalysis.mixTemperature(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("share"),
+        r.getAs[Double]("p_temp"), r.getAs[Double]("upsample")))
+    assert(rows.length >= 2)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4, "shares must sum to 1")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "probabilities must sum to 1")
+    // upsample = share^(alpha-1)/Z is strictly decreasing in share:
+    // low-resource sources are boosted, high-resource ones thinned
+    val byShare = rows.sortBy(_._2)
+    byShare.sliding(2).foreach { case Array(lo, hi) =>
+      if (lo._2 < hi._2)
+        assert(lo._4 >= hi._4, s"upsample not monotone: $lo vs $hi")
+    }
+    if (byShare.head._2 < byShare.last._2) {
+      assert(byShare.head._4 > 1.0, "smallest source must be upsampled")
+      assert(byShare.last._4 < 1.0, "largest source must be downsampled")
+    }
+  }
+
   test("budget fill: kept set == independent Scala greedy prefix per source") {
     val got = TextAnalysis.budgetFill(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getBoolean(3)))

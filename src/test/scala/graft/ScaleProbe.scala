@@ -236,7 +236,18 @@ object ScaleProbe {
       // the exact audit quadratic and LSH; ivf_det adds probed-list
       // re-rank on top of the same centroids
       "emb_kmeans_clusters", "emb_semdedup_keep", "emb_ivf_det_topk",
-      "emb_semdedup_keep_auto")
+      "emb_semdedup_keep_auto",
+      // fourth session: CCNet terciles (ppl relation + config-sized
+      // threshold join), temperature weights (config-sized aggregates
+      // — expected flat), the histogram quantile sketch (bounded
+      // bin-state aggregate), eval screening + hard negatives (both
+      // broadcast-eval corpus scans; the stand-in eval side grows with
+      // the corpus here, production eval sets don't), and HITS (main
+      // dir: the distinct customer->supplier edge set is constant by
+      // construction there, so this probes the edge-DERIVATION scan,
+      // the linear leg; the bounded rounds run on the fixed edge set)
+      "txt_ppl_buckets", "mix_temperature", "sketch_hist_quantiles",
+      "emb_decontaminate", "emb_hard_negatives", "graph_hits")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state

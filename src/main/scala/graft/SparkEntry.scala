@@ -508,6 +508,9 @@ object SparkEntry {
     // Page's CUSUM drift detector as two windows (running sum +
     // running min) in exact doubled-integer units — see scaladoc
     "ts_cusum_changepoints" -> ((s, d) => Events.cusumQuery(s, d)),
+    // two-sample KS drift per type (first vs second half of the time
+    // range): exact bigint ECDF steps, Smirnov alpha=0.05 critical
+    "ts_ks_drift" -> ((s, d) => Events.ksDriftQuery(s, d)),
     // contingency-table independence screen: per-cell chi2 + totals;
     // day bucket is epoch-day mod 7 (locale-free in every engine)
     "chi2_type_dow" -> ((s, d) => Events.chiSquaredQuery(s, d)),
@@ -3081,6 +3084,33 @@ object SparkEntry {
         |  CAST(s2_hi > 8 * s AS INTEGER) AS shift_up,
         |  CAST(s2_lo > 8 * s AS INTEGER) AS shift_down
         |FROM s2 ORDER BY event_type, hour""".stripMargin,
+    "ts_ks_drift" ->
+      """WITH evm AS (SELECT event_type, value, epoch_us(ts) AS mu FROM events),
+        |st AS (SELECT event_type, (min(mu) + max(mu)) // 2 AS mid FROM evm GROUP BY event_type),
+        |sided AS (SELECT e.event_type, e.value,
+        |    CAST(e.mu <= s.mid AS INTEGER) AS side1
+        |  FROM evm e JOIN st s USING (event_type)),
+        |pv AS (SELECT event_type, value,
+        |    CAST(sum(side1) AS BIGINT) AS c1,
+        |    CAST(sum(1 - side1) AS BIGINT) AS c2
+        |  FROM sided GROUP BY event_type, value),
+        |tot AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+        |        FROM pv GROUP BY event_type),
+        |cumu AS (SELECT event_type, value, c1, c2,
+        |    CAST(sum(c1) OVER w AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER w AS BIGINT) AS cum2
+        |  FROM pv
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |ks AS (SELECT c.event_type, t.n1, t.n2,
+        |    max(abs(CAST(c.cum1 AS DOUBLE) / t.n1 - CAST(c.cum2 AS DOUBLE) / t.n2)) AS ks
+        |  FROM cumu c JOIN tot t USING (event_type)
+        |  WHERE t.n1 > 0 AND t.n2 > 0
+        |  GROUP BY c.event_type, t.n1, t.n2)
+        |SELECT event_type, n1, n2, round(ks, 6) AS ks,
+        |  round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS crit,
+        |  CAST(ks > 1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))) AS INTEGER) AS drift
+        |FROM ks ORDER BY event_type""".stripMargin,
     "w_expanding_zscore" ->
       """WITH w AS (SELECT event_id, event_type, value,
         |    avg(value) OVER (PARTITION BY event_type ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mu,

@@ -519,6 +519,61 @@ object Events {
   def cusumQuery(spark: SparkSession, dir: String): DataFrame =
     cusumChangepoints(Tables(spark, dir, "events"))
 
+  /** Two-sample Kolmogorov–Smirnov drift test per event type — the
+    * distribution-shift monitor a training-data pipeline runs between
+    * corpus snapshots ("did `value` drift between the first and second
+    * half of the window?"): split each type's events at the midpoint
+    * of its time range, compare the two empirical CDFs, and flag when
+    * D = max|F₁−F₂| exceeds the α=0.05 critical value
+    * 1.358·√((n₁+n₂)/(n₁·n₂)) (Smirnov's asymptotic form).
+    *
+    * Engine stability: the split point is INTEGER micros ((min+max)
+    * div 2 — no timestamp interval arithmetic), the ECDF steps are
+    * exact BIGINT cumulative counts over per-distinct-value rows
+    * (ties collapse before the window, so both engines step at the
+    * same points), and D is a max over deterministic bigint/bigint
+    * divisions — order-free, no float-summation hazard anywhere.
+    *
+    * Scale: one grouped count per (type, value), one bounded window
+    * over the distinct-value relation, and a config-sized per-type
+    * stats broadcast — the same shuffle budget as any grouped
+    * aggregate; nothing driver-side. */
+  def ksDrift(events: DataFrame): DataFrame = {
+    val evm = events.select(col("event_type"), col("value"),
+      unix_micros(col("ts")).as("mu"))
+    val st = evm.groupBy("event_type")
+      .agg(min("mu").as("lomu"), max("mu").as("himu"))
+      .withColumn("mid", expr("(lomu + himu) div 2"))
+      .select("event_type", "mid")
+    val sided = evm.join(broadcast(st), "event_type")
+      .withColumn("side1", (col("mu") <= col("mid")).cast("int"))
+    val perValue = sided.groupBy("event_type", "value")
+      .agg(sum(col("side1")).as("c1"),
+        sum(lit(1) - col("side1")).as("c2"))
+    val totals = perValue.groupBy("event_type")
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.partitionBy("event_type").orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .withColumn("cum1", sum("c1").over(w))
+      .withColumn("cum2", sum("c2").over(w))
+      .join(broadcast(totals), "event_type")
+      .withColumn("d", abs(col("cum1") / col("n1") - col("cum2") / col("n2")))
+      .groupBy("event_type")
+      .agg(max("n1").as("n1"), max("n2").as("n2"), max("d").as("ks"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+      .withColumn("crit",  // doubles before the product: a long n1·n2 would overflow at 100 TB group sizes
+        lit(1.358) * sqrt((col("n1") + col("n2")).cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double"))))
+      .select(col("event_type"), col("n1"), col("n2"),
+        round(col("ks"), 6).as("ks"), round(col("crit"), 6).as("crit"),
+        (col("ks") > col("crit")).cast("int").as("drift"))
+      .orderBy("event_type")
+  }
+
+  def ksDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    ksDrift(Tables(spark, dir, "events"))
+
   /** Chi-squared test of independence between event type and
     * day-of-week: the contingency-table screening step of behavioural
     * analytics ("is traffic mix stable across the week?"). Emits the

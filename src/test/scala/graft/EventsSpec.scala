@@ -6,6 +6,7 @@ import graft.operators.Events
 
 class EventsSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf0001}
+  import spark.implicits._
 
   test("frequent pairs are canonical (type_a < type_b) and support-bounded") {
     val rows = Events.frequentPairs(spark, sf0001, minSupport = 1).collect()
@@ -314,6 +315,29 @@ class EventsSpec extends AnyFunSuite {
     big.foreach { case (exact, est) =>
       assert(math.abs(est - exact) <= 2.0, "below k the sketch must be ~exact")
     }
+  }
+
+  test("KS drift: disjoint halves hit D=1, identical halves stay flat") {
+    // "stable": the second half replays the first half's values
+    // exactly -> ECDFs coincide, D=0. "shifted": the second half's
+    // support is disjoint above the first's -> D=1. Both sides have
+    // 100 points, so crit = 1.358*sqrt(200/10000) ~ 0.192.
+    val rows = (0 until 100).flatMap { i =>
+      Seq(
+        (s"stable", i.toLong, (i + 1).toDouble),
+        (s"stable", 100L + i, (i + 1).toDouble),
+        (s"shifted", i.toLong, (i + 1).toDouble),
+        (s"shifted", 100L + i, (101 + i).toDouble))
+    }
+    val ev = rows.toDF("event_type", "sec", "value")
+      .select(col("event_type"), col("value"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val got = Events.ksDrift(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(5)))).toMap
+    assert(got.keySet === Set("stable", "shifted"))
+    assert(got("stable") === ((100L, 100L, 0.0, 0)))
+    assert(got("shifted") === ((100L, 100L, 1.0, 1)))
   }
 
   test("histogram quantile sketch is within one bin width of the target order statistic") {

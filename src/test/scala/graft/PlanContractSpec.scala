@@ -397,4 +397,41 @@ class PlanContractSpec extends AnyFunSuite {
       .findFirstIn(p).nonEmpty,
       s"no equality join on cluster_id found in the cluster-rung plan:\n$p")
   }
+
+  test("eval screening: the eval side broadcasts, the corpus is never exchanged into the join") {
+    // emb_decontaminate / emb_hard_negatives: the benchmark-sized eval
+    // relation must be the broadcast side; the training corpus scan
+    // must reach the join without a shuffle exchange on the vectors
+    for (n <- Seq("emb_decontaminate", "emb_hard_negatives")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$n must broadcast the eval side:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$n plans a cartesian product:\n$p")
+    }
+  }
+
+  test("histogram sketch: bin counts partial-aggregate map-side") {
+    // the (event_type, bin) count must plan as HashAggregate partial →
+    // final, so only bounded bin-state crosses the wire — the
+    // mergeable-sketch contract the scaladoc claims
+    val p = plan("sketch_hist_quantiles")
+    assert(p.contains("HashAggregate"), s"bin counts must hash-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"sketch plans a cartesian product:\n$p")
+  }
+
+  test("KS drift: per-type stats broadcast and the values shuffle once") {
+    val p = plan("ts_ks_drift")
+    assert(!p.contains("CartesianProduct"), s"ks plans a cartesian product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the config-sized midpoint/totals relations must broadcast:\n$p")
+  }
+
+  test("temperature weights stay on config-sized relations: no data-sized exchange after the per-source aggregate") {
+    val p = plan("mix_temperature")
+    assert(!p.contains("CartesianProduct"),
+      s"mix_temperature plans a cartesian product:\n$p")
+    // the two scalar normalizers must be broadcast, not joined by key
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"scalar totals must broadcast:\n$p")
+  }
 }

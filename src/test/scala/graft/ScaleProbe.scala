@@ -247,7 +247,9 @@ object ScaleProbe {
       // construction there, so this probes the edge-DERIVATION scan,
       // the linear leg; the bounded rounds run on the fixed edge set)
       "txt_ppl_buckets", "mix_temperature", "sketch_hist_quantiles",
-      "emb_decontaminate", "emb_hard_negatives", "graph_hits")
+      "emb_decontaminate", "emb_hard_negatives", "graph_hits",
+      // KS drift: grouped distinct-value window + broadcast stats
+      "ts_ks_drift")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state

@@ -282,6 +282,9 @@ object SparkEntry {
     // CCNet head/middle/tail: per-language perplexity terciles over the
     // rounded ppl relation — the quality stratification before mixing
     "txt_ppl_buckets" -> ((s, d) => TextAnalysis.pplBuckets(s, d)),
+    // per-source boilerplate (template) grams: integer doc-frequency
+    // floor (denom*df >= n_docs), per-doc boilerplate ratio
+    "txt_boilerplate" -> ((s, d) => TextAnalysis.boilerplateQuery(s, d)),
     // BPE merge-pair vocab induction, k=10 rounds, deterministic
     // tie-break — the merge table is exactly reproducible in SQL
     // (greedy-overlap rule and all), so it is oracled end to end
@@ -2468,6 +2471,30 @@ object SparkEntry {
         |    AS dup_rate
         |FROM grams g LEFT JOIN dup d ON g.fp = d.fp
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "txt_boilerplate" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |grams AS MATERIALIZED (
+        |  SELECT doc_id, source, md5(array_to_string(toks[i:i+7], ' ')) AS fp
+        |  FROM (SELECT doc_id, source, toks, unnest(generate_series(1, len(toks) - 7)) AS i
+        |        FROM tok WHERE len(toks) >= 8)),
+        |docfp AS MATERIALIZED (SELECT DISTINCT source, fp, doc_id FROM grams),
+        |src_sizes AS (SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_src
+        |              FROM docfp GROUP BY source),
+        |boiler AS (
+        |  SELECT d.source, d.fp
+        |  FROM (SELECT source, fp, CAST(count(*) AS BIGINT) AS df
+        |        FROM docfp GROUP BY source, fp) d
+        |  JOIN src_sizes s ON d.source = s.source
+        |  WHERE d.df * 5 >= s.n_docs_src)
+        |SELECT g.doc_id, g.source,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  round(sum(CASE WHEN b.fp IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+        |    AS boiler_ratio
+        |FROM grams g LEFT JOIN boiler b ON g.source = b.source AND g.fp = b.fp
+        |GROUP BY g.doc_id, g.source ORDER BY g.doc_id""".stripMargin,
     "txt_decontaminate" ->
       """WITH tok AS MATERIALIZED (
         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks

@@ -878,6 +878,49 @@ object TextAnalysis {
   def substringDupQuery(spark: SparkSession, dir: String): DataFrame =
     substringDup(Tables(spark, dir, "documents"))
 
+  /** Per-source boilerplate detection — the template-removal stage
+    * (C4/RefinedWeb run it on lines; these documents are word
+    * streams, so the unit is the token w-gram): a gram is BOILERPLATE
+    * for a source when it appears in at least `1/denom` of that
+    * source's gram-bearing docs (same-site headers/footers/navigation
+    * recur across a source's pages; cross-source text does not). Per
+    * doc, report the fraction of its grams that are source
+    * boilerplate — high ratio = template shell, a drop/strip signal
+    * [[substringDup]] cannot give (it flags ANY cross-doc duplication,
+    * with no document-frequency floor).
+    *
+    * Engine stability: the frequency floor is INTEGER arithmetic
+    * (denom·df ≥ n_docs — no float threshold to flip), fingerprints
+    * are md5 hex, ratios round to 4.
+    *
+    * Scale: one shuffle on (source, fp) — 16-byte fingerprints, never
+    * text; the boilerplate relation (grams above a per-source
+    * document-frequency floor) is a small fraction of the distinct
+    * grams and joins back by equality. O(windows) end to end. */
+  def boilerplate(docs: DataFrame, w: Int = 8, denom: Int = 5): DataFrame = {
+    val grams = ngramFingerprints(docs, w)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val docFp = grams.select("source", "fp", "doc_id").distinct()
+    val srcSizes = docFp.select("source", "doc_id").distinct()
+      .groupBy("source").agg(count(lit(1)).as("n_docs_src"))
+    val boiler = docFp.groupBy("source", "fp")
+      .agg(count(lit(1)).as("df"))
+      .join(broadcast(srcSizes), "source")
+      .filter(col("df") * denom >= col("n_docs_src"))
+      .select("source", "fp")
+    grams
+      .join(boiler.withColumn("is_b", lit(1)), Seq("source", "fp"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("is_b").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler") / col("n_grams").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
+  def boilerplateQuery(spark: SparkSession, dir: String): DataFrame =
+    boilerplate(Tables(spark, dir, "documents"))
+
   /** Eval-set decontamination: flag corpus documents sharing any
     * w-gram (w=13, the common contamination window) with a benchmark
     * holdout. The stand-in eval set is every `benchEvery`-th doc

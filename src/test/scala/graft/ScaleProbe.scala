@@ -249,7 +249,9 @@ object ScaleProbe {
       "txt_ppl_buckets", "mix_temperature", "sketch_hist_quantiles",
       "emb_decontaminate", "emb_hard_negatives", "graph_hits",
       // KS drift: grouped distinct-value window + broadcast stats
-      "ts_ks_drift")
+      "ts_ks_drift",
+      // per-source boilerplate: one (source, fp) shuffle of 16-byte fps
+      "txt_boilerplate")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state

@@ -455,6 +455,27 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate: shared source header flags, unique text does not") {
+    // source a: 10 docs share an 8-token header (df=10, floor is
+    // df*5 >= 10) followed by 8 unique tokens — gram 1 is the pure
+    // header (boiler), grams 2..9 span into the unique tail (df=1).
+    // source b: fully unique docs, zero boilerplate.
+    val docs = (0 until 10).flatMap { i =>
+      val header = (1 to 8).map(k => s"h$k").mkString(" ")
+      val tailA = (1 to 8).map(k => s"a${i}x$k").mkString(" ")
+      val tailB = (1 to 16).map(k => s"b${i}x$k").mkString(" ")
+      Seq((i.toLong, "a", s"$header $tailA"), (100L + i, "b", tailB))
+    }.toDF("doc_id", "source", "text")
+    val got = TextAnalysis.boilerplate(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(got.size === 20)
+    (0 until 10).foreach { i =>
+      assert(got(i.toLong) === (("a", 9L, 1L, 0.1111)), s"doc $i: ${got(i.toLong)}")
+      assert(got(100L + i) === (("b", 9L, 0L, 0.0)), s"doc ${100 + i}")
+    }
+  }
+
   test("temperature sampling flattens the source distribution monotonically") {
     val rows = TextAnalysis.mixTemperature(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getAs[Double]("share"),

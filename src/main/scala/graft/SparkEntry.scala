@@ -148,6 +148,11 @@ object SparkEntry {
     "a8_approx_percentiles" -> ((s, d) => Relational.approxQuantityPercentiles(s, d)),
     "rollup_acctbal" -> ((s, d) => Relational.rollupAcctbal(s, d)),
     "cube_order_status" -> ((s, d) => Relational.cubeOrderStatus(s, d)),
+    // long-to-wide pivot with EXPLICIT values (no discovery scan,
+    // pinned schema) — plans as one conditional-count hash aggregate
+    "a_pivot_type_counts" -> ((s, d) => Relational.pivotTypeCounts(s, d)),
+    // wide-to-long unpivot (melt) via Expand — no join, no extra scan
+    "a_unpivot_measures" -> ((s, d) => Relational.unpivotMeasures(s, d)),
     // strictly-ordered view->click->purchase funnel (stage counts)
     "funnel_stages" -> ((s, d) => Events.funnelQuery(s, d)),
     // first-seen-week cohorts x weeks-since activity triangle
@@ -1164,6 +1169,26 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "a_pivot_type_counts" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "a_unpivot_measures" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS measure, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem)
+        |SELECT measure, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(value), 4) AS mean,
+        |  round(min(value), 4) AS vmin,
+        |  round(max(value), 4) AS vmax
+        |FROM u GROUP BY measure ORDER BY measure""".stripMargin,
     // hash-rank order is fully deterministic (md5 then key tiebreak),
     // so the kept set is identical in both engines
     "sample_balanced" ->

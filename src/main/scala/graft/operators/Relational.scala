@@ -528,6 +528,44 @@ object Relational {
         col("n_orders"), col("revenue"))
       .orderBy("status", "priority")
 
+  /** Pivot — long-to-wide reshaping (`RelationalGroupedDataset.pivot`):
+    * per-user event counts spread across one column per event type.
+    * The pivot VALUES are passed explicitly, which matters twice at
+    * 100 TB: it skips the extra distinct-scan Spark otherwise runs to
+    * discover them, and it pins the output schema (a late-arriving
+    * type cannot silently widen the relation). Plans as one hash
+    * aggregate with `count(CASE WHEN …)` per value — the same single
+    * shuffle as any grouped count. */
+  def pivotTypeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Unpivot — wide-to-long reshaping (`Dataset.unpivot`, the melt
+    * operator): lineitem's three numeric measures stacked into
+    * (measure, value) rows, then profiled per measure. Spark plans the
+    * unpivot as an Expand (no join, no extra scan) feeding one hash
+    * aggregate; sums round to 2 after exact-integer-cent-free doubles,
+    * per the repo's rounding discipline. */
+  def unpivotMeasures(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity").cast("double").as("l_quantity"),
+        col("l_extendedprice").cast("double").as("l_extendedprice"),
+        col("l_discount").cast("double").as("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"),
+        round(avg("value"), 4).as("mean"),
+        round(min("value"), 4).as("vmin"),
+        round(max("value"), 4).as("vmax"))
+      .orderBy("measure")
+
   /** Deterministic hash sampling (north star: dataset curation needs
     * repeatable samples — `TABLESAMPLE`/`rand()` change across runs and
     * engines). Keep a row iff the first hex byte of md5(salt || key)

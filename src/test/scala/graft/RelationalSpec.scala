@@ -348,4 +348,23 @@ class RelationalSpec extends AnyFunSuite {
         s"order $ok date $od outside version $vid validity [$from, $to)")
     }
   }
+
+  test("pivot rows reconcile with per-user totals; unpivot stacks every measure row") {
+    val ev = Tables(spark, sf0001, "events")
+    val perUser = ev.groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val piv = Relational.pivotTypeCounts(spark, sf0001).collect()
+    assert(piv.length === perUser.size)
+    piv.foreach { r =>
+      val total = (1 to 5).map(r.getLong).sum
+      assert(total === perUser(r.getLong(0)),
+        s"pivot row for user ${r.getLong(0)} does not sum to its event count")
+    }
+    val nLineitem = Tables(spark, sf0001, "lineitem").count()
+    val unp = Relational.unpivotMeasures(spark, sf0001).collect()
+    assert(unp.map(_.getString(0)).sorted.toSeq
+      === Seq("l_discount", "l_extendedprice", "l_quantity"))
+    unp.foreach(r => assert(r.getLong(1) === nLineitem,
+      s"measure ${r.getString(0)} must carry one row per lineitem"))
+  }
 }

@@ -52,6 +52,39 @@ object Sinks {
     deleteRecursively(backup)
   }
 
+  /** Small-files compaction — the table-maintenance operator every
+    * 100 TB lake runs on a schedule: streaming appends and fine-grained
+    * updates leave directories with thousands of KB-scale files whose
+    * per-file open/footer overhead dominates scan time. Rewrites the
+    * directory into ceil(totalBytes / targetBytes) files through
+    * [[updateOverwrite]]'s staging+swap (crash-safe, readers never see
+    * a partial table). With `sortCols`, compaction ALSO restores
+    * clustering via repartitionByRange + sortWithinPartitions, so
+    * min/max file pruning (the ZOrder read path) works again after the
+    * append traffic scrambled it. Returns (files before, files after).
+    *
+    * Sizing note: the ratio uses the CURRENT on-disk bytes, so
+    * compression ratio carries over approximately; targetBytes should
+    * be the cluster's `maxPartitionBytes` so one post-compaction file
+    * is one scan split. */
+  def compactParquet(spark: SparkSession, path: String,
+                     targetBytes: Long = 128L << 20,
+                     sortCols: Seq[String] = Nil): (Int, Int) = {
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(fsPath)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+    val nFiles = math.max(1,
+      math.ceil(parts.map(_.getLen).sum.toDouble / targetBytes).toInt)
+    updateOverwrite(spark, path) { df =>
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    }
+    (parts.length, nFiles)
+  }
+
   /** S6 — delete-as-anti-join: drop rows whose key appears in `keys`. */
   def deleteWhere(spark: SparkSession, path: String, keys: DataFrame, keyCol: String): Unit =
     updateOverwrite(spark, path)(df =>

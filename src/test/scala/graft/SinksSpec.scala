@@ -50,4 +50,35 @@ class SinksSpec extends AnyFunSuite {
     val back = spark.read.option("header", "true").csv(path)
     assert(back.count() === 2)
   }
+
+  test("compaction folds many small files into the size target and preserves rows") {
+    val path = tmp("t_compact")
+    spark.range(1000).toDF("id").withColumn("v", col("id") * 2)
+      .repartition(40).write.parquet(path)
+    def partFiles = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.startsWith("part-")).length
+    assert(partFiles === 40)
+    val before = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val (nb, na) = Sinks.compactParquet(spark, path) // huge target -> 1 file
+    assert(nb === 40 && na === 1 && partFiles === 1)
+    val after = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(after === before, "compaction must not change the rows")
+  }
+
+  test("sorted compaction restores disjoint per-file key ranges") {
+    val path = tmp("t_compact_sorted")
+    // scrambled layout: every file holds keys from the full range
+    spark.range(1000).toDF("id").repartition(10).write.parquet(path)
+    Sinks.compactParquet(spark, path, targetBytes = 3000, sortCols = Seq("id"))
+    val ranges = spark.read.parquet(path)
+      .groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "target must yield multiple files for the range assertion")
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(hi1 < lo2, s"file key ranges overlap after sorted compaction: $ranges")
+    }
+  }
 }

@@ -290,6 +290,9 @@ object SparkEntry {
     // per-source boilerplate (template) grams: integer doc-frequency
     // floor (denom*df >= n_docs), per-doc boilerplate ratio
     "txt_boilerplate" -> ((s, d) => TextAnalysis.boilerplateQuery(s, d)),
+    // writer-side shard plan: seed-stable hash permutation of the
+    // manifest survivors into shards + in-shard positions
+    "txt_shard_plan" -> ((s, d) => TextAnalysis.shardPlan(s, d)),
     // BPE merge-pair vocab induction, k=10 rounds, deterministic
     // tie-break — the merge table is exactly reproducible in SQL
     // (greedy-overlap rule and all), so it is oracled end to end
@@ -632,6 +635,40 @@ object SparkEntry {
          |JOIN t$k t USING (word)
          |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** The composed curation-manifest oracle, factored out because the
+    * shard plan's oracle wraps it verbatim as a derived table — one
+    * source of truth for the manifest semantics in SQL. */
+  private val pipelineManifestOracle: String =
+    """WITH keepers AS (
+      |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
+      |q AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+      |    round(CAST(len(list_filter(string_split(text, ' '),
+      |      x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+      |      / len(string_split(text, ' ')), 4) AS stopword_ratio,
+      |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')), 4) AS type_token_ratio
+      |  FROM documents),
+      |kept AS (
+      |  SELECT q.doc_id, q.n_tokens, q.type_token_ratio
+      |  FROM q JOIN keepers USING (doc_id)
+      |  WHERE q.n_tokens >= 20 AND q.stopword_ratio <= 0.2 AND q.doc_id % 10 != 0),
+      |tok AS MATERIALIZED (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
+      |  FROM documents),
+      |grams AS MATERIALIZED (
+      |  SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS fp
+      |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 12)) AS i
+      |        FROM tok WHERE len(toks) >= 13)),
+      |bench AS (SELECT DISTINCT fp FROM grams WHERE doc_id % 10 = 0),
+      |contaminated AS (
+      |  SELECT DISTINCT doc_id FROM grams JOIN bench USING (fp) WHERE doc_id % 10 != 0)
+      |SELECT k.doc_id, k.n_tokens, k.type_token_ratio
+      |FROM kept k LEFT JOIN contaminated c ON k.doc_id = c.doc_id
+      |WHERE c.doc_id IS NULL
+      |ORDER BY k.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "s2_point_lookup" ->
@@ -2310,36 +2347,16 @@ object SparkEntry {
     // Curation replay: same fingerprint (md5 of lower/trim), same
     // keeper rule (min doc_id), same quality thresholds on the ROUNDED
     // ratios as txt_quality.
-    "txt_pipeline_manifest" ->
-      """WITH keepers AS (
-        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(lower(trim(text)))),
-        |q AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-        |    round(CAST(len(list_filter(string_split(text, ' '),
-        |      x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
-        |      / len(string_split(text, ' ')), 4) AS stopword_ratio,
-        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-        |      / len(string_split(text, ' ')), 4) AS type_token_ratio
-        |  FROM documents),
-        |kept AS (
-        |  SELECT q.doc_id, q.n_tokens, q.type_token_ratio
-        |  FROM q JOIN keepers USING (doc_id)
-        |  WHERE q.n_tokens >= 20 AND q.stopword_ratio <= 0.2 AND q.doc_id % 10 != 0),
-        |tok AS MATERIALIZED (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS toks
-        |  FROM documents),
-        |grams AS MATERIALIZED (
-        |  SELECT doc_id, md5(array_to_string(toks[i:i+12], ' ')) AS fp
-        |  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 12)) AS i
-        |        FROM tok WHERE len(toks) >= 13)),
-        |bench AS (SELECT DISTINCT fp FROM grams WHERE doc_id % 10 = 0),
-        |contaminated AS (
-        |  SELECT DISTINCT doc_id FROM grams JOIN bench USING (fp) WHERE doc_id % 10 != 0)
-        |SELECT k.doc_id, k.n_tokens, k.type_token_ratio
-        |FROM kept k LEFT JOIN contaminated c ON k.doc_id = c.doc_id
-        |WHERE c.doc_id IS NULL
-        |ORDER BY k.doc_id""".stripMargin,
+    "txt_pipeline_manifest" -> pipelineManifestOracle,
+    "txt_shard_plan" ->
+      s"""WITH m AS (SELECT doc_id FROM ($pipelineManifestOracle) t),
+        |h AS (SELECT doc_id, md5('shard:' || CAST(doc_id AS VARCHAR)) AS hx FROM m),
+        |s AS (SELECT doc_id, hx,
+        |        CAST(('0x' || substring(hx, 1, 8))::BIGINT % 16 AS INTEGER) AS shard
+        |      FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS INTEGER) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
     "txt_corpus_report" ->
       """WITH aug AS (
         |  SELECT doc_id, source,

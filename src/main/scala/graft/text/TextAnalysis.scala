@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -395,6 +396,31 @@ object TextAnalysis {
     curationKeep(spark, dir)
       .filter(pmod(col("doc_id"), lit(10)) =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic training-shard plan — the WRITER side of the
+    * curation pipeline: assign every manifest survivor to a shard by
+    * content-free hash (md5 of the doc id under a fixed salt) and give
+    * it a position inside the shard by hash order — a seed-stable
+    * global permutation (training-order shuffling without `rand()`),
+    * reproducible across engines, runs, and cluster sizes. A writer
+    * consumes this plan directly: partitionBy(shard), write in pos
+    * order.
+    *
+    * Scale: the per-shard position is a window over ONE shard's docs —
+    * with nShards sized to the cluster (thousands at 100 TB) each
+    * partition is corpus/nShards; if a single shard ever outgrows a
+    * task, the packSequences two-phase prefix scan is the drop-in
+    * replacement (same keyed-prefix shape). */
+  def shardPlan(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    pipelineManifest(spark, dir).select("doc_id")
+      .withColumn("hx", md5(concat(lit("shard:"), col("doc_id").cast("string"))))
+      .withColumn("shard",
+        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
       .orderBy("doc_id")
   }
 

@@ -455,6 +455,24 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("shard plan: a seed-stable permutation covering exactly the manifest") {
+    val manifest = TextAnalysis.pipelineManifest(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val plan = TextAnalysis.shardPlan(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(plan.map(_._1).toSet === manifest, "plan must cover the manifest exactly")
+    assert(plan.length === manifest.size, "one row per doc")
+    assert(plan.forall(t => t._2 >= 0 && t._2 < 16))
+    plan.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1 to rows.length).toSeq,
+        s"shard $shard positions must be contiguous from 1")
+    }
+    // determinism: a second evaluation is bit-identical
+    val again = TextAnalysis.shardPlan(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(again.toSeq === plan.toSeq)
+  }
+
   test("boilerplate: shared source header flags, unique text does not") {
     // source a: 10 docs share an 8-token header (df=10, floor is
     // df*5 >= 10) followed by 8 unique tokens — gram 1 is the pure

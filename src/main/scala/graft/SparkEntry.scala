@@ -522,6 +522,9 @@ object SparkEntry {
     // two-sample KS drift per type (first vs second half of the time
     // range): exact bigint ECDF steps, Smirnov alpha=0.05 critical
     "ts_ks_drift" -> ((s, d) => Events.ksDriftQuery(s, d)),
+    // PSI vs the first-half reference histogram: conditional-sum bin
+    // state + a 64-term expression fold — binwise drift on the gate
+    "ts_psi_drift" -> ((s, d) => Events.psiDriftQuery(s, d)),
     // contingency-table independence screen: per-cell chi2 + totals;
     // day bucket is epoch-day mod 7 (locale-free in every engine)
     "chi2_type_dow" -> ((s, d) => Events.chiSquaredQuery(s, d)),
@@ -3064,6 +3067,7 @@ object SparkEntry {
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
     "graph_pagerank" -> Graph.pageRankOracle(),
     "graph_hits" -> Graph.hitsOracle(),
+    "ts_psi_drift" -> Events.psiDriftOracle(),
     "graph_pagerank_tol" -> Graph.pageRankUntilOracle(),
     "graph_triangles" -> Graph.triangleOracle,
     "graph_components" -> Graph.componentsOracle(),

@@ -574,6 +574,108 @@ object Events {
   def ksDriftQuery(spark: SparkSession, dir: String): DataFrame =
     ksDrift(Tables(spark, dir, "events"))
 
+  /** Batch PSI drift — the population-stability-index twin of
+    * [[ksDrift]] (and the batch anchor of the streaming
+    * `StreamDrift`): the FIRST half of each type's time range is the
+    * reference snapshot (its min/max defines the 64-bin grid), the
+    * second half is scored against it. PSI = Σ_b (po−pe)·ln(po/pe)
+    * with add-0.5 smoothing both sides; drift flags at the industry
+    * 0.2 threshold. KS sees any CDF shift; PSI weights tail mass and
+    * is binwise — the pair is the standard monitoring battery.
+    *
+    * Engine stability: bin counts are conditional integer sums (one
+    * row per type, 64 columns — order-free), and the 64-term PSI is
+    * ONE left-associated expression fold over exact-integer-derived
+    * doubles — bit-identical across engines, so the query runs on the
+    * hash gate (the streaming PSI's spec-only parity now has an
+    * oracled batch anchor).
+    *
+    * Scale: two grouped aggregates over the scan (bounded 64-long
+    * state each, map-side combined) + a per-type join of one-row
+    * relations. Same budget as any grouped count. */
+  def psiDrift(events: DataFrame, nbins: Int = 64, eps: Double = 0.5,
+               threshold: Double = 0.2): DataFrame = {
+    val evm = events.select(col("event_type"), col("value"),
+      unix_micros(col("ts")).as("mu"))
+    val st = evm.groupBy("event_type")
+      .agg(min("mu").as("lomu"), max("mu").as("himu"))
+      .withColumn("mid", expr("(lomu + himu) div 2"))
+      .select("event_type", "mid")
+    val sided = evm.join(broadcast(st), "event_type")
+      .withColumn("is_ref", col("mu") <= col("mid"))
+    val grid = sided.filter(col("is_ref"))
+      .groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .withColumn("w", (col("hi") - col("lo")) / lit(nbins.toDouble))
+      .select("event_type", "lo", "w")
+    val binned = sided.join(broadcast(grid), "event_type")
+      .withColumn("bin",
+        when(col("w") === 0, lit(0L))
+          .otherwise(greatest(lit(0L),
+            least(floor((col("value") - col("lo")) / col("w")),
+              lit(nbins - 1L)))).cast("int"))
+    def halfAgg(ref: Boolean, pfx: String, nName: String): DataFrame =
+      binned.filter(if (ref) col("is_ref") else !col("is_ref"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as(nName),
+          (0 until nbins).map(b =>
+            sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"$pfx$b")): _*)
+    val joined = halfAgg(ref = true, "c", "n_ref")
+      .join(halfAgg(ref = false, "d", "n_live"), "event_type")
+    val psi = (0 until nbins).map { b =>
+      val pe = (col(s"c$b") + lit(eps)) / (col("n_ref") + lit(nbins * eps))
+      val po = (col(s"d$b") + lit(eps)) / (col("n_live") + lit(nbins * eps))
+      (po - pe) * log(po / pe)
+    }.reduce(_ + _)
+    joined.select(col("event_type"), col("n_ref"), col("n_live"),
+        round(psi, 6).as("psi"), (psi > threshold).cast("int").as("drift"))
+      .orderBy("event_type")
+  }
+
+  def psiDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    psiDrift(Tables(spark, dir, "events"))
+
+  /** Generated oracle SQL for [[psiDrift]] — the 64 conditional sums
+    * and the 64-term left-associated PSI fold replayed literally. */
+  def psiDriftOracle(nbins: Int = 64): String = {
+    val cSums = (0 until nbins).map(b =>
+      s"CAST(sum(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS BIGINT) AS c$b").mkString(",\n    ")
+    val dSums = (0 until nbins).map(b =>
+      s"CAST(sum(CASE WHEN bin = $b THEN 1 ELSE 0 END) AS BIGINT) AS d$b").mkString(",\n    ")
+    val smooth = nbins * 0.5
+    val terms = (0 until nbins).map { b =>
+      // CAST-to-DOUBLE first so DuckDB's DECIMAL literal arithmetic
+      // never enters the quotient — both engines divide IEEE doubles
+      val pe = s"((CAST(c$b AS DOUBLE) + 0.5) / (CAST(n_ref AS DOUBLE) + $smooth))"
+      val po = s"((CAST(d$b AS DOUBLE) + 0.5) / (CAST(n_live AS DOUBLE) + $smooth))"
+      s"($po - $pe) * ln($po / $pe)"
+    }.mkString(" + ")
+    s"""WITH evm AS (SELECT event_type, value, epoch_us(ts) AS mu FROM events),
+       |st AS (SELECT event_type, (min(mu) + max(mu)) // 2 AS mid FROM evm GROUP BY event_type),
+       |sided AS (SELECT e.event_type, e.value, e.mu <= s.mid AS is_ref
+       |          FROM evm e JOIN st s USING (event_type)),
+       |grid AS (SELECT event_type, min(value) AS lo,
+       |           (max(value) - min(value)) / $nbins.0 AS w
+       |         FROM sided WHERE is_ref GROUP BY event_type),
+       |binned AS (
+       |  SELECT s.event_type, s.is_ref,
+       |    CAST(CASE WHEN g.w = 0 THEN 0
+       |         ELSE greatest(CAST(0 AS DOUBLE),
+       |              least(floor((s.value - g.lo) / g.w), CAST(${nbins - 1} AS DOUBLE)))
+       |         END AS INTEGER) AS bin
+       |  FROM sided s JOIN grid g USING (event_type)),
+       |ra AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_ref,
+       |    $cSums
+       |  FROM binned WHERE is_ref GROUP BY event_type),
+       |la AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_live,
+       |    $dSums
+       |  FROM binned WHERE NOT is_ref GROUP BY event_type)
+       |SELECT event_type, n_ref, n_live,
+       |  round($terms, 6) AS psi,
+       |  CAST(($terms) > 0.2 AS INTEGER) AS drift
+       |FROM ra JOIN la USING (event_type) ORDER BY event_type""".stripMargin
+  }
+
   /** Chi-squared test of independence between event type and
     * day-of-week: the contingency-table screening step of behavioural
     * analytics ("is traffic mix stable across the week?"). Emits the

@@ -340,6 +340,29 @@ class EventsSpec extends AnyFunSuite {
     assert(got("shifted") === ((100L, 100L, 1.0, 1)))
   }
 
+  test("PSI drift: replayed halves stay near zero, disjoint support flags hard") {
+    val rows = (0 until 100).flatMap { i =>
+      Seq(
+        ("stable", i.toLong, (i + 1).toDouble),
+        ("stable", 100L + i, (i + 1).toDouble),
+        ("shifted", i.toLong, (i + 1).toDouble),
+        ("shifted", 100L + i, (201 + i).toDouble))
+    }
+    val ev = rows.toDF("event_type", "sec", "value")
+      .select(col("event_type"), col("value"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val got = Events.psiDrift(ev).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got.keySet === Set("stable", "shifted"))
+    val (nr, nl, psiS, dS) = got("stable")
+    assert(nr === 100L && nl === 100L)
+    assert(psiS === 0.0 && dS === 0, s"identical halves must score 0: $psiS")
+    val (_, _, psiD, dD) = got("shifted")
+    // live mass all lands in the clamped top bin: po ~ 1 vs pe ~ tiny
+    assert(dD === 1 && psiD > 3.0, s"disjoint support must flag hard: $psiD")
+  }
+
   test("histogram quantile sketch is within one bin width of the target order statistic") {
     // the sketch's guarantee is in RANK space: the estimate lies in the
     // bin whose cumulative count crosses q·n, i.e. the bin holding the

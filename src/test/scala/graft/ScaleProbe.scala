@@ -251,7 +251,9 @@ object ScaleProbe {
       // KS drift: grouped distinct-value window + broadcast stats
       "ts_ks_drift",
       // per-source boilerplate: one (source, fp) shuffle of 16-byte fps
-      "txt_boilerplate")
+      "txt_boilerplate",
+      // PSI drift: two bounded-bin-state aggregates + a one-row join
+      "ts_psi_drift")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state

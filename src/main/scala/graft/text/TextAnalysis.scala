@@ -413,12 +413,18 @@ object TextAnalysis {
     * partition is corpus/nShards; if a single shard ever outgrows a
     * task, the packSequences two-phase prefix scan is the drop-in
     * replacement (same keyed-prefix shape). */
+  /** The salted shard hash and assignment — shared verbatim by the
+    * batch [[shardPlan]] and the streaming shard writer, so ingest-time
+    * and plan-time shard placement cannot drift. */
+  def shardHash: Column = md5(concat(lit("shard:"), col("doc_id").cast("string")))
+  def shardCol(nShards: Int): Column =
+    (conv(substring(shardHash, 1, 8), 16, 10).cast("long") % nShards).cast("int")
+
   def shardPlan(spark: SparkSession, dir: String, nShards: Int = 16): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("hx", "doc_id")
     pipelineManifest(spark, dir).select("doc_id")
-      .withColumn("hx", md5(concat(lit("shard:"), col("doc_id").cast("string"))))
-      .withColumn("shard",
-        (conv(substring(col("hx"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
+      .withColumn("hx", shardHash)
+      .withColumn("shard", shardCol(nShards))
       .withColumn("pos", row_number().over(w))
       .select("doc_id", "shard", "pos")
       .orderBy("doc_id")

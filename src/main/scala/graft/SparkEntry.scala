@@ -525,6 +525,9 @@ object SparkEntry {
     // PSI vs the first-half reference histogram: conditional-sum bin
     // state + a 64-term expression fold — binwise drift on the gate
     "ts_psi_drift" -> ((s, d) => Events.psiDriftQuery(s, d)),
+    // CEP-lite: per-user event-initial string + non-overlapping regex
+    // count of the v+c+p funnel — repeated conversions, full regex power
+    "cep_pattern_counts" -> ((s, d) => Events.cepQuery(s, d)),
     // contingency-table independence screen: per-cell chi2 + totals;
     // day bucket is epoch-day mod 7 (locale-free in every engine)
     "chi2_type_dow" -> ((s, d) => Events.chiSquaredQuery(s, d)),
@@ -3068,6 +3071,13 @@ object SparkEntry {
     "graph_pagerank" -> Graph.pageRankOracle(),
     "graph_hits" -> Graph.hitsOracle(),
     "ts_psi_drift" -> Events.psiDriftOracle(),
+    "cep_pattern_counts" ->
+      """WITH o AS (SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS i FROM events),
+        |s AS (SELECT user_id, string_agg(i, '' ORDER BY ts, event_id) AS seq
+        |      FROM o GROUP BY user_id)
+        |SELECT user_id, CAST(length(seq) AS INTEGER) AS seq_len,
+        |  CAST(len(regexp_extract_all(seq, 'v+c+p')) AS INTEGER) AS n_matches
+        |FROM s ORDER BY user_id""".stripMargin,
     "graph_pagerank_tol" -> Graph.pageRankUntilOracle(),
     "graph_triangles" -> Graph.triangleOracle,
     "graph_components" -> Graph.componentsOracle(),

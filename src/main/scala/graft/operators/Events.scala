@@ -635,6 +635,35 @@ object Events {
   def psiDriftQuery(spark: SparkSession, dir: String): DataFrame =
     psiDrift(Tables(spark, dir, "events"))
 
+  /** CEP-lite sequence pattern matching (the MATCH_RECOGNIZE shape the
+    * funnel family lacks): each user's event history becomes a string
+    * of type initials in strict (ts, event_id) order, and the funnel
+    * pattern `v+c+p` (views, then clicks, then a purchase) is counted
+    * as NON-OVERLAPPING regex matches — greedy left-to-right scan,
+    * identical semantics in every regex engine, so the count oracles
+    * exactly. Unlike `funnel_stages` (furthest stage reached once)
+    * this counts REPEATED conversions and admits full regex structure
+    * (alternation, bounded repetition) at zero extra plan cost.
+    *
+    * Scale: one shuffle on user_id; per-user state is the event-string
+    * (bounded by per-user density, the sessionize contract). The
+    * collect_list + sort_array is deterministic — the (ts, event_id)
+    * struct prefix is a total order. */
+  def cepPatternCounts(events: DataFrame, pattern: String = "v+c+p"): DataFrame =
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("i"))
+      .groupBy("user_id")
+      .agg(expr("concat_ws('', transform(sort_array(collect_list(struct(ts, event_id, i))), x -> x.i))")
+        .as("seq"))
+      .select(col("user_id"),
+        length(col("seq")).as("seq_len"),
+        regexp_count(col("seq"), lit(pattern)).as("n_matches"))
+      .orderBy("user_id")
+
+  def cepQuery(spark: SparkSession, dir: String): DataFrame =
+    cepPatternCounts(Tables(spark, dir, "events"))
+
   /** Generated oracle SQL for [[psiDrift]] — the 64 conditional sums
     * and the 64-term left-associated PSI fold replayed literally. */
   def psiDriftOracle(nbins: Int = 64): String = {

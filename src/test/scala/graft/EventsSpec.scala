@@ -340,6 +340,25 @@ class EventsSpec extends AnyFunSuite {
     assert(got("shifted") === ((100L, 100L, 1.0, 1)))
   }
 
+  test("CEP pattern counts non-overlapping funnel conversions in order") {
+    // user 1: v v c p v c p -> "vvcpvcp": matches "vvcp" then "vcp" = 2
+    // user 2: p p v -> purchases before any view: 0 matches
+    // user 3: v c v p -> the view between c and p breaks the pattern: 0
+    val rows = Seq(
+      (1L, Seq("view", "view", "click", "purchase", "view", "click", "purchase")),
+      (2L, Seq("purchase", "purchase", "view")),
+      (3L, Seq("view", "click", "view", "purchase"))
+    ).flatMap { case (u, ts) =>
+      ts.zipWithIndex.map { case (t, k) => (u, u * 100 + k, k.toLong, t) }
+    }
+    val ev = rows.toDF("user_id", "event_id", "sec", "event_type")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val got = Events.cepPatternCounts(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got === Map(1L -> ((7, 2)), 2L -> ((3, 0)), 3L -> ((4, 0))))
+  }
+
   test("PSI drift: replayed halves stay near zero, disjoint support flags hard") {
     val rows = (0 until 100).flatMap { i =>
       Seq(

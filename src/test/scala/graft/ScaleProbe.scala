@@ -253,7 +253,9 @@ object ScaleProbe {
       // per-source boilerplate: one (source, fp) shuffle of 16-byte fps
       "txt_boilerplate",
       // PSI drift: two bounded-bin-state aggregates + a one-row join
-      "ts_psi_drift")
+      "ts_psi_drift",
+      // CEP: one user_id shuffle; per-user string bounded by density
+      "cep_pattern_counts")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state

@@ -90,4 +90,43 @@ class TieSpec extends AnyFunSuite {
     assert(zByType.keySet === Set("alpha", "beta"), s"twins must trip: $zByType")
     assert(zByType("alpha") === zByType("beta"), s"twin series diverged: $zByType")
   }
+
+  test("hard negatives: all-equal-cosine candidates cut on cand_id across layouts") {
+    // query 0 (label 0); four IDENTICAL candidate vectors (equal cosine
+    // to the query, labels != 0) — top-2 must be the two lowest
+    // cand_ids under every physical layout
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0, 0.0), 0),
+      (7L, Seq(0.5, 0.5, 0.0), 1),
+      (3L, Seq(0.5, 0.5, 0.0), 2),
+      (9L, Seq(0.5, 0.5, 0.0), 1),
+      (5L, Seq(0.5, 0.5, 0.0), 2))
+      .toDF("vec_id", "vec", "label")
+      .select(col("vec_id"), col("vec").cast("array<double>").as("vec"), col("label"))
+      .withColumn("norm", graft.similarity.Similarity.l2norm(col("vec")))
+    val results = layouts(corpus).map { c =>
+      graft.similarity.Similarity.hardNegativesOn(c, benchEvery = 10, hi = 0.9, k = 2)
+        .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    }
+    assert(results.forall(_ == results.head), s"layout-dependent tie: $results")
+    assert(results.head === Seq((1, 3L), (2, 5L)),
+      s"equal cosines must cut on cand_id: ${results.head}")
+  }
+
+  test("shard plan positions are layout-invariant (hash order, doc_id tie-break)") {
+    // positions come from a window ordered by (hx, doc_id); md5 is
+    // injective over these ids so ties cannot occur, but the ORDER must
+    // still be layout-independent end to end
+    val results = layouts(
+        TextAnalysis.pipelineManifest(spark, SparkTestSession.sf0001).select("doc_id")).map { m =>
+      m.withColumn("hx", TextAnalysis.shardHash)
+        .withColumn("shard", TextAnalysis.shardCol(16))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("shard").orderBy("hx", "doc_id")))
+        .select("doc_id", "shard", "pos")
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    }
+    assert(results.forall(_ == results.head), s"layout-dependent shard plan")
+  }
 }

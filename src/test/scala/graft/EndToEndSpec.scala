@@ -173,4 +173,44 @@ class EndToEndSpec extends AnyFunSuite {
         .findFirstMatchIn(promText).get.group(1).toLong >= 1)
     } finally Prometheus.detach(spark, prom)
   }
+
+  test("training corpus materialization: manifest -> shard plan -> partitioned write -> compaction") {
+    import SparkTestSession.sf0001
+    import graft.text.TextAnalysis
+    import graft.sources.Sinks
+    val base = Files.createTempDirectory("graft_e2e_corpus_").toFile
+    base.deleteOnExit()
+    val root = new java.io.File(base, "corpus").getAbsolutePath
+
+    // plan, join the surviving docs back, land partitioned by shard
+    val plan = TextAnalysis.shardPlan(spark, sf0001)
+    val docs = Tables(spark, sf0001, "documents")
+    plan.join(docs, "doc_id")
+      .select("doc_id", "shard", "pos", "text", "source")
+      .write.partitionBy("shard").parquet(root)
+
+    val expected = plan.collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val landed = spark.read.parquet(root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("shard"), r.getAs[Int]("pos")))).toMap
+    assert(landed === expected, "landed corpus must equal the plan")
+
+    // per-shard compaction (each shard dir is its own parquet table)
+    val shardDirs = new java.io.File(root).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+    assert(shardDirs.nonEmpty)
+    shardDirs.foreach { d =>
+      val (_, after) = Sinks.compactParquet(spark, d.getAbsolutePath)
+      assert(after === 1, s"${d.getName} must compact to one file")
+    }
+    // compaction preserved the corpus bit-for-bit (schema sans the
+    // partition column, which compaction rewrites INTO the files)
+    val recompacted = shardDirs.flatMap { d =>
+      val k = d.getName.stripPrefix("shard=").toInt
+      spark.read.parquet(d.getAbsolutePath).collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((k, r.getAs[Int]("pos"))))
+    }.toMap
+    assert(recompacted === expected, "compaction must not change the corpus")
+  }
 }

@@ -402,6 +402,10 @@ object SparkEntry {
     // collisions gate candidate pairs); SimilaritySpec asserts the
     // planted duplicates are found.
     "emb_near_dup" -> ((s, d) => Similarity.cosineNearDupPairs(s, d, threshold = 0.3)),
+    // fixed-resolution sibling on the hash gate: pinned 4-plane family,
+    // oracle replays bucketing -> pairing -> exact verify bit-for-bit
+    "emb_near_dup_det" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(s, d, threshold = 0.3, nPlanes = 4)),
     // semantic dedup keep-list (SemDeDup-style): exact cosine-threshold
     // graph -> CC closure -> keep lowest id per component. The exact
     // pair join is the AUDIT rung by contract (oracle = recursive-CTE
@@ -3071,6 +3075,7 @@ object SparkEntry {
     "graph_pagerank" -> Graph.pageRankOracle(),
     "graph_hits" -> Graph.hitsOracle(),
     "ts_psi_drift" -> Events.psiDriftOracle(),
+    "emb_near_dup_det" -> Similarity.nearDupOracleSql(threshold = 0.3),
     "cep_pattern_counts" ->
       """WITH o AS (SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS i FROM events),
         |s AS (SELECT user_id, string_agg(i, '' ORDER BY ts, event_id) AS seq

@@ -809,6 +809,42 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Fixed-resolution near-dup rung — the emb_lsh_topk upgrade applied
+    * to [[cosineNearDupPairsOn]]: at a PINNED plane count the
+    * hyperplane family is deterministic, so the oracle interpolates the
+    * coefficients as SQL literals and replays bucketing → within-bucket
+    * pairing → exact-cosine verify bit-for-bit — the candidate-recall
+    * rung moves onto the hash gate. The auto-scaled production sibling
+    * (emb_near_dup) stays rows-only by the fixed-resolution rule: its
+    * plane count must float with the corpus. */
+  def nearDupOracleSql(threshold: Double = 0.95, nPlanes: Int = 4,
+                       nTables: Int = 8, dims: Int = 64): String = {
+    def lits(plane: Int): String =
+      (0 until dims).map(d => planeComponent(plane, d).toString).mkString("[", ", ", "]")
+    val tableSelects = (0 until nTables).map { t =>
+      val bits = (0 until nPlanes).map { p =>
+        s"(CASE WHEN list_dot_product(v, ${lits(t * nPlanes + p)}) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"  SELECT vec_id, $t AS tbl,\n    $bits AS bucket FROM n"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM c),
+       |b AS MATERIALIZED (
+       |$tableSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, cb.vec_id AS vec_b
+       |  FROM b a JOIN b cb ON a.tbl = cb.tbl AND a.bucket = cb.bucket
+       |    AND a.vec_id < cb.vec_id),
+       |scored AS (
+       |  SELECT cand.vec_a, cand.vec_b,
+       |    list_dot_product(av.v, bv.v) / (av.nm * bv.nm) AS cos
+       |  FROM cand JOIN n av ON av.vec_id = cand.vec_a
+       |  JOIN n bv ON bv.vec_id = cand.vec_b)
+       |SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
+       |FROM scored WHERE cos >= CAST($threshold AS DOUBLE)
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+
   def cosineNearDupPairs(spark: SparkSession, dir: String, threshold: Double = 0.95,
                          nPlanes: Int = 0, nTables: Int = 8, dims: Int = 64): DataFrame =
     cosineNearDupPairsOn(corpus(spark, dir), threshold, nPlanes, nTables, dims)

@@ -357,6 +357,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(got(3L)._2 - 0.7071) < 1e-4)
   }
 
+  test("fixed-resolution near-dup: verified subset of brute force; identical vectors always collide") {
+    val all = Similarity.corpus(spark, sf0001).cache()
+    val det = Similarity.cosineNearDupPairsOn(all, threshold = 0.3, nPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every emitted pair passed the exact verify, so det ⊆ brute force
+    val brute = {
+      val a = all.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("norm").as("na"))
+      val b = all.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
+      a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+        .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.3)
+        .select("vec_a", "vec_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(det.subsetOf(brute), s"false positives: ${det -- brute}")
+    assert(det.nonEmpty, "planted near-dups must surface at 4 planes")
+    // an identical-vector pair lands in the same bucket of EVERY table
+    val planted = brute.filter { case (x, y) =>
+      val v = all.filter(col("vec_id") === x).select("vec").head.getSeq[Double](0)
+      val w = all.filter(col("vec_id") === y).select("vec").head.getSeq[Double](0)
+      v == w
+    }
+    planted.foreach(p => assert(det.contains(p), s"identical pair $p missed"))
+  }
+
   test("hard negatives: same-label and near-dup candidates excluded, rest ranked by cosine") {
     // query 0 (label 0). cand 1 shares the label (excluded by the join
     // condition); cand 2 has cos ~0.99995 >= hi (excluded as a probable

@@ -255,7 +255,10 @@ object ScaleProbe {
       // PSI drift: two bounded-bin-state aggregates + a one-row join
       "ts_psi_drift",
       // CEP: one user_id shuffle; per-user string bounded by density
-      "cep_pattern_counts")
+      "cep_pattern_counts",
+      // fixed-resolution near-dup: quadratic-in-occupancy BY CONTRACT
+      // (the auto sibling emb_near_dup is the production path)
+      "emb_near_dup_det")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state

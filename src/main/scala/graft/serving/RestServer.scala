@@ -71,6 +71,19 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
     rows.map(r => s"""{"event_type":${js(r.getString(0))},"n":${r.getLong(1)}}""")
       .mkString("[", ",", "]")
   }
+  // the monitoring battery: KS (CDF shift) + PSI (binwise/tail) per
+  // type — the oracled ts_ks_drift / ts_psi_drift relations verbatim
+  private lazy val driftJson: String = {
+    val ks = Events.ksDriftQuery(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getInt(5)))).toMap
+    val psi = Events.psiDriftQuery(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getInt(4)))).toMap
+    (ks.keySet ++ psi.keySet).toSeq.sorted.map { t =>
+      val (k, kd) = ks.getOrElse(t, (0.0, 0))
+      val (p, pd) = psi.getOrElse(t, (0.0, 0))
+      s"""{"event_type":${js(t)},"ks":$k,"ks_drift":$kd,"psi":$p,"psi_drift":$pd}"""
+    }.mkString("[", ",", "]")
+  }
 
   private def js(s: String): String =
     "\"" + s.flatMap {
@@ -155,6 +168,10 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
     server.createContext("/analytics/top-events", (ex: HttpExchange) =>
       guarded(ex, "analytics:top", burst = 8) {
         s"""{"data":$topEventsJson,"_links":{"self":{"href":"/analytics/top-events"}}}"""
+      })
+    server.createContext("/analytics/drift", (ex: HttpExchange) =>
+      guarded(ex, "analytics:drift", burst = 8) {
+        s"""{"data":$driftJson,"_links":{"self":{"href":"/analytics/drift"}}}"""
       })
     server.setExecutor(null)
     server.start()

@@ -54,6 +54,12 @@ class RestServerSpec extends AnyFunSuite {
       assert(""""pair":""".r.findAllIn(pairs.body).length === expectedPairs.toInt)
       val top = get(port, "/analytics/top-events", Some(adminTok))
       assert(""""event_type":""".r.findAllIn(top.body).length === 5)
+      // the drift battery serves one row per type with both metrics
+      val drift = get(port, "/analytics/drift", Some(adminTok))
+      assert(drift.statusCode() === 200)
+      assert(""""event_type":""".r.findAllIn(drift.body).length === 5)
+      assert(drift.body.contains(""""ks":""") && drift.body.contains(""""psi":"""))
+      assert(get(port, "/analytics/drift", None).statusCode() === 401)
 
       // tampered token -> 401
       assert(get(port, "/users", Some(adminTok.dropRight(2) + "xx")).statusCode() === 401)

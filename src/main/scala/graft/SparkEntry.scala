@@ -293,6 +293,10 @@ object SparkEntry {
     // writer-side shard plan: seed-stable hash permutation of the
     // manifest survivors into shards + in-shard positions
     "txt_shard_plan" -> ((s, d) => TextAnalysis.shardPlan(s, d)),
+    // fastText-style quality classifier: 3 full-batch GD steps over
+    // hashed unigrams, gradients integerized before summation — the
+    // TRAINING replays bit-for-bit in the unrolled-CTE oracle
+    "txt_logreg_scores" -> ((s, d) => TextAnalysis.logregScores(s, d)),
     // BPE merge-pair vocab induction, k=10 rounds, deterministic
     // tie-break — the merge table is exactly reproducible in SQL
     // (greedy-overlap rule and all), so it is oracled end to end
@@ -3076,6 +3080,7 @@ object SparkEntry {
     "graph_hits" -> Graph.hitsOracle(),
     "ts_psi_drift" -> Events.psiDriftOracle(),
     "emb_near_dup_det" -> Similarity.nearDupOracleSql(threshold = 0.3),
+    "txt_logreg_scores" -> TextAnalysis.logregOracle(),
     "cep_pattern_counts" ->
       """WITH o AS (SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS i FROM events),
         |s AS (SELECT user_id, string_agg(i, '' ORDER BY ts, event_id) AS seq

@@ -258,7 +258,10 @@ object ScaleProbe {
       "cep_pattern_counts",
       // fixed-resolution near-dup: quadratic-in-occupancy BY CONTRACT
       // (the auto sibling emb_near_dup is the production path)
-      "emb_near_dup_det")
+      "emb_near_dup_det",
+      // logreg training: steps x (broadcast weight join + two bounded
+      // aggregates) — linear per step
+      "txt_logreg_scores")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state

@@ -455,6 +455,27 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("logreg quality classifier ranks the target class nearly perfectly") {
+    val rows = TextAnalysis.logregScores(spark, sf0001).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    val (pos, neg) = rows.partition(_._1 == 1)
+    assert(pos.nonEmpty && neg.nonEmpty, "fixture must contain both classes")
+    val meanP = pos.map(_._3).sum / pos.length
+    val meanN = neg.map(_._3).sum / neg.length
+    assert(meanP > meanN + 0.1,
+      s"training must separate the classes: p(quality)=$meanP vs p(other)=$meanN")
+    // AUC via the rank-sum form — the metric a filter threshold is
+    // chosen against downstream
+    val ranked = rows.sortBy(r => (r._2, r._1)).zipWithIndex
+    val posRankSum = ranked.collect { case (r, i) if r._1 == 1 => (i + 1).toLong }.sum
+    val auc = (posRankSum - pos.length.toLong * (pos.length + 1) / 2).toDouble /
+      (pos.length.toLong * neg.length)
+    assert(auc > 0.95, s"quality ranking must be near-separable: AUC=$auc")
+    // prediction is the exact integer sign of the score
+    rows.foreach(r => assert(r._4 === (if (r._2 >= 0) 1 else 0)))
+  }
+
   test("shard plan: a seed-stable permutation covering exactly the manifest") {
     val manifest = TextAnalysis.pipelineManifest(spark, sf0001)
       .select("doc_id").collect().map(_.getLong(0)).toSet

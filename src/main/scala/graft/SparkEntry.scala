@@ -297,6 +297,10 @@ object SparkEntry {
     // hashed unigrams, gradients integerized before summation — the
     // TRAINING replays bit-for-bit in the unrolled-CTE oracle
     "txt_logreg_scores" -> ((s, d) => TextAnalysis.logregScores(s, d)),
+    // per-source Welch t-test vs the rest of the corpus on EXACT
+    // integer sufficient statistics (one aggregate, complement by
+    // subtraction) — the mean-difference leg of the testing battery
+    "stat_source_ttest" -> ((s, d) => TextAnalysis.sourceTTest(s, d)),
     // BPE merge-pair vocab induction, k=10 rounds, deterministic
     // tie-break — the merge table is exactly reproducible in SQL
     // (greedy-overlap rule and all), so it is oracled end to end
@@ -3081,6 +3085,32 @@ object SparkEntry {
     "ts_psi_drift" -> Events.psiDriftOracle(),
     "emb_near_dup_det" -> Similarity.nearDupOracleSql(threshold = 0.3),
     "txt_logreg_scores" -> TextAnalysis.logregOracle(),
+    "stat_source_ttest" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sx,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(sx) AS BIGINT) AS tsx,
+        |        CAST(sum(sxx) AS BIGINT) AS tsxx FROM per),
+        |j AS (
+        |  SELECT p.source, p.n, p.sx, p.sxx,
+        |    t.tn - p.n AS nb, t.tsx - p.sx AS sxb, t.tsxx - p.sxx AS sxxb
+        |  FROM per p CROSS JOIN tot t
+        |  WHERE p.n >= 2 AND t.tn - p.n >= 2),
+        |c AS (
+        |  SELECT source, n,
+        |    CAST(sx AS DOUBLE) / n AS ma, CAST(sxb AS DOUBLE) / nb AS mb,
+        |    ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)) / n AS sea,
+        |    ((CAST(sxxb AS DOUBLE) - CAST(sxb AS DOUBLE) * CAST(sxb AS DOUBLE) / nb) / (nb - 1)) / nb AS seb,
+        |    nb
+        |  FROM j)
+        |SELECT source, n, round(ma, 2) AS mean_chars, round(mb, 2) AS mean_rest,
+        |  round((ma - mb) / sqrt(sea + seb), 4) AS t,
+        |  round((sea + seb) * (sea + seb) /
+        |    (sea * sea / (n - 1) + seb * seb / (nb - 1)), 2) AS df,
+        |  CAST(abs((ma - mb) / sqrt(sea + seb)) > 1.96 AS INTEGER) AS sig
+        |FROM c ORDER BY source""".stripMargin,
     "cep_pattern_counts" ->
       """WITH o AS (SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS i FROM events),
         |s AS (SELECT user_id, string_agg(i, '' ORDER BY ts, event_id) AS seq

@@ -1305,6 +1305,45 @@ object TextAnalysis {
   def featureHashQuery(spark: SparkSession, dir: String): DataFrame =
     featureHash(Tables(spark, dir, "documents"))
 
+  /** Per-source Welch t-test — does a source's document-length
+    * distribution differ from the rest of the corpus? (The per-source
+    * anomaly screen a data card review runs; beside chi²/KS/PSI this
+    * completes the testing battery with a mean-difference test.)
+    * Sufficient statistics (n, Σx, Σx²) are EXACT integer sums over
+    * n_chars, and the complement group's stats are the corpus totals
+    * minus the source's — one aggregate over the scan, no second
+    * pass, no float summation anywhere before the closed-form t/df
+    * arithmetic (pointwise doubles, identical across engines).
+    * Significance at the two-sided normal 1.96 (Welch df is large
+    * here; the df column lets a reader apply an exact t quantile). */
+  def sourceTTest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents").select(col("source"), col("n_chars"))
+    val per = d.groupBy("source").agg(
+      count(lit(1)).as("n"), sum("n_chars").as("sx"),
+      sum(col("n_chars") * col("n_chars")).as("sxx"))
+    val tot = per.agg(sum("n").as("tn"), sum("sx").as("tsx"), sum("sxx").as("tsxx"))
+    val j = per.crossJoin(broadcast(tot))
+      .withColumn("nb", col("tn") - col("n"))
+      .withColumn("sxb", col("tsx") - col("sx"))
+      .withColumn("sxxb", col("tsxx") - col("sxx"))
+      .filter(col("n") >= 2 && col("nb") >= 2)
+    def mean(sx: Column, n: Column): Column = sx.cast("double") / n
+    def variance(sxx: Column, sx: Column, n: Column): Column =
+      (sxx.cast("double") - sx.cast("double") * sx.cast("double") / n) / (n - lit(1))
+    val (ma, mb) = (mean(col("sx"), col("n")), mean(col("sxb"), col("nb")))
+    val va = variance(col("sxx"), col("sx"), col("n"))
+    val vb = variance(col("sxxb"), col("sxb"), col("nb"))
+    val (sea, seb) = (va / col("n"), vb / col("nb"))
+    val t = (ma - mb) / sqrt(sea + seb)
+    val df = (sea + seb) * (sea + seb) /
+      (sea * sea / (col("n") - lit(1)) + seb * seb / (col("nb") - lit(1)))
+    j.select(col("source"), col("n"),
+        round(ma, 2).as("mean_chars"), round(mb, 2).as("mean_rest"),
+        round(t, 4).as("t"), round(df, 2).as("df"),
+        (abs(t) > lit(1.96)).cast("int").as("sig"))
+      .orderBy("source")
+  }
+
   /** Distributed logistic-regression quality classifier — the
     * fastText-style filter the GPT-3/LLaMA pipelines train to separate
     * curated from crawled text (Brown et al. 2020, arXiv:2005.14165

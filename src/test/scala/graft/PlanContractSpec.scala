@@ -426,6 +426,13 @@ class PlanContractSpec extends AnyFunSuite {
       s"the config-sized midpoint/totals relations must broadcast:\n$p")
   }
 
+  test("logreg training: the dim-row weight table broadcasts into every scoring join") {
+    val p = plan("txt_logreg_scores")
+    assert(!p.contains("CartesianProduct"), s"logreg plans a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the weight table must broadcast into the tf join:\n$p")
+  }
+
   test("temperature weights stay on config-sized relations: no data-sized exchange after the per-source aggregate") {
     val p = plan("mix_temperature")
     assert(!p.contains("CartesianProduct"),

@@ -455,6 +455,29 @@ class TextSpec extends AnyFunSuite {
     }
   }
 
+  test("Welch t-test flags a planted long-doc source and not a matched one") {
+    // sources a/b: same length distribution (no significance); source
+    // c: 10x longer docs (must flag). n_chars integers keep the
+    // sufficient statistics exact.
+    val docs = ((0 until 40).map(i => (i.toLong, "a", 100L + (i % 5))) ++
+      (0 until 40).map(i => (100L + i, "b", 100L + (i % 5))) ++
+      (0 until 40).map(i => (200L + i, "c", 1000L + (i % 5))))
+      .toDF("doc_id", "source", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ttest_").toString
+    docs.withColumn("text", lit("x")).withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextAnalysis.sourceTTest(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(4), r.getInt(6)))).toMap
+    assert(got.keySet === Set("a", "b", "c"))
+    assert(got("c")._2 === 1 && got("c")._1 > 10,
+      s"the long source must flag hard: ${got("c")}")
+    // a and b each tested against a rest that INCLUDES c, so both
+    // shift significantly low — the flag direction carries the sign
+    assert(got("a")._1 < 0 && got("b")._1 < 0)
+    assert(math.abs(got("a")._1 - got("b")._1) < 0.5,
+      "twin sources must test nearly identically")
+  }
+
   test("logreg quality classifier ranks the target class nearly perfectly") {
     val rows = TextAnalysis.logregScores(spark, sf0001).collect()
       .map(r => (r.getInt(1), r.getLong(2), r.getDouble(3), r.getInt(4)))

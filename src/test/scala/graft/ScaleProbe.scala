@@ -261,7 +261,9 @@ object ScaleProbe {
       "emb_near_dup_det",
       // logreg training: steps x (broadcast weight join + two bounded
       // aggregates) — linear per step
-      "txt_logreg_scores")
+      "txt_logreg_scores",
+      // t-test: one grouped aggregate + a scalar broadcast — flat
+      "stat_source_ttest")
     // queries whose FIRST execution per dir includes a one-time index
     // build (the serving layout's whole point is build-once): pre-run
     // untimed on BOTH dirs so the timed runs measure steady-state

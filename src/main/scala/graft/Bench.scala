@@ -77,17 +77,57 @@ object Bench {
     }
 
     val medians = names.map(n => n -> median(times(n)))
+
+    // Outlier auto-rerun (round-10): driver benches keep landing on a
+    // loaded machine, and a co-tenant burst during one query's reps
+    // reads as a regression (graph_communities 4.64 s in-suite vs
+    // 2.23 s isolated, BASELINE.md round 8 — previously separated only
+    // by judge-side forensics). Any query whose suite median deviates
+    // >2x from the last recorded anchor (the previous round's
+    // bench_out.json, read BEFORE this run overwrites it) is
+    // re-measured after the suite — a settle pause, then the same
+    // warmup+reps protocol — and BOTH numbers ship in the artifact:
+    // `queries` stays the honest in-suite median, `requeried` carries
+    // the isolated re-measure, so ambient noise separates from real
+    // regressions inside the artifact itself.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    val anchorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_ANCHOR", outPath)
+    val anchor: Map[String, Double] =
+      try {
+        val txt = Files.readString(Paths.get(anchorPath))
+        """"([A-Za-z0-9_]+)":(-?[0-9][0-9.]*)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    val outliers = medians.collect {
+      case (n, v) if v >= 0.5 && anchor.get(n).exists(a =>
+        a >= 0.5 && (v / a > 2.0 || a / v > 2.0)) => n
+    }
+    val requeried: Map[String, Double] =
+      if (outliers.isEmpty) Map.empty
+      else {
+        System.err.println(s"[bench] re-measuring ${outliers.size} outlier(s) vs " +
+          s"$anchorPath: ${outliers.mkString(",")}")
+        System.gc()
+        Thread.sleep(2000)
+        outliers.map { n =>
+          runOne(n)
+          n -> median((1 to reps).map(_ => runOne(n)))
+        }.toMap
+      }
+
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val rq = requeried.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"requeried":$rq,"sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}"""
     println(json)
     // Also land the JSON in a file via tmp+atomic-move: the console
     // line travels through a truncating sbt log tail on the driver
     // side (BENCH_r08.json arrived with parsed:null), a file never
     // does. Env-overridable so local sweeps don't clobber the
     // round artifact.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try {
       val tmp = Paths.get(outPath + ".tmp")
       Files.writeString(tmp, json + "\n")

@@ -3111,13 +3111,7 @@ object SparkEntry {
         |    (sea * sea / (n - 1) + seb * seb / (nb - 1)), 2) AS df,
         |  CAST(abs((ma - mb) / sqrt(sea + seb)) > 1.96 AS INTEGER) AS sig
         |FROM c ORDER BY source""".stripMargin,
-    "cep_pattern_counts" ->
-      """WITH o AS (SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS i FROM events),
-        |s AS (SELECT user_id, string_agg(i, '' ORDER BY ts, event_id) AS seq
-        |      FROM o GROUP BY user_id)
-        |SELECT user_id, CAST(length(seq) AS INTEGER) AS seq_len,
-        |  CAST(len(regexp_extract_all(seq, 'v+c+p')) AS INTEGER) AS n_matches
-        |FROM s ORDER BY user_id""".stripMargin,
+    "cep_pattern_counts" -> Events.cepOracle(),
     "graph_pagerank_tol" -> Graph.pageRankUntilOracle(),
     "graph_triangles" -> Graph.triangleOracle,
     "graph_components" -> Graph.componentsOracle(),

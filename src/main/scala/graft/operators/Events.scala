@@ -645,24 +645,56 @@ object Events {
     * this counts REPEATED conversions and admits full regex structure
     * (alternation, bounded repetition) at zero extra plan cost.
     *
-    * Scale: one shuffle on user_id; per-user state is the event-string
-    * (bounded by per-user density, the sessionize contract). The
-    * collect_list + sort_array is deterministic — the (ts, event_id)
-    * struct prefix is a total order. */
-  def cepPatternCounts(events: DataFrame, pattern: String = "v+c+p"): DataFrame =
+    * Scale: one shuffle on user_id; the per-user sequence is HARD
+    * BOUNDED at `maxEvents` (round-10 skew fix): a rank filter keeps
+    * only the first maxEvents events per user in (ts, event_id) order
+    * BEFORE the collect_list, so the aggregation buffer is capped even
+    * under a power-law hot user — the rank itself runs in Spark's
+    * spill-able sort-based window, never in memory. Overflow is
+    * surfaced, not hidden: `truncated` = 1 flags users whose history
+    * was cut (their n_matches is a prefix count by contract). The
+    * collect_list + sort_array is deterministic — the rank prefix is a
+    * total order. */
+  val cepMaxEvents = 100000
+
+  def cepPatternCounts(events: DataFrame, pattern: String = "v+c+p",
+                       maxEvents: Int = cepMaxEvents): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val byUser = Window.partitionBy("user_id")
     events
       .select(col("user_id"), col("ts"), col("event_id"),
         substring(col("event_type"), 1, 1).as("i"))
+      .withColumn("rn", row_number().over(byTime))
+      .withColumn("n_total", count(lit(1)).over(byUser))
+      .filter(col("rn") <= maxEvents)
       .groupBy("user_id")
-      .agg(expr("concat_ws('', transform(sort_array(collect_list(struct(ts, event_id, i))), x -> x.i))")
-        .as("seq"))
+      .agg(
+        expr("concat_ws('', transform(sort_array(collect_list(struct(rn, i))), x -> x.i))")
+          .as("seq"),
+        max(col("n_total")).as("n_total"))
       .select(col("user_id"),
         length(col("seq")).as("seq_len"),
-        regexp_count(col("seq"), lit(pattern)).as("n_matches"))
+        regexp_count(col("seq"), lit(pattern)).as("n_matches"),
+        (col("n_total") > maxEvents).cast("int").as("truncated"))
       .orderBy("user_id")
+  }
 
   def cepQuery(spark: SparkSession, dir: String): DataFrame =
     cepPatternCounts(Tables(spark, dir, "events"))
+
+  /** Oracle SQL for [[cepPatternCounts]] — the same rank-bounded
+    * prefix, overflow flag included. */
+  def cepOracle(pattern: String = "v+c+p", maxEvents: Int = cepMaxEvents): String =
+    s"""WITH o AS (SELECT user_id, ts, event_id, substring(event_type, 1, 1) AS i,
+       |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |       count(*) OVER (PARTITION BY user_id) AS n_total
+       |     FROM events),
+       |s AS (SELECT user_id, string_agg(i, '' ORDER BY rn) AS seq, max(n_total) AS n_total
+       |      FROM o WHERE rn <= $maxEvents GROUP BY user_id)
+       |SELECT user_id, CAST(length(seq) AS INTEGER) AS seq_len,
+       |  CAST(len(regexp_extract_all(seq, '$pattern')) AS INTEGER) AS n_matches,
+       |  CAST(n_total > $maxEvents AS INTEGER) AS truncated
+       |FROM s ORDER BY user_id""".stripMargin
 
   /** Generated oracle SQL for [[psiDrift]] — the 64 conditional sums
     * and the 64-term left-associated PSI fold replayed literally. */

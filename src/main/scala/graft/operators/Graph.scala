@@ -16,10 +16,14 @@ import graft.Tables
   *    driver). Each PageRank iteration is one equality join on the
   *    source vertex + one hash aggregation on the destination — the
   *    classic Pregel-as-relational-algebra shape, AQE-skew-handled.
-  *  - The edge+degree relation is `localCheckpoint`ed once so the
-  *    k-iteration loop re-reads a materialized relation instead of
-  *    re-deriving the dedup'd edge list k times (and the logical plan
-  *    stays O(1) deep per iteration, not O(k)).
+  *  - The edge+degree relation is materialized ONCE per (dir, content
+  *    fingerprint) as a catalog parquet table BUCKETED by the
+  *    per-round join key (round-10 layout; previously a per-run
+  *    localCheckpoint): the k-iteration loop reads a bucketed scan
+  *    whose reported hash partitioning elides the edge-side exchange
+  *    in every round's join, and the derive cost amortizes across
+  *    queries and reps (and, at 100 TB, across the cluster's whole
+  *    query history on that snapshot).
   *  - Triangle counting orients every edge from its lower-(degree, id)
   *    endpoint to the higher one, which bounds the wedge join to
   *    O(m^1.5) work (standard node-iterator++ bound) instead of the
@@ -31,17 +35,106 @@ import graft.Tables
   */
 object Graph {
 
+  // -----------------------------------------------------------------
+  // Write-once bucketed edge layout (round-10): every graph query used
+  // to RE-DERIVE its edge relation from lineitem per run (scan +
+  // distinct shuffle + degree aggregate + join + localCheckpoint), and
+  // the per-round Pregel join re-shuffled the edge side on the node
+  // key every round. The layout materializes each edge variant ONCE
+  // per (dir, content-fingerprint) as a catalog parquet table BUCKETED
+  // by the per-round join key (`a` — the message-source vertex), the
+  // exact move proven for the events/band-index/BM25 layouts: the
+  // bucketed scan reports hash partitioning to the planner, so every
+  // per-round edges⋈state join plans with NO exchange on the edge
+  // side, and the derive cost amortizes across queries AND reps. At
+  // 100 TB this is the difference between re-shuffling the edge ocean
+  // every round and shuffling only the (node-sized) state relation.
+  // Contents are identical to the derived relation, so oracles are
+  // untouched (PlanContractSpec pins both the plan shape and row
+  // parity).
+  // -----------------------------------------------------------------
+
+  private val layoutLock = new Object
+
+  /** Deterministic catalog-safe table name per (dir, data, variant) —
+    * the same content-fingerprint contract as the BM25/IVFADC index
+    * prefixes: regenerated testdata under the same path triggers a
+    * fresh build instead of serving stale edges across JVMs. */
+  private def edgeTableName(dir: String, variant: String): String = {
+    // both fact tables feed some variant (hits uses orders⋈lineitem),
+    // so the name folds both fingerprints — either regenerating
+    // invalidates every edge layout
+    val fp = Tables.dataFingerprint(s"$dir/lineitem.parquet") + "|" +
+      Tables.dataFingerprint(s"$dir/orders.parquet")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$dir|$fp|edges|$variant".getBytes("UTF-8"))
+    s"graft_edges_${variant}_" + md.take(5).map("%02x".format(_)).mkString
+  }
+
+  /** Memoized bucketed materialization: builds `build` into the
+    * catalog on first use per (dir, content, variant), returns the
+    * table-backed DataFrame. Orphaned warehouse dirs from a previous
+    * JVM are cleared first (the saveAsTable contract shared with
+    * `bm25BuildIndex`). */
+  private def edgeRel(spark: SparkSession, dir: String, variant: String,
+                      key: String, nBuckets: Int = 32)
+                     (build: => DataFrame): DataFrame = layoutLock.synchronized {
+    val table = edgeTableName(dir, variant)
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+      graft.sources.Bucketed.writeBucketed(build, table, key, nBuckets)
+    }
+    spark.table(table)
+  }
+
+  /** Symmetric part↔supplier edges pre-joined with source degree —
+    * (a, b, deg) bucketed by `a`. One table serves the whole
+    * full-graph family: PageRank/PPR read it as-is, BFS/SSSP project
+    * (a, b) (column pruning keeps the bucketed scan), SSSP adds its
+    * md5 weight as a computed column (projection preserves the
+    * reported partitioning). */
+  private def bipartiteLinked(spark: SparkSession, dir: String): DataFrame =
+    edgeRel(spark, dir, "bi", "a") {
+      val base = Tables(spark, dir, "lineitem")
+        .select(
+          concat(lit("p:"), col("l_partkey")).as("a"),
+          concat(lit("s:"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = base.union(base.select(col("b").as("a"), col("a").as("b")))
+      val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+      edges.join(deg, "a").select(col("a"), col("b"), col("deg"))
+    }
+
+  /** Sparsified symmetric edges (md5 order-key sample below
+    * `cutoff`/256 of hash space), bucketed by `a` — the CC / LPA /
+    * k-core graphs. */
+  private def sparseEdges(spark: SparkSession, dir: String, cutoff: String): DataFrame =
+    edgeRel(spark, dir, s"cc$cutoff", "a") {
+      val base = Tables(spark, dir, "lineitem")
+        .filter(
+          substring(md5(concat(lit("cc:"), col("l_orderkey").cast("string"))), 1, 2) < cutoff)
+        .select(
+          concat(lit("p:"), col("l_partkey")).as("a"),
+          concat(lit("s:"), col("l_suppkey")).as("b"))
+        .distinct()
+      base.union(base.select(col("b").as("a"), col("a").as("b")))
+    }
+
   /** Undirected part↔supplier bipartite edges from lineitem, namespaced
     * as string node ids (`p:<partkey>` / `s:<suppkey>`) so both vertex
     * families live in one relation. Symmetrized for undirected walks. */
-  private def bipartiteEdges(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir, "lineitem")
-      .select(
-        concat(lit("p:"), col("l_partkey")).as("a"),
-        concat(lit("s:"), col("l_suppkey")).as("b"))
-      .distinct()
-    base.union(base.select(col("b").as("a"), col("a").as("b")))
-  }
+  private def bipartiteEdges(spark: SparkSession, dir: String): DataFrame =
+    bipartiteLinked(spark, dir).select(col("a"), col("b"))
+
+  /** Spec access to the bucketed layouts (PlanContractSpec pins the
+    * zero-exchange per-round join contract and row parity). */
+  private[graft] def linkedEdges(spark: SparkSession, dir: String): DataFrame =
+    bipartiteLinked(spark, dir)
+  private[graft] def copurOriented(spark: SparkSession, dir: String): DataFrame =
+    copurLayout(spark, dir)._1
 
   /** PageRank over the part↔supplier graph, `iters` synchronous
     * iterations at damping 0.85. Every node has degree ≥ 1 by
@@ -54,12 +147,10 @@ object Graph {
     * bounded-pull contract as Ellipse's shape gate); everything else
     * stays relational. */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
-    val edges = bipartiteEdges(spark, dir)
-    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-    // one materialization feeds all iterations; join key pre-computed
-    val linked = edges.join(deg, "a")
-      .select(col("a"), col("b"), col("deg"))
-      .localCheckpoint()
+    // bucketed-by-`a` catalog table: every per-round join reads the
+    // edge side with NO exchange (the state side — one row per node —
+    // is the only thing that moves)
+    val linked = bipartiteLinked(spark, dir)
     val n = linked.select(countDistinct(col("a"))).head().getLong(0)
     val teleport = lit(0.15).cast("double") / lit(n.toDouble)
     var pr = linked.select(col("a").as("node")).distinct()
@@ -100,11 +191,18 @@ object Graph {
     * the N count. */
   def pageRankUntil(spark: SparkSession, dir: String, tol: Double = 0.5,
                     maxIters: Int = 12): DataFrame = {
-    val edges = bipartiteEdges(spark, dir)
-    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-    val linked = edges.join(deg, "a")
-      .select(col("a"), col("b"), col("deg"))
-      .localCheckpoint()
+    // the tolerance loop runs ONE ACTION PER ROUND (the delta pull), so
+    // each round would re-scan the edge parquet; one localCheckpoint of
+    // the (already derive-free) bucketed scan keeps rounds on local
+    // blocks. The round join declares the NODE-STATE side broadcast:
+    // the planner's stats otherwise broadcast the EDGE side (the table
+    // has small file stats; the checkpointed state has none) — the
+    // exact inversion of what scales. Measured (BASELINE.md round 10):
+    // edge-broadcast 7.8 s, both-shuffled SMJ 5.7 s, state-broadcast
+    // 4.4 s here; on a graph whose node state outgrows broadcast, drop
+    // the hint and the bucketed layout plans the zero-exchange SMJ
+    // (raw+SMJ measured 5.0 s, the 100 TB shape).
+    val linked = bipartiteLinked(spark, dir).localCheckpoint()
     val n = linked.select(countDistinct(col("a"))).head().getLong(0)
     val teleport = lit(0.15).cast("double") / lit(n.toDouble)
     var pr = linked.select(col("a").as("node")).distinct()
@@ -114,7 +212,7 @@ object Graph {
     var done = false
     while (iter < maxIters && !done) {
       iter += 1
-      val next = linked.join(pr, linked("a") === pr("node"))
+      val next = linked.join(broadcast(pr), linked("a") === pr("node"))
         .groupBy(col("b"))
         .agg((teleport + lit(0.85) * sum(col("pr") / col("deg"))).as("pr"))
         .select(col("b").as("node"), col("pr"))
@@ -171,11 +269,7 @@ object Graph {
     * column added to the state relation. */
   def personalizedPageRank(spark: SparkSession, dir: String,
                            source: String = "s:1", iters: Int = 5): DataFrame = {
-    val edges = bipartiteEdges(spark, dir)
-    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-    val linked = edges.join(deg, "a")
-      .select(col("a"), col("b"), col("deg"))
-      .localCheckpoint()
+    val linked = bipartiteLinked(spark, dir)
     var pr = linked.select(col("a").as("node")).distinct()
       .withColumn("pr",
         when(col("node") === source, lit(1.0)).otherwise(lit(0.0)).cast("double"))
@@ -200,11 +294,9 @@ object Graph {
   def personalizedPageRankUntil(spark: SparkSession, dir: String,
                                 source: String = "s:1", tol: Double = 0.5,
                                 maxIters: Int = 12): DataFrame = {
-    val edges = bipartiteEdges(spark, dir)
-    val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-    val linked = edges.join(deg, "a")
-      .select(col("a"), col("b"), col("deg"))
-      .localCheckpoint()
+    // action-per-round loop: checkpoint the bucketed scan once and
+    // broadcast the node-state side (see pageRankUntil)
+    val linked = bipartiteLinked(spark, dir).localCheckpoint()
     var pr = linked.select(col("a").as("node")).distinct()
       .withColumn("pr",
         when(col("node") === source, lit(1.0)).otherwise(lit(0.0)).cast("double"))
@@ -213,7 +305,7 @@ object Graph {
     var done = false
     while (iter < maxIters && !done) {
       iter += 1
-      val next = linked.join(pr, linked("a") === pr("node"))
+      val next = linked.join(broadcast(pr), linked("a") === pr("node"))
         .groupBy(col("b"))
         .agg((lit(0.85) * sum(col("pr") / col("deg"))).as("flow"))
         .select(col("b").as("node"),
@@ -273,39 +365,61 @@ object Graph {
   private def orientLow(u: Column, v: Column, du: Column, dv: Column): Column =
     (du < dv) || (du === dv && u < v)
 
+  /** Write-once co-purchase layout: the ORIENTED edge relation
+    * (a, b, bd) bucketed by the wedge-join center `a` — the e1⋈e2
+    * self-join reads both sides from the same buckets with no
+    * exchange — plus the companion degree relation (node, d) for the
+    * clustering coefficient. Orientation comment preserved from the
+    * derive-per-run era: the oriented edge carries the HEAD's degree
+    * because the wedge pair (b, c) under vertex a must be ordered by
+    * the same (degree, id) rank the orientation uses — ordering by raw
+    * id would look for closing edges against their orientation and
+    * silently undercount (caught by GraphSpec's K4 hand-count). */
+  private def copurLayout(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    layoutLock.synchronized {
+      val oriTable = edgeTableName(dir, "copur")
+      val degTable = edgeTableName(dir, "copurdeg")
+      if (!spark.catalog.tableExists(oriTable) || !spark.catalog.tableExists(degTable)) {
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        for (t <- Seq(oriTable, degTable) if !spark.catalog.tableExists(t)) {
+          val path = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(path)) fs.delete(path, true)
+        }
+        val pp = Tables(spark, dir, "lineitem")
+          .filter(
+            substring(md5(concat(lit("tri:"), col("l_orderkey").cast("string"))), 1, 2) < "80")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val x = pp.as("x"); val y = pp.as("y")
+        val e = x.join(y, col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+          .select(col("x.p").as("u"), col("y.p").as("v"))
+          .distinct()
+          .localCheckpoint()
+        e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("d"))
+          .write.mode("overwrite").format("parquet").saveAsTable(degTable)
+        val deg = spark.table(degTable)
+        val oriented = e
+          .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+          .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+          .select(
+            when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("u"))
+              .otherwise(col("v")).as("a"),
+            when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("v"))
+              .otherwise(col("u")).as("b"),
+            when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("dv"))
+              .otherwise(col("du")).as("bd"))
+        graft.sources.Bucketed.writeBucketed(oriented, oriTable, "a", 32)
+      }
+      (spark.table(oriTable), spark.table(degTable))
+    }
+
   /** Oriented triangle count over the co-purchase graph (parts
     * appearing in the same order, orders hash-sampled at ~50%).
     * Returns one row: (n_edges, n_triangles). */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val pp = Tables(spark, dir, "lineitem")
-      .filter(
-        substring(md5(concat(lit("tri:"), col("l_orderkey").cast("string"))), 1, 2) < "80")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val x = pp.as("x"); val y = pp.as("y")
-    val e = x.join(y, col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("u"), col("y.p").as("v"))
-      .distinct()
-      .localCheckpoint()
-    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
-    // oriented edge carries the HEAD's degree: the wedge pair (b, c)
-    // under vertex a must be ordered by the same (degree, id) rank the
-    // orientation uses — ordering by raw id would look for closing
-    // edges against their orientation and silently undercount (caught
-    // by GraphSpec's K4 hand-count before the shared-formulation
-    // oracle could hide it)
-    val oriented = e
-      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
-      .select(
-        when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("u"))
-          .otherwise(col("v")).as("a"),
-        when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("v"))
-          .otherwise(col("u")).as("b"),
-        when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("dv"))
-          .otherwise(col("du")).as("bd"))
-      .localCheckpoint()
+    val (oriented, _) = copurLayout(spark, dir)
     val e1 = oriented.as("e1"); val e2 = oriented.as("e2"); val e3 = oriented.as("e3")
     val wedges = e1.join(e2,
         col("e1.a") === col("e2.a") &&
@@ -314,7 +428,8 @@ object Graph {
       .select(col("e1.b").as("wb"), col("e2.b").as("wc"))
     val tri = wedges.join(e3, col("wb") === col("e3.a") && col("wc") === col("e3.b"))
       .agg(count(lit(1)).as("n_triangles"))
-    e.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
+    // each undirected edge appears exactly once in the oriented layout
+    oriented.agg(count(lit(1)).as("n_edges")).crossJoin(tri)
   }
 
   /** Connected components by min-label propagation over a sparsified
@@ -336,16 +451,7 @@ object Graph {
     * assertion-failure guard, not a tuning knob). */
   def connectedComponents(spark: SparkSession, dir: String,
                           maxIters: Int = 20): DataFrame = {
-    val base = Tables(spark, dir, "lineitem")
-      .filter(
-        substring(md5(concat(lit("cc:"), col("l_orderkey").cast("string"))), 1, 2) < "08")
-      .select(
-        concat(lit("p:"), col("l_partkey")).as("a"),
-        concat(lit("s:"), col("l_suppkey")).as("b"))
-      .distinct()
-    val edges = base
-      .union(base.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    val edges = sparseEdges(spark, dir, "08")
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
@@ -401,19 +507,8 @@ object Graph {
   /** Community detection on the same sparsified part↔supplier graph as
     * [[connectedComponents]] (communities inside one giant component
     * are where LPA says something CC cannot). */
-  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame = {
-    val base = Tables(spark, dir, "lineitem")
-      .filter(
-        substring(md5(concat(lit("cc:"), col("l_orderkey").cast("string"))), 1, 2) < "08")
-      .select(
-        concat(lit("p:"), col("l_partkey")).as("a"),
-        concat(lit("s:"), col("l_suppkey")).as("b"))
-      .distinct()
-    val edges = base
-      .union(base.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    labelPropagationOn(edges, rounds)
-  }
+  def labelPropagation(spark: SparkSession, dir: String, rounds: Int = 4): DataFrame =
+    labelPropagationOn(sparseEdges(spark, dir, "08"), rounds)
 
   /** k-core decomposition by iterative peeling: delete every node
     * whose current degree is below `kk` until nothing changes; what
@@ -463,20 +558,11 @@ object Graph {
   /** k-core on the same sparsified part↔supplier graph as
     * [[connectedComponents]] (the dense full graph is one giant
     * high-core blob; the sparse one actually peels). */
-  def kCore(spark: SparkSession, dir: String, kk: Int = 3): DataFrame = {
+  def kCore(spark: SparkSession, dir: String, kk: Int = 3): DataFrame =
     // 1/16 sampling (not CC's 1/32): the 1/32 graph's 3-core is EMPTY
     // at gate scale — a 0-row gate validates nothing — while 1/16
     // peels to a non-trivial core (580 nodes at sf0.01, 2-3 rounds)
-    val base = Tables(spark, dir, "lineitem")
-      .filter(
-        substring(md5(concat(lit("cc:"), col("l_orderkey").cast("string"))), 1, 2) < "10")
-      .select(
-        concat(lit("p:"), col("l_partkey")).as("a"),
-        concat(lit("s:"), col("l_suppkey")).as("b"))
-      .distinct()
-    kCoreOn(base.union(base.select(col("b").as("a"), col("a").as("b"))), kk,
-      maxIters = kCoreUnrollRounds)
-  }
+    kCoreOn(sparseEdges(spark, dir, "10"), kk, maxIters = kCoreUnrollRounds)
 
   /** Oracle SQL for `kCore` — peeling unrolled to `iters` MATERIALIZED
     * rounds (idempotent past the fixpoint; the Spark side asserts
@@ -510,12 +596,12 @@ object Graph {
     * relax-everything at the same fixed bound, measured at sf0.1). */
   def bfsHops(spark: SparkSession, dir: String, source: String = "s:1",
               hops: Int = 4): DataFrame = {
-    val edges = bipartiteEdges(spark, dir).localCheckpoint()
+    val edges = bipartiteEdges(spark, dir)
     var dist = spark.createDataFrame(Seq(Tuple2(source, 0)))
       .toDF("node", "hops")
     var frontier = dist
     for (h <- 1 to hops) {
-      frontier = edges.join(frontier, edges("a") === frontier("node"))
+      frontier = edges.join(broadcast(frontier), edges("a") === frontier("node"))
         .select(col("b").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
@@ -548,18 +634,15 @@ object Graph {
     * deterministic md5-derived integer weight in [1, 9] per edge —
     * weight is a pure function of the endpoint strings, so both
     * engines derive identical weights with no RNG and no float. */
-  private def weightedEdges(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir, "lineitem")
-      .select(
-        concat(lit("p:"), col("l_partkey")).as("a"),
-        concat(lit("s:"), col("l_suppkey")).as("b"))
-      .distinct()
-    base.union(base.select(col("b").as("a"), col("a").as("b")))
+  private def weightedEdges(spark: SparkSession, dir: String): DataFrame =
+    // bucketed symmetric edges + the md5 weight as a computed column:
+    // a projection preserves the bucketed scan's reported partitioning,
+    // so the weight costs no layout
+    bipartiteEdges(spark, dir)
       .withColumn("w",
         conv(substring(md5(concat(lit("w:"),
           least(col("a"), col("b")), lit("|"),
           greatest(col("a"), col("b")))), 1, 2), 16, 10).cast("long") % 9 + 1)
-  }
 
   /** Bounded Bellman-Ford over a weighted symmetric edge relation:
     * after `rounds` relaxations, dist(v) = the cheapest path from
@@ -627,7 +710,7 @@ object Graph {
       var frontier = inBucket(dist).localCheckpoint()
       while (frontier.count() > 0) {
         val improved = improvedOf(
-          light.join(frontier, light("a") === frontier("node"))
+          light.join(broadcast(frontier), light("a") === frontier("node"))
             .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
             .groupBy("node").agg(min("dist").as("dist")))
           .localCheckpoint()
@@ -639,7 +722,7 @@ object Graph {
       // phase 2: heavy edges from the now-settled bucket, once
       val settled = inBucket(dist)
       val himproved = improvedOf(
-        heavy.join(settled, heavy("a") === settled("node"))
+        heavy.join(broadcast(settled), heavy("a") === settled("node"))
           .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
           .groupBy("node").agg(min("dist").as("dist")))
       dist = dist.unionByName(himproved)
@@ -658,11 +741,11 @@ object Graph {
     * the fixpoint check the gate should pin. */
   def ssspDeltaQuery(spark: SparkSession, dir: String,
                      source: String = "s:1"): DataFrame =
-    ssspDelta(weightedEdges(spark, dir).localCheckpoint(), source)
+    ssspDelta(weightedEdges(spark, dir), source)
 
   def sssp(spark: SparkSession, dir: String, source: String = "s:1",
            rounds: Int = 4): DataFrame =
-    ssspOn(weightedEdges(spark, dir).localCheckpoint(), source, rounds)
+    ssspOn(weightedEdges(spark, dir), source, rounds)
 
   /** Oracle SQL for `sssp` — weighted relaxation unrolled to the same
     * fixed bound, weights re-derived from the identical md5 formula. */
@@ -752,29 +835,7 @@ object Graph {
     * integers (2t and d(d−1)), so the full per-node relation is
     * oracle-exact. */
   def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame = {
-    val pp = Tables(spark, dir, "lineitem")
-      .filter(
-        substring(md5(concat(lit("tri:"), col("l_orderkey").cast("string"))), 1, 2) < "80")
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val x = pp.as("x"); val y = pp.as("y")
-    val e = x.join(y, col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("u"), col("y.p").as("v"))
-      .distinct()
-      .localCheckpoint()
-    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("d"))
-    val oriented = e
-      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
-      .select(
-        when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("u"))
-          .otherwise(col("v")).as("a"),
-        when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("v"))
-          .otherwise(col("u")).as("b"),
-        when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("dv"))
-          .otherwise(col("du")).as("bd"))
-      .localCheckpoint()
+    val (oriented, deg) = copurLayout(spark, dir)
     val e1 = oriented.as("e1"); val e2 = oriented.as("e2"); val e3 = oriented.as("e3")
     val triples = e1.join(e2,
         col("e1.a") === col("e2.a") &&
@@ -857,26 +918,30 @@ object Graph {
     * driver pull; hub/auth are checkpointed per round to keep the
     * plan O(1) deep. */
   def hits(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
-    val edges = Tables(spark, dir, "orders")
-      .join(Tables(spark, dir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(
-        concat(lit("c:"), col("o_custkey")).as("src"),
-        concat(lit("s:"), col("l_suppkey")).as("dst"))
-      .distinct()
-      .localCheckpoint()
+    // per-round hub/auth checkpoints make this an action-per-round
+    // loop too — materialize the (derive-free) table scan once so the
+    // 2-joins-per-round read local blocks, not parquet
+    val edges = edgeRel(spark, dir, "hits", "src") {
+      Tables(spark, dir, "orders")
+        .join(Tables(spark, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(
+          concat(lit("c:"), col("o_custkey")).as("src"),
+          concat(lit("s:"), col("l_suppkey")).as("dst"))
+        .distinct()
+    }.localCheckpoint()
     var hub = edges.select(col("src").as("node")).distinct()
       .withColumn("hub", lit(1.0).cast("double"))
       .localCheckpoint()
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val aRaw = edges.join(hub, edges("src") === hub("node"))
+      val aRaw = edges.join(broadcast(hub), edges("src") === hub("node"))
         .groupBy(col("dst")).agg(sum("hub").as("a"))
         .select(col("dst").as("node"), col("a"))
       auth = aRaw.crossJoin(broadcast(aRaw.agg(sum("a").as("za"))))
         .select(col("node"), (col("a") / col("za")).as("auth"))
         .localCheckpoint()
-      val hRaw = edges.join(auth, edges("dst") === auth("node"))
+      val hRaw = edges.join(broadcast(auth), edges("dst") === auth("node"))
         .groupBy(col("src")).agg(sum("auth").as("h"))
         .select(col("src").as("node"), col("h"))
       hub = hRaw.crossJoin(broadcast(hRaw.agg(sum("h").as("zh"))))

@@ -2,8 +2,6 @@ package graft.serving
 
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.ConcurrentHashMap
-import java.util.concurrent.atomic.AtomicInteger
 
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
@@ -39,7 +37,8 @@ import graft.operators.Events
   * it end-to-end over HTTP instead).
   */
 class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secret",
-                 clock: () => Long = () => System.currentTimeMillis()) {
+                 clock: () => Long = () => System.currentTimeMillis(),
+                 store: RateLimitStore = new InMemoryRateLimitStore) {
 
   // --- seeded users (the reference's app-owned users table; PBKDF2
   // exactly as security.py hash_password) ---
@@ -49,16 +48,13 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
     User(1L, "admin@example.com", Crypto.pbkdf2Sha256("admin-pw", salt, 1000, 32), "admin"),
     User(2L, "user@example.com", Crypto.pbkdf2Sha256("user-pw", salt, 1000, 32), "user"))
 
-  // --- fixed-window rate limiter (rate_limit.py:46-53 in-mem path) ---
-  private val rlCounts = new ConcurrentHashMap[String, AtomicInteger]()
-  private def rateAllow(resource: String, ip: String, perMs: Long, burst: Int): Boolean = {
-    val window = clock() / perMs
-    val key = s"rl:$resource:$ip:$window"
-    // opportunistic prune of dead windows keeps the map O(live keys)
-    rlCounts.keySet.removeIf(k => k.substring(k.lastIndexOf(':') + 1).toLong < window - 1)
-    val n = rlCounts.computeIfAbsent(key, _ => new AtomicInteger(0))
-    n.incrementAndGet() <= burst
-  }
+  // --- fixed-window rate limiter (rate_limit.py:37-53): counters live
+  // in the pluggable store — in-memory (the reference's fallback) by
+  // default, FileRateLimitStore for a budget SHARED across server
+  // instances/processes (the Redis analog; RestServerSpec drives two
+  // servers against one store) ---
+  private def rateAllow(resource: String, ip: String, perMs: Long, burst: Int): Boolean =
+    store.incr(s"rl:$resource:$ip", clock() / perMs) <= burst
 
   // --- engine-backed analytics, computed once and served as JSON ---
   private lazy val frequentPairsJson: String = {

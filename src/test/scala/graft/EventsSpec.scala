@@ -355,8 +355,33 @@ class EventsSpec extends AnyFunSuite {
       .select(col("user_id"), col("event_id"), col("event_type"),
         timestamp_seconds(col("sec")).as("ts"))
     val got = Events.cepPatternCounts(ev).collect()
-      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
-    assert(got === Map(1L -> ((7, 2)), 2L -> ((3, 0)), 3L -> ((4, 0))))
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got === Map(1L -> ((7, 2, 0)), 2L -> ((3, 0, 0)), 3L -> ((4, 0, 0))))
+  }
+
+  test("CEP hot-user bound: the sequence caps at maxEvents with the overflow flagged") {
+    // hot user 1: 30 "vcp" conversions (90 events); cold user 2: one.
+    // maxEvents=10 keeps the first 10 events = "vcpvcpvcpv": 3 full
+    // matches land inside the prefix, the dangling "v" does not — and
+    // the row says so (truncated=1) instead of silently analyzing a
+    // different history. The cold user is untouched.
+    val rows =
+      (0 until 30).flatMap(k => Seq("view", "click", "purchase").zipWithIndex.map {
+        case (t, j) => (1L, (3 * k + j).toLong, (3 * k + j).toLong, t)
+      }) ++ Seq("view", "click", "purchase").zipWithIndex.map {
+        case (t, j) => (2L, (100 + j).toLong, j.toLong, t)
+      }
+    val ev = rows.toDF("user_id", "event_id", "sec", "event_type")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        timestamp_seconds(col("sec")).as("ts"))
+    val got = Events.cepPatternCounts(ev, maxEvents = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(got === Map(1L -> ((10, 3, 1)), 2L -> ((3, 1, 0))))
+    // the default bound leaves this corpus untruncated and matches the
+    // uncapped counts
+    val full = Events.cepPatternCounts(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(full === Map(1L -> ((90, 30, 0)), 2L -> ((3, 1, 0))))
   }
 
   test("PSI drift: replayed halves stay near zero, disjoint support flags hard") {

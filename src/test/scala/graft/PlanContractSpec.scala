@@ -226,6 +226,51 @@ class PlanContractSpec extends AnyFunSuite {
     assert(bucketed === plain, "bucketed layout altered sessionize rows")
   }
 
+  test("bucketed edge layout: the Pregel round join reads edges with zero exchange") {
+    // Round-10 layout contract (VERDICT item 1): the graph family's
+    // edge relations are written ONCE per (dir, content) bucketed by
+    // the per-round join key. Under the scale plan (SMJ — what a graph
+    // whose node state outgrows broadcast gets), the edge side must
+    // come straight off the bucketed scan with NO hashpartitioning(a)
+    // exchange; only the node-state side moves.
+    import org.apache.spark.sql.functions._
+    val linked = graft.operators.Graph.linkedEdges(spark, sf)
+    val pr = linked.select(col("a").as("node")).distinct()
+      .withColumn("pr", lit(1.0))
+    val round = linked.hint("merge").join(pr, linked("a") === pr("node"))
+      .groupBy(col("b")).agg(sum(col("pr") / col("deg")).as("pr"))
+    val p = round.queryExecution.executedPlan.toString
+    assert(p.contains("Bucketed: true"), s"round join must use the bucketed scan:\n$p")
+    assert(!"Exchange hashpartitioning\\(a#".r.findFirstIn(p).isDefined,
+      s"edge side must not re-shuffle on the node key:\n$p")
+    // parity: the layout changes the PLAN, never the rows — table
+    // contents equal the freshly derived relation
+    val base = Tables(spark, sf, "lineitem")
+      .select(concat(lit("p:"), col("l_partkey")).as("a"),
+        concat(lit("s:"), col("l_suppkey")).as("b"))
+      .distinct()
+    val edges = base.union(base.select(col("b").as("a"), col("a").as("b")))
+    val fresh = edges.join(edges.groupBy("a").agg(count(lit(1)).as("deg")), "a")
+      .select("a", "b", "deg")
+      .orderBy("a", "b").collect().toSeq
+    val stored = linked.orderBy("a", "b").collect().toSeq
+    assert(stored === fresh, "bucketed edge table diverged from the derived relation")
+  }
+
+  test("co-purchase layout: the wedge self-join never degenerates and stays bucketed") {
+    import org.apache.spark.sql.functions._
+    val ori = graft.operators.Graph.copurOriented(spark, sf)
+    val e1 = ori.as("e1"); val e2 = ori.as("e2")
+    val wedges = e1.hint("merge").join(e2,
+      col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+    val p = wedges.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"wedge join degenerated:\n$p")
+    assert(p.contains("Bucketed: true"), s"wedge join must read bucketed scans:\n$p")
+    assert(!"Exchange hashpartitioning\\(a#".r.findFirstIn(p).isDefined,
+      s"the self-join must not re-shuffle either side on the center key:\n$p")
+  }
+
   test("hash sampling pushes the md5 filter below everything else") {
     val p = plan("sample_hash")
     assert(!p.contains("Exchange hashpartitioning"),

@@ -82,4 +82,42 @@ class RestServerSpec extends AnyFunSuite {
       assert(get(port, "/users", Some(tok)).statusCode() === 200)
     } finally srv.stop()
   }
+
+  test("shared rate-limit store: two server instances draw down ONE budget") {
+    // the reference's Redis semantics (rate_limit.py:37-45): counters
+    // keyed (resource, ip, window) live OUTSIDE the serving process, so
+    // every frontend shares the same burst budget. Two RestServers on
+    // different ports + one FileRateLimitStore: 10 total /users requests
+    // pass regardless of which server takes them, the 11th is denied by
+    // WHICHEVER server sees it, and the next window resets both.
+    var now = 1000000000000L
+    val stateFile = java.nio.file.Files.createTempFile("graft-rl", ".state")
+    val store = graft.serving.FileRateLimitStore(stateFile.toString)
+    val s1 = new RestServer(spark, sf0001, clock = () => now, store = store)
+    val s2 = new RestServer(spark, sf0001, clock = () => now, store = store)
+    val p1 = s1.start(); val p2 = s2.start()
+    try {
+      val tok = tokenOf(post(p1, "/auth/login",
+        """{"email":"admin@example.com","password":"admin-pw"}"""))
+      // alternate requests across the two servers: 10 pass TOTAL
+      val codes = (1 to 12).map(i =>
+        get(if (i % 2 == 0) p2 else p1, "/users", Some(tok)).statusCode())
+      assert(codes.take(10).forall(_ == 200),
+        s"first 10 across both servers must pass: $codes")
+      assert(codes.drop(10).forall(_ == 429),
+        s"11th+12th must be denied on both servers: $codes")
+      // window advance resets the shared budget; expiry prunes the old
+      // window's rows from the state file
+      now += 1000L
+      assert(get(p1, "/users", Some(tok)).statusCode() === 200)
+      assert(get(p2, "/users", Some(tok)).statusCode() === 200)
+      // in-memory isolation check stays honest: a third server with its
+      // OWN in-memory store is not affected by the shared file's state
+      val lone = new RestServer(spark, sf0001, clock = () => now)
+      val p3 = lone.start()
+      try assert((1 to 10).map(_ => get(p3, "/users", Some(tok)).statusCode())
+        .forall(_ == 200))
+      finally lone.stop()
+    } finally { s1.stop(); s2.stop(); java.nio.file.Files.deleteIfExists(stateFile) }
+  }
 }

@@ -101,6 +101,65 @@ final class PrometheusListener extends SparkListener {
     if (d == d.floor) f"$d%.1f" else d.toString
 }
 
+/** Streaming state-store observability (round-10, VERDICT item 7): the
+  * TTL/watermark contracts on every stateful streaming operator claim
+  * "state is bounded by keys × open windows, never by stream length" —
+  * this listener makes that claim MEASURABLE instead of documented.
+  * Each progress event records the query's state-operator totals as
+  * gauges (rows, memory, evictions); `render()` emits them in the same
+  * text exposition format as the batch counters, and the plateau spec
+  * (PrometheusSpec) asserts a TTL'd query's state stops growing once
+  * the watermark starts evicting closed windows. */
+final class StreamingStateListener
+    extends org.apache.spark.sql.streaming.StreamingQueryListener {
+  import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+  /** query name (or id) -> (state rows, state bytes, rows removed in
+    * the last progress) from the most recent progress event. */
+  val last = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
+  /** full per-progress history of state rows per query — what the
+    * plateau spec asserts on. */
+  val history = new java.util.concurrent.ConcurrentHashMap[String, Vector[Long]]()
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val p = e.progress
+    val name = Option(p.name).getOrElse(p.id.toString)
+    val ops = p.stateOperators
+    if (ops != null && ops.nonEmpty) {
+      val rows = ops.map(_.numRowsTotal).sum
+      val bytes = ops.map(_.memoryUsedBytes).sum
+      val removed = ops.map(_.numRowsRemoved).sum
+      last.put(name, (rows, bytes, removed))
+      history.merge(name, Vector(rows), (a, b) => a ++ b)
+    }
+  }
+
+  /** Prometheus text exposition of the current per-query state gauges. */
+  def render(): String = {
+    import scala.jdk.CollectionConverters._
+    val snap = last.asScala.toSeq.sortBy(_._1)
+    val sb = new StringBuilder
+    sb.append("# HELP graft_streaming_state_rows Rows held in the state store per query.\n")
+    sb.append("# TYPE graft_streaming_state_rows gauge\n")
+    snap.foreach { case (q, (rows, _, _)) =>
+      sb.append(s"""graft_streaming_state_rows{query="$q"} $rows""").append('\n')
+    }
+    sb.append("# HELP graft_streaming_state_bytes State store memory per query.\n")
+    sb.append("# TYPE graft_streaming_state_bytes gauge\n")
+    snap.foreach { case (q, (_, bytes, _)) =>
+      sb.append(s"""graft_streaming_state_bytes{query="$q"} $bytes""").append('\n')
+    }
+    sb.append("# HELP graft_streaming_state_rows_removed Rows evicted in the last progress.\n")
+    sb.append("# TYPE graft_streaming_state_rows_removed gauge\n")
+    snap.foreach { case (q, (_, _, rem)) =>
+      sb.append(s"""graft_streaming_state_rows_removed{query="$q"} $rem""").append('\n')
+    }
+    sb.toString
+  }
+}
+
 object Prometheus {
 
   /** Instrument a session: register a fresh listener on the event bus
@@ -110,6 +169,17 @@ object Prometheus {
     spark.sparkContext.addSparkListener(l)
     l
   }
+
+  /** Instrument the session's STREAMING side: per-query state-store
+    * gauges from progress events. */
+  def attachStreaming(spark: SparkSession): StreamingStateListener = {
+    val l = new StreamingStateListener
+    spark.streams.addListener(l)
+    l
+  }
+
+  def detachStreaming(spark: SparkSession, l: StreamingStateListener): Unit =
+    spark.streams.removeListener(l)
 
   def detach(spark: SparkSession, l: PrometheusListener): Unit =
     spark.sparkContext.removeSparkListener(l)

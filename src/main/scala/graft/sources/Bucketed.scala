@@ -23,10 +23,21 @@ object Bucketed {
     * table in the session catalog. `mode` "append" adds files to an
     * existing bucketed table — Spark verifies the bucketing spec
     * matches the catalog's, so appended data lands in the same hash
-    * layout and downstream zero-exchange plans stay valid. */
+    * layout and downstream zero-exchange plans stay valid.
+    *
+    * The write repartitions on the bucket key into exactly `nBuckets`
+    * tasks first (round-10): `repartition(n, key)` and the bucket
+    * assignment share the same murmur3-mod hash, so each task holds
+    * exactly one bucket and writes ONE file — and Spark's bucketed
+    * scan only reports the within-bucket SORT ORDER to the planner
+    * when every bucket is a single file, which lets sort-merge joins
+    * on the key skip their sort entirely. Appends add files, at which
+    * point the scan keeps the partitioning claim and drops the
+    * ordering claim — correct, just one sort less free. */
   def writeBucketed(df: DataFrame, table: String, key: String, nBuckets: Int,
                     sorted: Boolean = true, mode: String = "overwrite"): Unit = {
-    val w = df.write.mode(mode).format("parquet").bucketBy(nBuckets, key)
+    val w = df.repartition(nBuckets, org.apache.spark.sql.functions.col(key))
+      .write.mode(mode).format("parquet").bucketBy(nBuckets, key)
     (if (sorted) w.sortBy(key) else w).saveAsTable(table)
   }
 

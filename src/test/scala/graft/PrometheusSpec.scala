@@ -62,4 +62,46 @@ class PrometheusSpec extends AnyFunSuite {
       assert(!Files.exists(Paths.get(path + ".tmp")))
     } finally Prometheus.detach(spark, l)
   }
+
+  test("streaming state gauge: a watermark-TTL'd query's state PLATEAUS, not grows") {
+    // Round-10 observability contract (VERDICT item 7): the streaming
+    // rate limiter claims state = keys x open windows, bounded by the
+    // 2h watermark — feed 12 one-hour windows for 4 users one
+    // micro-batch at a time and read the state-store row gauge the
+    // listener captures per progress. Without eviction the final state
+    // would hold 4x12 = 48 window rows; the watermark must cap it at
+    // keys x (open + in-delay) windows — and the render must expose
+    // the gauge.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val l = Prometheus.attachStreaming(spark)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val counted = graft.streaming.RateLimit.windowCounts(
+      stream.toDF().toDF("user_id", "ts"), burst = 5)
+    val query = counted.writeStream.format("memory")
+      .queryName("state_plateau").outputMode("append").start()
+    try {
+      for (h <- 0 until 12) {
+        stream.addData((1L to 4L).flatMap(u =>
+          (0 until 3).map(m => (u,
+            new java.sql.Timestamp(((h * 3600L) + m * 60L) * 1000L)))))
+        query.processAllAvailable()
+      }
+      val hist = l.history.get("state_plateau")
+      assert(hist != null && hist.nonEmpty, "no progress captured")
+      val bound = 4L * 5L
+      assert(hist.last <= bound,
+        s"state must plateau at keys x open-ish windows, got ${hist.last} (history $hist)")
+      assert(hist.max < 4L * 12L,
+        s"state reached unevicted size — watermark TTL not working: $hist")
+      val text = l.render()
+      assert(text.contains("""graft_streaming_state_rows{query="state_plateau"}"""),
+        s"gauge missing from render:\n$text")
+    } finally {
+      query.stop()
+      Prometheus.detachStreaming(spark, l)
+    }
+  }
 }

@@ -162,7 +162,7 @@ object Dedup {
     * partitioning on band_key satisfies the (band_idx, band_key)
     * clustering both joins require. */
   def minhashBuildIndex(docs: DataFrame, table: String, numHashes: Int = 16,
-                        bands: Int = 4, nBuckets: Int = 16): Unit = {
+                        bands: Int = 4, nBuckets: Int = 0): Unit = {
     val spark = docs.sparkSession
     if (!spark.catalog.tableExists(table)) {
       // clear a previous JVM's orphaned location (ivfpqBuildIndex contract)
@@ -171,8 +171,14 @@ object Dedup {
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(path)) fs.delete(path, true)
     }
-    graft.sources.Bucketed.writeBucketed(
-      bandedOf(shingles(docs), numHashes, bands), table, "band_key", nBuckets)
+    // nBuckets <= 0 → content-scaled (round-11): size from the banded
+    // row count so a 100× corpus builds a 100×-wider index, not 16
+    // fat buckets; the build checkpoints once so the sizing count is
+    // free of the shingle pipeline
+    val banded = bandedOf(shingles(docs), numHashes, bands).localCheckpoint()
+    val nb = if (nBuckets > 0) nBuckets
+             else graft.sources.Bucketed.autoBuckets(banded.count())
+    graft.sources.Bucketed.writeBucketed(banded, table, "band_key", nb)
   }
 
   /** Incremental near-dup — the nightly-delta shape a live corpus
@@ -185,7 +191,7 @@ object Dedup {
     * (delta doc_ids must be fresh — the immutable-id contract). */
   def minhashAppendPairs(spark: SparkSession, table: String,
                          delta: DataFrame, numHashes: Int = 16,
-                         bands: Int = 4, nBuckets: Int = 16): DataFrame = {
+                         bands: Int = 4): DataFrame = {
     val dl = bandedOf(shingles(delta), numHashes, bands).localCheckpoint()
     val idx = spark.table(table)
     // old⋈delta pairs normalize through least/greatest (delta ids can
@@ -212,8 +218,10 @@ object Dedup {
       .agg(sum(col("n_shared_bands")).cast("long").as("n_shared_bands"))
       .orderBy("doc_a", "doc_b")
       .localCheckpoint()
-    graft.sources.Bucketed.writeBucketed(dl, table, "band_key", nBuckets,
-      mode = "append")
+    // append reuses the table's build-time bucket count (the spec must
+    // match the catalog's for the zero-exchange contract to survive)
+    graft.sources.Bucketed.writeBucketed(dl, table, "band_key",
+      graft.sources.Bucketed.tableBuckets(spark, table), mode = "append")
     spark.catalog.refreshTable(table)
     result
   }
@@ -228,7 +236,7 @@ object Dedup {
     * bucketed by fp — the exact-rung twin of the minhash band index.
     * A live corpus probes and appends it in O(delta) instead of
     * re-fingerprinting history nightly. */
-  def exactBuildIndex(docs: DataFrame, table: String, nBuckets: Int = 16): Unit = {
+  def exactBuildIndex(docs: DataFrame, table: String, nBuckets: Int = 0): Unit = {
     val spark = docs.sparkSession
     if (!spark.catalog.tableExists(table)) {
       // clear a previous JVM's orphaned location (ivfpqBuildIndex contract)
@@ -237,9 +245,12 @@ object Dedup {
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(path)) fs.delete(path, true)
     }
-    graft.sources.Bucketed.writeBucketed(
-      docs.groupBy(fingerprint(col("text")).as("fp")).agg(min("doc_id").as("keeper_id")),
-      table, "fp", nBuckets)
+    // nBuckets <= 0 → content-scaled from the keeper-row count
+    val keepers = docs.groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("keeper_id")).localCheckpoint()
+    val nb = if (nBuckets > 0) nBuckets
+             else graft.sources.Bucketed.autoBuckets(keepers.count())
+    graft.sources.Bucketed.writeBucketed(keepers, table, "fp", nb)
   }
 
   /** Keeper decisions for a DELTA batch against the index, with
@@ -269,12 +280,12 @@ object Dedup {
     * on the immutable-increasing-id contract (delta ids are fresh and
     * larger than every indexed id — the minhashAppendPairs contract);
     * [[exactServedKeep]] itself needs no such ordering. */
-  def exactAppend(spark: SparkSession, table: String, delta: DataFrame,
-                  nBuckets: Int = 16): Unit = {
+  def exactAppend(spark: SparkSession, table: String, delta: DataFrame): Unit = {
     val d = delta.groupBy(fingerprint(col("text")).as("fp"))
       .agg(min("doc_id").as("keeper_id"))
     val fresh = d.join(spark.table(table).select("fp"), Seq("fp"), "left_anti")
-    graft.sources.Bucketed.writeBucketed(fresh, table, "fp", nBuckets, mode = "append")
+    graft.sources.Bucketed.writeBucketed(fresh, table, "fp",
+      graft.sources.Bucketed.tableBuckets(spark, table), mode = "append")
   }
 
   /** Driver-surface form: index = docs with doc_id % 10 != 9 (built

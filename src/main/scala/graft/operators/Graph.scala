@@ -59,36 +59,121 @@ object Graph {
   /** Deterministic catalog-safe table name per (dir, data, variant) —
     * the same content-fingerprint contract as the BM25/IVFADC index
     * prefixes: regenerated testdata under the same path triggers a
-    * fresh build instead of serving stale edges across JVMs. */
+    * fresh build instead of serving stale edges across JVMs.
+    *
+    * The name is structured `<variant>_<dirtag>_<fptag>` (round-11):
+    * the dir and the content fingerprint hash SEPARATELY, so a build
+    * can recognize — and prune — a stale fingerprint of the SAME
+    * source dir without ever touching another sf dir's live layout. */
+  private def md5hex(s: String, bytes: Int): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).take(bytes).map("%02x".format(_)).mkString
+  private[graft] def edgeDirTag(dir: String): String = md5hex(s"dir|$dir", 3)
   private def edgeTableName(dir: String, variant: String): String = {
     // both fact tables feed some variant (hits uses orders⋈lineitem),
     // so the name folds both fingerprints — either regenerating
     // invalidates every edge layout
     val fp = Tables.dataFingerprint(s"$dir/lineitem.parquet") + "|" +
       Tables.dataFingerprint(s"$dir/orders.parquet")
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$fp|edges|$variant".getBytes("UTF-8"))
-    s"graft_edges_${variant}_" + md.take(5).map("%02x".format(_)).mkString
+    s"graft_edges_${variant}_${edgeDirTag(dir)}_" +
+      md5hex(s"$dir|$fp|edges|$variant", 5)
+  }
+
+  /** Drop warehouse dirs (and any live catalog entries) carrying this
+    * (variant, dir)'s name prefix but a DIFFERENT content fingerprint
+    * — without this, every testdata regeneration (new length/mtime)
+    * mints a fresh graft_edges_* table while the previous
+    * fingerprint's parquet stays in the warehouse forever (round-11
+    * ADVICE). Filesystem-level, because the in-memory catalog forgets
+    * a previous JVM's tables while its dirs persist. Legacy
+    * pre-round-11 names (`<variant>_<10 hex>`, no dir tag) are
+    * unreachable under the new naming and pruned on sight. */
+  private[graft] def dropStaleSiblings(spark: SparkSession, dir: String,
+                                variant: String, keep: String): Unit = {
+    val samedirPrefix = s"graft_edges_${variant}_${edgeDirTag(dir)}_"
+    val legacy = java.util.regex.Pattern.compile(
+      s"graft_edges_${java.util.regex.Pattern.quote(variant)}_[0-9a-f]{10}")
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
+      val n = st.getPath.getName
+      if (n != keep &&
+          (n.startsWith(samedirPrefix) || legacy.matcher(n).matches())) {
+        if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE IF EXISTS `$n`")
+        fs.delete(st.getPath, true)
+      }
+    }
   }
 
   /** Memoized bucketed materialization: builds `build` into the
     * catalog on first use per (dir, content, variant), returns the
     * table-backed DataFrame. Orphaned warehouse dirs from a previous
     * JVM are cleared first (the saveAsTable contract shared with
-    * `bm25BuildIndex`). */
+    * `bm25BuildIndex`), stale-fingerprint siblings of the same
+    * (dir, variant) pruned. Bucket count is content-scaled
+    * ([[graft.sources.Bucketed.autoBuckets]]) — the build checkpoints
+    * the relation once so the sizing count does not recompute the
+    * derivation. */
   private def edgeRel(spark: SparkSession, dir: String, variant: String,
-                      key: String, nBuckets: Int = 32)
+                      key: String)
                      (build: => DataFrame): DataFrame = layoutLock.synchronized {
     val table = edgeTableName(dir, variant)
     if (!spark.catalog.tableExists(table)) {
+      dropStaleSiblings(spark, dir, variant, table)
       val wh = spark.conf.get("spark.sql.warehouse.dir")
       val path = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(path)) fs.delete(path, true)
-      graft.sources.Bucketed.writeBucketed(build, table, key, nBuckets)
+      val rel = build.localCheckpoint()
+      graft.sources.Bucketed.writeBucketed(rel, table, key,
+        graft.sources.Bucketed.autoBuckets(rel.count()))
     }
     spark.table(table)
   }
+
+  // -----------------------------------------------------------------
+  // Data-driven state-side join strategy (round-11). Every per-round
+  // Pregel join reads the bucketed edge table against a node-state
+  // relation, and the planner's stats invert the build side: the
+  // catalog table has small file stats while the checkpointed state
+  // has none, so the default plan broadcasts the EDGE side — the
+  // measured-slowest shape (edge-broadcast 7.8 s vs state-broadcast
+  // 4.4 s vs zero-exchange SMJ 5.0 s, BASELINE.md round 10). Hard-
+  // coding broadcast(state) fixes that here but OOMs once node state
+  // outgrows the broadcast budget — exactly the regime a 100 TB
+  // entity graph lives in. The node count is already a driver-side
+  // scalar in every loop, so the hint is GATED on it: below
+  // `graft.graph.stateBroadcastMaxRows` (default 8M rows — low
+  // hundreds of MB of (id, double) state, safely inside an
+  // executor/driver broadcast budget) the state side broadcasts;
+  // above it the hint is dropped and the join falls back to the
+  // shuffle plan the bucketed layout makes zero-exchange on the edge
+  // side (only state moves). PlanContractSpec pins BOTH plans.
+  // -----------------------------------------------------------------
+
+  /** Broadcast budget for per-round node state, in rows. Conf-
+    * overridable (`graft.graph.stateBroadcastMaxRows`) so specs can
+    * force the above-threshold plan and operators can tune per
+    * deployment. */
+  private[graft] def stateBroadcastMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption("graft.graph.stateBroadcastMaxRows")
+      .map(_.toLong).getOrElse(8L * 1000 * 1000)
+
+  /** The state side of a Pregel round join: broadcast while the known
+    * row bound fits the budget, plain (→ zero-exchange SMJ against
+    * the bucketed edge scan) once it does not. */
+  private[graft] def stateSide(state: DataFrame, stateRows: Long): DataFrame =
+    if (stateRows <= stateBroadcastMaxRows(state.sparkSession)) broadcast(state)
+    else state
+
+  /** Memoized driver-side node counts per content-fingerprinted edge
+    * table — one countDistinct per (dir, content, variant) per JVM,
+    * reused by every query gating its state-side hint on it. */
+  private val nodeCountCache =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def bipartiteNodeCount(spark: SparkSession, dir: String): Long =
+    nodeCountCache.getOrElseUpdate(edgeTableName(dir, "bi"),
+      bipartiteLinked(spark, dir).select(countDistinct(col("a"))).head().getLong(0))
 
   /** Symmetric part↔supplier edges pre-joined with source degree —
     * (a, b, deg) bucketed by `a`. One table serves the whole
@@ -148,15 +233,15 @@ object Graph {
     * stays relational. */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     // bucketed-by-`a` catalog table: every per-round join reads the
-    // edge side with NO exchange (the state side — one row per node —
-    // is the only thing that moves)
+    // edge side with NO exchange; the state side (one row per node)
+    // broadcasts below the row budget, shuffles above it (stateSide)
     val linked = bipartiteLinked(spark, dir)
-    val n = linked.select(countDistinct(col("a"))).head().getLong(0)
+    val n = bipartiteNodeCount(spark, dir)
     val teleport = lit(0.15).cast("double") / lit(n.toDouble)
     var pr = linked.select(col("a").as("node")).distinct()
       .withColumn("pr", lit(1.0).cast("double") / lit(n.toDouble))
     for (_ <- 1 to iters) {
-      pr = linked.join(pr, linked("a") === pr("node"))
+      pr = linked.join(stateSide(pr, n), linked("a") === pr("node"))
         .groupBy(col("b"))
         .agg((teleport + lit(0.85) * sum(col("pr") / col("deg"))).as("pr"))
         .select(col("b").as("node"), col("pr"))
@@ -194,16 +279,14 @@ object Graph {
     // the tolerance loop runs ONE ACTION PER ROUND (the delta pull), so
     // each round would re-scan the edge parquet; one localCheckpoint of
     // the (already derive-free) bucketed scan keeps rounds on local
-    // blocks. The round join declares the NODE-STATE side broadcast:
-    // the planner's stats otherwise broadcast the EDGE side (the table
-    // has small file stats; the checkpointed state has none) — the
-    // exact inversion of what scales. Measured (BASELINE.md round 10):
-    // edge-broadcast 7.8 s, both-shuffled SMJ 5.7 s, state-broadcast
-    // 4.4 s here; on a graph whose node state outgrows broadcast, drop
-    // the hint and the bucketed layout plans the zero-exchange SMJ
+    // blocks. The round join routes the NODE-STATE side through
+    // stateSide — broadcast below the row budget (measured fastest:
+    // 4.4 s vs the planner's default edge-broadcast 7.8 s, BASELINE.md
+    // round 10), plain above it so a broadcast-exceeding graph
+    // degrades to the zero-exchange SMJ the bucketed layout provides
     // (raw+SMJ measured 5.0 s, the 100 TB shape).
     val linked = bipartiteLinked(spark, dir).localCheckpoint()
-    val n = linked.select(countDistinct(col("a"))).head().getLong(0)
+    val n = bipartiteNodeCount(spark, dir)
     val teleport = lit(0.15).cast("double") / lit(n.toDouble)
     var pr = linked.select(col("a").as("node")).distinct()
       .withColumn("pr", lit(1.0).cast("double") / lit(n.toDouble))
@@ -212,7 +295,7 @@ object Graph {
     var done = false
     while (iter < maxIters && !done) {
       iter += 1
-      val next = linked.join(broadcast(pr), linked("a") === pr("node"))
+      val next = linked.join(stateSide(pr, n), linked("a") === pr("node"))
         .groupBy(col("b"))
         .agg((teleport + lit(0.85) * sum(col("pr") / col("deg"))).as("pr"))
         .select(col("b").as("node"), col("pr"))
@@ -270,11 +353,12 @@ object Graph {
   def personalizedPageRank(spark: SparkSession, dir: String,
                            source: String = "s:1", iters: Int = 5): DataFrame = {
     val linked = bipartiteLinked(spark, dir)
+    val n = bipartiteNodeCount(spark, dir)
     var pr = linked.select(col("a").as("node")).distinct()
       .withColumn("pr",
         when(col("node") === source, lit(1.0)).otherwise(lit(0.0)).cast("double"))
     for (_ <- 1 to iters) {
-      pr = linked.join(pr, linked("a") === pr("node"))
+      pr = linked.join(stateSide(pr, n), linked("a") === pr("node"))
         .groupBy(col("b"))
         .agg((lit(0.85) * sum(col("pr") / col("deg"))).as("flow"))
         .select(col("b").as("node"),
@@ -295,8 +379,9 @@ object Graph {
                                 source: String = "s:1", tol: Double = 0.5,
                                 maxIters: Int = 12): DataFrame = {
     // action-per-round loop: checkpoint the bucketed scan once and
-    // broadcast the node-state side (see pageRankUntil)
+    // route the node-state side through stateSide (see pageRankUntil)
     val linked = bipartiteLinked(spark, dir).localCheckpoint()
+    val n = bipartiteNodeCount(spark, dir)
     var pr = linked.select(col("a").as("node")).distinct()
       .withColumn("pr",
         when(col("node") === source, lit(1.0)).otherwise(lit(0.0)).cast("double"))
@@ -305,7 +390,7 @@ object Graph {
     var done = false
     while (iter < maxIters && !done) {
       iter += 1
-      val next = linked.join(broadcast(pr), linked("a") === pr("node"))
+      val next = linked.join(stateSide(pr, n), linked("a") === pr("node"))
         .groupBy(col("b"))
         .agg((lit(0.85) * sum(col("pr") / col("deg"))).as("flow"))
         .select(col("b").as("node"),
@@ -380,6 +465,8 @@ object Graph {
       val oriTable = edgeTableName(dir, "copur")
       val degTable = edgeTableName(dir, "copurdeg")
       if (!spark.catalog.tableExists(oriTable) || !spark.catalog.tableExists(degTable)) {
+        dropStaleSiblings(spark, dir, "copur", oriTable)
+        dropStaleSiblings(spark, dir, "copurdeg", degTable)
         val wh = spark.conf.get("spark.sql.warehouse.dir")
         for (t <- Seq(oriTable, degTable) if !spark.catalog.tableExists(t)) {
           val path = new org.apache.hadoop.fs.Path(wh, t.toLowerCase)
@@ -410,7 +497,8 @@ object Graph {
               .otherwise(col("u")).as("b"),
             when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("dv"))
               .otherwise(col("du")).as("bd"))
-        graft.sources.Bucketed.writeBucketed(oriented, oriTable, "a", 32)
+        graft.sources.Bucketed.writeBucketed(oriented, oriTable, "a",
+          graft.sources.Bucketed.autoBuckets(e.count()))
       }
       (spark.table(oriTable), spark.table(degTable))
     }
@@ -600,12 +688,19 @@ object Graph {
     var dist = spark.createDataFrame(Seq(Tuple2(source, 0)))
       .toDF("node", "hops")
     var frontier = dist
+    // the frontier is exact-counted each hop (a free action on the
+    // just-checkpointed relation), so the state-side hint tracks the
+    // ACTUAL boundary size — a saturating BFS on a broadcast-exceeding
+    // graph drops the hint exactly when the frontier outgrows it
+    var frontierRows = 1L
     for (h <- 1 to hops) {
-      frontier = edges.join(broadcast(frontier), edges("a") === frontier("node"))
+      frontier = edges.join(stateSide(frontier, frontierRows),
+          edges("a") === frontier("node"))
         .select(col("b").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hops", lit(h))
         .localCheckpoint()
+      frontierRows = frontier.count()
       dist = dist.union(frontier)
     }
     dist.orderBy("node")
@@ -706,11 +801,17 @@ object Graph {
         cand.join(dist.select(col("node"), col("dist").as("old")), Seq("node"), "left")
           .filter(col("old").isNull || col("dist") < col("old"))
           .select("node", "dist")
-      // phase 1: light edges from the changed frontier, to a fixpoint
+      // phase 1: light edges from the changed frontier, to a fixpoint.
+      // The loop already counts the frontier per pass (the termination
+      // check), so the state-side hint rides the same scalar —
+      // broadcast while the frontier fits the budget, shuffle join
+      // once it does not.
       var frontier = inBucket(dist).localCheckpoint()
-      while (frontier.count() > 0) {
+      var frontierRows = frontier.count()
+      while (frontierRows > 0) {
         val improved = improvedOf(
-          light.join(broadcast(frontier), light("a") === frontier("node"))
+          light.join(stateSide(frontier, frontierRows),
+              light("a") === frontier("node"))
             .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
             .groupBy("node").agg(min("dist").as("dist")))
           .localCheckpoint()
@@ -718,11 +819,13 @@ object Graph {
           .groupBy("node").agg(min("dist").as("dist"))
           .localCheckpoint()
         frontier = inBucket(improved).localCheckpoint()
+        frontierRows = frontier.count()
       }
       // phase 2: heavy edges from the now-settled bucket, once
-      val settled = inBucket(dist)
+      val settled = inBucket(dist).localCheckpoint()
       val himproved = improvedOf(
-        heavy.join(broadcast(settled), heavy("a") === settled("node"))
+        heavy.join(stateSide(settled, settled.count()),
+            heavy("a") === settled("node"))
           .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
           .groupBy("node").agg(min("dist").as("dist")))
       dist = dist.unionByName(himproved)
@@ -930,26 +1033,31 @@ object Graph {
           concat(lit("s:"), col("l_suppkey")).as("dst"))
         .distinct()
     }.localCheckpoint()
+    // per-side node counts, memoized per content fingerprint — they
+    // gate the state-side hint (stateSide) and are the final
+    // normalizers, replacing the two end-of-loop count() actions
+    val nh = nodeCountCache.getOrElseUpdate(edgeTableName(dir, "hits") + "|src",
+      edges.select(countDistinct(col("src"))).head().getLong(0))
+    val na = nodeCountCache.getOrElseUpdate(edgeTableName(dir, "hits") + "|dst",
+      edges.select(countDistinct(col("dst"))).head().getLong(0))
     var hub = edges.select(col("src").as("node")).distinct()
       .withColumn("hub", lit(1.0).cast("double"))
       .localCheckpoint()
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
-      val aRaw = edges.join(broadcast(hub), edges("src") === hub("node"))
+      val aRaw = edges.join(stateSide(hub, nh), edges("src") === hub("node"))
         .groupBy(col("dst")).agg(sum("hub").as("a"))
         .select(col("dst").as("node"), col("a"))
       auth = aRaw.crossJoin(broadcast(aRaw.agg(sum("a").as("za"))))
         .select(col("node"), (col("a") / col("za")).as("auth"))
         .localCheckpoint()
-      val hRaw = edges.join(broadcast(auth), edges("dst") === auth("node"))
+      val hRaw = edges.join(stateSide(auth, na), edges("dst") === auth("node"))
         .groupBy(col("src")).agg(sum("auth").as("h"))
         .select(col("src").as("node"), col("h"))
       hub = hRaw.crossJoin(broadcast(hRaw.agg(sum("h").as("zh"))))
         .select(col("node"), (col("h") / col("zh")).as("hub"))
         .localCheckpoint()
     }
-    val na = auth.count().toDouble
-    val nh = hub.count().toDouble
     auth.select(col("node"), lit("auth").as("kind"),
         round(col("auth") * lit(na), 6).as("score"))
       .unionAll(hub.select(col("node"), lit("hub").as("kind"),

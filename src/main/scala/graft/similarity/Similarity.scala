@@ -649,10 +649,10 @@ object Similarity {
     * encode cost moves out of the query path entirely (it was the
     * documented 12× linear profile in the round-7 10× probe).
     * `nBuckets` sizes the on-disk bucketing: at production scale set
-    * it ~nlist/4 so a probed list maps to O(1) buckets; the default
-    * suits the testdata scales. */
+    * it ~nlist/4 so a probed list maps to O(1) buckets; left at 0 it
+    * content-scales from the corpus row count (round-11). */
   def ivfpqBuildIndex(all: DataFrame, prefix: String, nlist: Int = 0, m: Int = 16,
-                      ksub: Int = 16, nBuckets: Int = 16): Unit = {
+                      ksub: Int = 16, nBuckets: Int = 0): Unit = {
     val spark = all.sparkSession
     import spark.implicits._
     // a previous JVM's build leaves warehouse directories behind while
@@ -669,8 +669,10 @@ object Similarity {
       }
     }
     val (cent, books) = ivfpqTrain(all, nlist, m, ksub)
-    graft.sources.Bucketed.writeBucketed(
-      ivfpqEncode(all, cent, books), s"${prefix}_codes", "list_id", nBuckets)
+    val codes = ivfpqEncode(all, cent, books).localCheckpoint()
+    val nb = if (nBuckets > 0) nBuckets
+             else graft.sources.Bucketed.autoBuckets(codes.count())
+    graft.sources.Bucketed.writeBucketed(codes, s"${prefix}_codes", "list_id", nb)
     cent.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "cvec")
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_centroids")
@@ -733,11 +735,11 @@ object Similarity {
     * the same list_id hash layout and the probed-bucket pruning keeps
     * working. Cost is O(|delta|), never O(corpus) — the whole point of
     * the persisted layout. */
-  def ivfpqAppend(spark: SparkSession, prefix: String, delta: DataFrame,
-                  nBuckets: Int = 16): Unit = {
+  def ivfpqAppend(spark: SparkSession, prefix: String, delta: DataFrame): Unit = {
     val (cent, books) = readIndexArtifacts(spark, prefix)
     graft.sources.Bucketed.writeBucketed(
-      ivfpqEncode(delta, cent, books), s"${prefix}_codes", "list_id", nBuckets,
+      ivfpqEncode(delta, cent, books), s"${prefix}_codes", "list_id",
+      graft.sources.Bucketed.tableBuckets(spark, s"${prefix}_codes"),
       mode = "append")
   }
 

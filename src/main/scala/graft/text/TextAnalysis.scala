@@ -635,7 +635,7 @@ object TextAnalysis {
     * retokenize; stats are frozen with the index (the standard serving
     * contract — stale df after appends is a rebuild decision, not a
     * query-time one). */
-  def bm25BuildIndex(docs: DataFrame, prefix: String, nBuckets: Int = 16): Unit = {
+  def bm25BuildIndex(docs: DataFrame, prefix: String, nBuckets: Int = 0): Unit = {
     val spark = docs.sparkSession
     // clear orphaned warehouse dirs from a previous JVM (same
     // contract as the IVFADC build)
@@ -650,8 +650,14 @@ object TextAnalysis {
     }
     val tok = docs.select(col("doc_id"),
       explode(filter(tokens(col("text")), t => length(t) > 0)).as("token"))
+    // nBuckets <= 0 → content-scaled from the postings row count
+    // (round-11); the checkpoint keeps the sizing count and the
+    // termstats aggregate off a re-tokenization
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    graft.sources.Bucketed.writeBucketed(tf, s"${prefix}_postings", "token", nBuckets)
+      .localCheckpoint()
+    val nb = if (nBuckets > 0) nBuckets
+             else graft.sources.Bucketed.autoBuckets(tf.count())
+    graft.sources.Bucketed.writeBucketed(tf, s"${prefix}_postings", "token", nb)
     tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_docstats")
     tf.groupBy("token").agg(count(lit(1)).as("df"))

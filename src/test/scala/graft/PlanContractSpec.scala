@@ -257,6 +257,53 @@ class PlanContractSpec extends AnyFunSuite {
     assert(stored === fresh, "bucketed edge table diverged from the derived relation")
   }
 
+  test("pregel state side is data-driven: broadcast below the row budget, bucketed SMJ above") {
+    // Round-11 contract (VERDICT item 1): the per-round edges⋈state
+    // join gates its broadcast(state) hint on the driver-side node
+    // count. Below `graft.graph.stateBroadcastMaxRows` the DEFAULT
+    // (unhinted by the caller) plan must broadcast the STATE side —
+    // the planner's stats would otherwise broadcast the edge table
+    // (small file stats vs stat-less checkpointed state), the
+    // measured-slowest inversion. Above the budget the hint drops and
+    // the bucketed layout must carry the join: SMJ with the edge side
+    // straight off the bucketed scan, no hashpartitioning(a) exchange.
+    import org.apache.spark.sql.functions._
+    val below = graft.operators.Graph.pageRank(spark, sf, iters = 1)
+    val pb = below.queryExecution.executedPlan.toString
+    assert(pb.contains("BroadcastHashJoin"),
+      s"below-budget round join must broadcast the node state:\n$pb")
+    assert(!"Exchange hashpartitioning\\(a#".r.findFirstIn(pb).isDefined,
+      s"edge side must never re-shuffle on the node key:\n$pb")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // force the above-budget regime: a 1-row state budget, and the
+    // planner's own broadcast disabled the way a 100 TB edge table's
+    // file stats would disable it
+    spark.conf.set("graft.graph.stateBroadcastMaxRows", "1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val above = graft.operators.Graph.pageRank(spark, sf, iters = 1)
+      val pa = above.queryExecution.executedPlan.toString
+      assert(!pa.contains("BroadcastHashJoin"),
+        s"above-budget round join must not broadcast either side:\n$pa")
+      assert(pa.contains("SortMergeJoin"),
+        s"above-budget round join must fall back to SMJ:\n$pa")
+      assert(pa.contains("Bucketed: true"),
+        s"the SMJ fallback must read the bucketed edge scan:\n$pa")
+      assert(!"Exchange hashpartitioning\\(a#".r.findFirstIn(pa).isDefined,
+        s"the SMJ fallback must keep the edge side exchange-free:\n$pa")
+      // strategy parity: the fallback changes the PLAN, never the rows
+      val rowsAbove = above.collect().toSeq
+      val rowsBelow = below.collect().toSeq
+      assert(rowsAbove === rowsBelow,
+        "state-side strategy switch altered pageRank rows")
+    } finally {
+      spark.conf.unset("graft.graph.stateBroadcastMaxRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("co-purchase layout: the wedge self-join never degenerates and stays bucketed") {
     import org.apache.spark.sql.functions._
     val ori = graft.operators.Graph.copurOriented(spark, sf)

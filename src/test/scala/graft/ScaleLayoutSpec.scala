@@ -63,4 +63,53 @@ class ScaleLayoutSpec extends AnyFunSuite {
       .filter(col("k") === 7).select("_salt").distinct().count()
     assert(spread >= 6, s"hot key spread over only $spread salts")
   }
+
+  test("autoBuckets content-scales: floor at small sf, 32 at sf0.1 edges, cap at ocean scale") {
+    // round-11 layout sizing (VERDICT item 3): buckets derive from the
+    // build-time row count — different corpora choose different widths
+    assert(Bucketed.autoBuckets(0L) === 8, "empty/small → parallelism floor")
+    assert(Bucketed.autoBuckets(120000L) === 8, "sf0.01-ish edges stay at the floor")
+    assert(Bucketed.autoBuckets(1200000L) === 32,
+      "sf0.1's ~1.2M edge rows must reproduce the measured-good 32")
+    assert(Bucketed.autoBuckets(12000000L) === 256, "10x data → wider layout")
+    assert(Bucketed.autoBuckets(Long.MaxValue / 4) === 4096, "small-file cap")
+    // snapped to powers of two so co-bucketed pairs stay join-compatible
+    for (r <- Seq(60000L, 777777L, 5000000L))
+      assert(Integer.bitCount(Bucketed.autoBuckets(r)) === 1, s"$r not a pow2")
+  }
+
+  test("tableBuckets reads back the build-time count; appends must reuse it") {
+    val df = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v"))
+    Bucketed.writeBucketed(df, "tb_probe", "k", 8)
+    try {
+      assert(Bucketed.tableBuckets(spark, "tb_probe") === 8)
+      // an append through the read-back count keeps the spec valid
+      Bucketed.writeBucketed(df.filter(col("k") < 10), "tb_probe", "k",
+        Bucketed.tableBuckets(spark, "tb_probe"), mode = "append")
+      assert(spark.table("tb_probe").count() === 1010)
+    } finally spark.sql("DROP TABLE IF EXISTS tb_probe")
+  }
+
+  test("edge layout prune drops stale fingerprints of the same dir, never other dirs") {
+    import org.apache.hadoop.fs.Path
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new Path(wh).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = graft.operators.Graph.edgeDirTag(sf)
+    val staleSameDir = s"graft_edges_bi_${tag}_0000000000"
+    val otherDir = "graft_edges_bi_ffffff_0000000000"
+    val legacy = "graft_edges_bi_0123456789"
+    val live = s"graft_edges_bi_${tag}_aaaaaaaaaa"
+    for (d <- Seq(staleSameDir, otherDir, legacy, live)) fs.mkdirs(new Path(wh, d))
+    try {
+      graft.operators.Graph.dropStaleSiblings(spark, sf, "bi", live)
+      assert(!fs.exists(new Path(wh, staleSameDir)),
+        "stale same-dir fingerprint must be pruned")
+      assert(!fs.exists(new Path(wh, legacy)),
+        "legacy pre-round-11 names are unreachable and must be pruned")
+      assert(fs.exists(new Path(wh, otherDir)),
+        "another sf dir's live layout must survive")
+      assert(fs.exists(new Path(wh, live)), "the current fingerprint must survive")
+    } finally for (d <- Seq(staleSameDir, otherDir, legacy, live))
+      fs.delete(new Path(wh, d), true)
+  }
 }

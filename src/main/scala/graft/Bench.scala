@@ -39,17 +39,19 @@ object Bench {
     // driver leaves it unset and times the full surface
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    // Build-vs-serve split: emb_ivfpq_topk retrains codebooks and
-    // re-lists the corpus on EVERY run — a deliberate build-cost rung
-    // (Θ(n^1.5) with 4√n lists) whose scale answer is the persisted
-    // index pair (emb_ivfpq_served, ~2x @10x). Timing the rebuild in
-    // the default sweep misreads as a superlinear query, so it is
-    // opt-in here (SPARK_GRAFT_BENCH_ONLY=emb_ivfpq_topk) while its
-    // correctness entry and recall specs remain first-class.
-    val buildRungs = Set("emb_ivfpq_topk")
+    // Tag-driven surface selection (round-11, VERDICT item 2): the
+    // registry carries machine-readable tags (SparkEntry.queryTag).
+    // "build" rungs (index construction; the scale answer is the
+    // persisted serving pair) are opt-in via SPARK_GRAFT_BENCH_ONLY.
+    // SPARK_GRAFT_BENCH_PROFILE=production additionally drops the
+    // "audit" rungs — the exact verification queries that are
+    // superlinear at scale by contract (41% of sf1 suite time) — so a
+    // one-command production-surface bench exists at any sf.
+    val profile = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "all")
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-      .filter(n => only.isDefined || !buildRungs.contains(n))
+      .filter(n => only.isDefined || SparkEntry.queryTag(n) != "build")
+      .filter(n => profile != "production" || SparkEntry.queryTag(n) == "production")
 
     def runOne(name: String): Double = {
       val t0 = System.nanoTime()
@@ -95,7 +97,12 @@ object Bench {
     val anchor: Map[String, Double] =
       try {
         val txt = Files.readString(Paths.get(anchorPath))
-        """"([A-Za-z0-9_]+)":(-?[0-9][0-9.]*)""".r.findAllMatchIn(txt)
+        // parse ONLY the `queries` object — top-level fields (value,
+        // reps) and the requeried re-measures must not leak into the
+        // anchor map and skew outlier detection (round-11 ADVICE)
+        val qobj = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([A-Za-z0-9_]+)":(-?[0-9][0-9.]*)""".r.findAllMatchIn(qobj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     val outliers = medians.collect {
@@ -121,7 +128,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"requeried":$rq,"sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}"""
+    // per-tag subtotals: the artifact itself states how much of the
+    // measured time is production surface vs by-contract audit rungs
+    val tagTotals = medians.filter(_._2 >= 0)
+      .groupBy { case (n, _) => SparkEntry.queryTag(n) }
+      .map { case (t, xs) => t -> xs.map(_._2).sum }
+    val tags = tagTotals.toSeq.sortBy(_._1)
+      .map { case (t, v) => "\"" + t + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"requeried":$rq,"tags":$tags,"profile":"$profile","sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}"""
     println(json)
     // Also land the JSON in a file via tmp+atomic-move: the console
     // line travels through a truncating sbt log tail on the driver

@@ -85,10 +85,20 @@ object ReadmeGen {
       "the rest rows-only by nature with spec siblings), grouped by family.\n\n"
     sb ++= "| Family | Queries | Module |\n| --- | --- | --- |\n"
     for (((fam, file), qs) <- grouped) {
-      val marked = qs.map(q => if (oracled(q)) q else s"$q*").mkString(", ")
+      val marked = qs.map { q =>
+        val base = if (oracled(q)) q else s"$q*"
+        SparkEntry.queryTag(q) match {
+          case "audit" => s"$base†"
+          case "build" => s"$base‡"
+          case _ => base
+        }
+      }.mkString(", ")
       sb ++= s"| $fam (${qs.size}) | $marked | [`${file.split('/').last}`]($file) |\n"
     }
-    sb ++= "\n`*` = no SQL-expressible oracle (approx/LSH/ML-trained); carries a spec.\n\n"
+    sb ++= "\n`*` = no SQL-expressible oracle (approx/LSH/ML-trained); carries a spec.\n"
+    sb ++= "`†` = audit rung: exact verification, superlinear at scale by contract; " +
+      "production sibling shipped (excluded by `SPARK_GRAFT_BENCH_PROFILE=production`).\n"
+    sb ++= "`‡` = build rung: index construction; benched opt-in, the serving pair is the production path.\n\n"
     sb ++= end
     sb.toString
   }

@@ -18,6 +18,23 @@ class ReadmeSyncSpec extends AnyFunSuite {
       "README query map is stale — run: sbt \"Test/runMain graft.ReadmeGen\"")
   }
 
+  test("registry tags name only registered queries and keep their contracts") {
+    val names = SparkEntry.queries.keySet
+    (SparkEntry.auditQueries ++ SparkEntry.buildQueries).foreach { q =>
+      assert(names.contains(q), s"tagged query $q is not in the registry")
+    }
+    assert((SparkEntry.auditQueries & SparkEntry.buildQueries).isEmpty,
+      "a query cannot be both audit and build")
+    // every audit rung keeps its oracle (that's what it is FOR)
+    SparkEntry.auditQueries.foreach { q =>
+      assert(SparkEntry.oracleSql.contains(q) ||
+        SparkEntry.queries.contains(q), s"audit rung $q lost its gate")
+    }
+    // the production profile is the overwhelming majority of the surface
+    val prod = names.count(SparkEntry.queryTag(_) == "production")
+    assert(prod >= names.size - 10, s"only $prod/${names.size} production-tagged")
+  }
+
   test("every query family links an existing module file") {
     SparkEntry.queries.keys.foreach { q =>
       val (_, file) = ReadmeGen.familyOf(q)

@@ -117,8 +117,12 @@ final class StreamingStateListener
   /** query name (or id) -> (state rows, state bytes, rows removed in
     * the last progress) from the most recent progress event. */
   val last = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
-  /** full per-progress history of state rows per query — what the
-    * plateau spec asserts on. */
+  /** Per-progress history of state rows per query, capped to the most
+    * recent [[StreamingStateListener.historyCap]] entries — the `last`
+    * gauges are bounded by query count, and attachStreaming is a
+    * production API, so an indefinitely-running stream must not grow
+    * this vector without bound (round-11 ADVICE). The plateau spec
+    * asserts on a recent window, which the cap preserves. */
   val history = new java.util.concurrent.ConcurrentHashMap[String, Vector[Long]]()
 
   override def onQueryStarted(e: QueryStartedEvent): Unit = ()
@@ -131,9 +135,17 @@ final class StreamingStateListener
       val rows = ops.map(_.numRowsTotal).sum
       val bytes = ops.map(_.memoryUsedBytes).sum
       val removed = ops.map(_.numRowsRemoved).sum
-      last.put(name, (rows, bytes, removed))
-      history.merge(name, Vector(rows), (a, b) => a ++ b)
+      record(name, rows, bytes, removed)
     }
+  }
+
+  /** Gauge + capped-history update (separated so the bound is
+    * spec-testable without fabricating progress events). */
+  private[graft] def record(name: String, rows: Long, bytes: Long,
+                              removed: Long): Unit = {
+    last.put(name, (rows, bytes, removed))
+    history.merge(name, Vector(rows),
+      (a, b) => (a ++ b).takeRight(StreamingStateListener.historyCap))
   }
 
   /** Prometheus text exposition of the current per-query state gauges. */
@@ -158,6 +170,13 @@ final class StreamingStateListener
     }
     sb.toString
   }
+}
+
+object StreamingStateListener {
+  /** Bound on retained per-query progress history — enough for every
+    * plateau/soak assertion while keeping an always-on listener O(1)
+    * per query. */
+  val historyCap = 512
 }
 
 object Prometheus {

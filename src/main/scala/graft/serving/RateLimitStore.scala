@@ -20,31 +20,41 @@ import java.util.concurrent.atomic.AtomicInteger
   *    budget exactly like Redis `INCR` — the last reference behavior
   *    with no repo analog (VERDICT round 9 §missing 1). A real
   *    deployment would put Redis/a KV here; the contract this class
-  *    pins (atomic read-modify-write of `(key window) -> count`, TTL
-  *    expiry of windows older than previous) is the whole semantics.
+  *    pins (atomic read-modify-write of `(key window) -> count`,
+  *    per-row absolute-TTL expiry) is the whole semantics.
   *
-  * Expiry mirrors the reference's `per * 2` TTL: any window id older
-  * than (current − 1) is pruned on every increment, so the state is
-  * O(live keys), never O(history).
+  * Expiry mirrors the reference's `per * 2` TTL, stored as an
+  * ABSOLUTE timestamp per row (round-11 ADVICE): window ids are only
+  * comparable between keys with the same period, so the previous
+  * cross-key window-id compare would let one short-period resource's
+  * increments prune every longer-period resource's live counters. A
+  * per-row expiry makes windows of heterogeneous periods coexist in
+  * one store; state stays O(live keys), never O(history).
   */
 trait RateLimitStore {
   /** Atomically increment and return the new count for `key` in
-    * `window`, pruning expired windows. */
-  def incr(key: String, window: Long): Int
+    * `window`, pruning rows whose TTL passed. The row's expiry is set
+    * on creation to `nowMs + ttlMs` (callers pass ttl = 2 × period,
+    * the reference's contract — a window stays countable through its
+    * own span plus one successor). */
+  def incr(key: String, window: Long, nowMs: Long, ttlMs: Long): Int
 }
 
 /** The reference's in-memory fallback path (per-process). */
 final class InMemoryRateLimitStore extends RateLimitStore {
-  private val counts = new ConcurrentHashMap[String, AtomicInteger]()
-  override def incr(key: String, window: Long): Int = {
-    // opportunistic prune of dead windows keeps the map O(live keys)
-    counts.keySet.removeIf(k => k.substring(k.lastIndexOf(':') + 1).toLong < window - 1)
-    counts.computeIfAbsent(s"$key:$window", _ => new AtomicInteger(0)).incrementAndGet()
+  private final case class Entry(expiresAtMs: Long, count: AtomicInteger)
+  private val counts = new ConcurrentHashMap[String, Entry]()
+  override def incr(key: String, window: Long, nowMs: Long, ttlMs: Long): Int = {
+    // opportunistic prune of expired rows keeps the map O(live keys);
+    // absolute per-row expiry, so other resources' periods don't matter
+    counts.entrySet.removeIf(e => e.getValue.expiresAtMs <= nowMs)
+    counts.computeIfAbsent(s"$key:$window",
+      _ => Entry(nowMs + ttlMs, new AtomicInteger(0))).count.incrementAndGet()
   }
 }
 
 /** Cross-process shared counters: one line-oriented state file
-  * (`<key> <window> <count>`), each increment a read-modify-write
+  * (`<key> <window> <count> <expiresAtMs>`), each increment a read-modify-write
   * under an exclusive `FileChannel` lock. The JVM-wide monitor guards
   * the same-process case (overlapping `FileLock`s in one JVM throw by
   * JDK contract); the OS lock guards cross-process. Throughput is one
@@ -52,7 +62,7 @@ final class InMemoryRateLimitStore extends RateLimitStore {
   * trade for a serving-facade limiter (requests/s, not events/s; the
   * data plane's limiter is the streaming `RateLimit` operator). */
 final class FileRateLimitStore(path: Path) extends RateLimitStore {
-  override def incr(key: String, window: Long): Int =
+  override def incr(key: String, window: Long, nowMs: Long, ttlMs: Long): Int =
     FileRateLimitStore.jvmLock.synchronized {
       val ch = java.nio.channels.FileChannel.open(path,
         java.nio.file.StandardOpenOption.CREATE,
@@ -63,14 +73,20 @@ final class FileRateLimitStore(path: Path) extends RateLimitStore {
         try {
           val buf = java.nio.ByteBuffer.allocate(ch.size().toInt)
           ch.read(buf)
+          // rows are `<key> <window> <count> <expiresAtMs>`; liveness
+          // is the row's OWN absolute expiry, so resources with
+          // different periods can share one store without a
+          // short-period resource pruning the long-period counters
           val live = new String(buf.array(), UTF_8).linesIterator
             .map(_.split(' ')).collect {
-              case Array(k, w, n) if w.toLong >= window - 1 => (k, w.toLong) -> n.toInt
+              case Array(k, w, n, exp) if exp.toLong > nowMs =>
+                (k, w.toLong) -> (n.toInt, exp.toLong)
             }.toMap
-          val n = live.getOrElse((key, window), 0) + 1
-          val next = live.updated((key, window), n)
+          val (prev, exp) = live.getOrElse((key, window), (0, nowMs + ttlMs))
+          val n = prev + 1
+          val next = live.updated((key, window), (n, exp))
           val out = next.toSeq.sortBy { case ((k, w), _) => (k, w) }
-            .map { case ((k, w), c) => s"$k $w $c" }.mkString("", "\n", "\n")
+            .map { case ((k, w), (c, e)) => s"$k $w $c $e" }.mkString("", "\n", "\n")
           ch.truncate(0)
           ch.write(java.nio.ByteBuffer.wrap(out.getBytes(UTF_8)), 0)
           n

@@ -54,7 +54,9 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
   // instances/processes (the Redis analog; RestServerSpec drives two
   // servers against one store) ---
   private def rateAllow(resource: String, ip: String, perMs: Long, burst: Int): Boolean =
-    store.incr(s"rl:$resource:$ip", clock() / perMs) <= burst
+    // ttl = 2 × period, the reference's SETEX contract: the row lives
+    // through its own window plus one successor, per-resource
+    store.incr(s"rl:$resource:$ip", clock() / perMs, clock(), 2 * perMs) <= burst
 
   // --- engine-backed analytics, computed once and served as JSON ---
   private lazy val frequentPairsJson: String = {

@@ -104,4 +104,18 @@ class PrometheusSpec extends AnyFunSuite {
       Prometheus.detachStreaming(spark, l)
     }
   }
+
+  test("streaming history is capped — an indefinitely-running query cannot grow the listener") {
+    // round-11 ADVICE: attachStreaming is a production API; `last` is
+    // bounded by query count but the history vector grew one element
+    // per progress event forever. The cap keeps it O(1) per query.
+    val l = new graft.metrics.StreamingStateListener
+    val cap = graft.metrics.StreamingStateListener.historyCap
+    for (i <- 1 to cap * 3) l.record("soak", i.toLong, 0L, 0L)
+    val hist = l.history.get("soak")
+    assert(hist.size === cap, s"history must cap at $cap, got ${hist.size}")
+    // the cap keeps the most RECENT window (what plateau checks read)
+    assert(hist.last === (cap * 3).toLong && hist.head === (cap * 2 + 1).toLong)
+    assert(l.last.get("soak")._1 === (cap * 3).toLong)
+  }
 }

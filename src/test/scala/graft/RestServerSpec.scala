@@ -120,4 +120,37 @@ class RestServerSpec extends AnyFunSuite {
       finally lone.stop()
     } finally { s1.stop(); s2.stop(); java.nio.file.Files.deleteIfExists(stateFile) }
   }
+
+  test("rate-limit store: heterogeneous periods coexist — short-period churn never prunes long-period counters") {
+    // round-11 ADVICE: window ids are only comparable within one
+    // period; expiry is a per-row absolute timestamp, so a 1s-period
+    // resource hammering the store must not erase a 60s-period
+    // resource's live window mid-count.
+    val stateFile = java.nio.file.Files.createTempFile("graft-rl-het", ".state")
+    try {
+      val stores = Seq[graft.serving.RateLimitStore](
+        new graft.serving.InMemoryRateLimitStore,
+        graft.serving.FileRateLimitStore(stateFile.toString))
+      for (store <- stores) {
+        val t0 = 1000000000000L
+        // long-period resource: 60s windows, ttl 120s
+        assert(store.incr("rl:report:ip1", t0 / 60000, t0, 120000L) === 1)
+        assert(store.incr("rl:report:ip1", t0 / 60000, t0, 120000L) === 2)
+        // short-period resource churns through five 1s windows (each
+        // increment prunes by ABSOLUTE expiry, not by raw window id —
+        // its window ids are ~16M ahead of the report resource's)
+        for (i <- 0 until 5) {
+          val t = t0 + i * 1000L
+          store.incr("rl:search:ip1", t / 1000, t, 2000L)
+        }
+        // the long-period window is still live and still counting
+        assert(store.incr("rl:report:ip1", t0 / 60000, t0 + 5000L, 120000L) === 3,
+          s"${store.getClass.getSimpleName}: long-period counter was pruned")
+        // and genuinely-expired short-period rows DID get pruned: the
+        // first search window (expiry t0+2s) restarts from 1 at t0+10s
+        assert(store.incr("rl:search:ip1", t0 / 1000, t0 + 10000L, 2000L) === 1,
+          s"${store.getClass.getSimpleName}: expired row survived its TTL")
+      }
+    } finally java.nio.file.Files.deleteIfExists(stateFile)
+  }
 }

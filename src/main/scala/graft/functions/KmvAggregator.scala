@@ -31,6 +31,15 @@ case class KmvBuf(hs: Array[Long])
   * comparison before any of that. */
 class KmvAggregator(k: Int = 256) extends Aggregator[Long, KmvBuf, Double] {
 
+  // k is the per-group state bound: 8 B × k per partial aggregate.
+  // The documented safe band (round-11, closing the round-8 ADVICE
+  // note): ≥ 16 keeps the (k−1)/h_k estimator's relative error under
+  // ~26% (1/√(k−2)); ≤ 65536 caps any one group's buffer at 512 KiB —
+  // mergeable-state territory, never a driver/executor hazard even
+  // with millions of groups in flight.
+  require(k >= 16 && k <= 65536,
+    s"KMV k=$k outside the safe bound [16, 65536] (8B x k state per group)")
+
   def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
 
   def reduce(b: KmvBuf, h: Long): KmvBuf = {

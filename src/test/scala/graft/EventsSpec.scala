@@ -103,6 +103,31 @@ class EventsSpec extends AnyFunSuite {
     assert(math.abs(e1 - 5000.0) / 5000.0 < 0.2, s"saturated estimate off: $e1")
   }
 
+  test("KMV buffer is strictly bounded: adversarial inserts, merges, and the k guard") {
+    // round-11 (closes the round-8 ADVICE note): the sketch's whole
+    // scale claim is bounded mergeable state — pin it directly.
+    val agg = new graft.functions.KmvAggregator(16)
+    // descending inserts are the worst case (every value displaces)
+    var buf = agg.zero
+    for (h <- 100000L to 1L by -7L) {
+      buf = agg.reduce(buf, h)
+      assert(buf.hs.length <= 16, s"buffer grew past k: ${buf.hs.length}")
+      assert(buf.hs.toSeq === buf.hs.toSeq.sorted.distinct, "buffer invariant broken")
+    }
+    assert(buf.hs.length === 16 && buf.hs.head === 5L,
+      s"must hold the 16 smallest, got ${buf.hs.toSeq}")
+    // the full-buffer fast path rejects without allocating
+    assert(agg.reduce(buf, Long.MaxValue) eq buf, "fast path must return the same buffer")
+    // merge of two saturated buffers stays at k and keeps the global minima
+    val other = (1000L to 1015L).foldLeft(agg.zero)(agg.reduce)
+    val merged = agg.merge(buf, other)
+    assert(merged.hs.length === 16)
+    assert(merged.hs.toSeq === (buf.hs ++ other.hs).distinct.sorted.take(16).toSeq)
+    // k outside the documented safe band must refuse to construct
+    intercept[IllegalArgumentException](new graft.functions.KmvAggregator(8))
+    intercept[IllegalArgumentException](new graft.functions.KmvAggregator(1 << 20))
+  }
+
   test("count-min sketch: one-sided (est >= exact), bounded by total arrivals") {
     val out = Events.cmsUserFreq(spark, sf0001).collect()
     assert(out.length === 10, s"expected 10 probed users, got ${out.length}")

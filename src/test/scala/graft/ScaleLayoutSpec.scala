@@ -64,6 +64,41 @@ class ScaleLayoutSpec extends AnyFunSuite {
     assert(spread >= 6, s"hot key spread over only $spread salts")
   }
 
+  test("salted join in its real regime: forced SMJ, hot fact key, parity and salt-extended shuffle key") {
+    // round-11 (VERDICT item 4): the battery proved the shipped plans
+    // absorb skew, which means saltedJoin had never been validated
+    // where it matters — a hot key on a SHUFFLED equality join's fact
+    // side. Force that regime (broadcast off) and pin (a) the salted
+    // plan shuffles on (key, _salt) — the straggler split — and (b)
+    // row parity with the unsalted SMJ.
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 80% of fact rows on one hot key; dim too big to trust as tiny
+      val fact = spark.range(20000).select(
+        when(col("id") % 5 =!= 0, lit(42L)).otherwise(col("id") % 1000).as("k"),
+        col("id").as("row_id"))
+      val dim = spark.range(1000).select(col("id").as("k"),
+        concat(lit("dim_"), col("id")).as("label"))
+      val salted = SkewJoin.saltedJoin(fact, dim, "k", salts = 16,
+        saltSrc = col("row_id"))
+      val plan = salted.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"fixture must exercise the shuffled-join regime:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcast would bypass the skew regime under test:\n$plan")
+      assert("hashpartitioning\\(k#\\d+L?, _salt".r.findFirstIn(plan).isDefined,
+        s"fact shuffle must extend the key with the salt:\n$plan")
+      val plain = fact.join(dim, Seq("k"))
+      val saltedRows = salted.select("k", "row_id", "label")
+      val plainRows = plain.select("k", "row_id", "label")
+      assert(saltedRows.count() === plainRows.count())
+      assert(saltedRows.exceptAll(plainRows).isEmpty &&
+        plainRows.exceptAll(saltedRows).isEmpty,
+        "salted SMJ must be row-identical to the unsalted SMJ")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+  }
+
   test("autoBuckets content-scales: floor at small sf, 32 at sf0.1 edges, cap at ocean scale") {
     // round-11 layout sizing (VERDICT item 3): buckets derive from the
     // build-time row count — different corpora choose different widths

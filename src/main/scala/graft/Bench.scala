@@ -34,6 +34,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional runtime-conf overrides for A/B runs, e.g.
+    // SPARK_GRAFT_CONF="graft.graph.stateBroadcastMaxRows=1;spark.sql.autoBroadcastJoinThreshold=-1"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
 
     // optional comma-separated name filter for local iteration; the
     // driver leaves it unset and times the full surface

@@ -148,7 +148,12 @@ object Graph {
   // executor/driver broadcast budget) the state side broadcasts;
   // above it the hint is dropped and the join falls back to the
   // shuffle plan the bucketed layout makes zero-exchange on the edge
-  // side (only state moves). PlanContractSpec pins BOTH plans.
+  // side (only state moves). PlanContractSpec pins BOTH plans; the 10×
+  // A/B (BASELINE.md round 11) shows the fallback is healthy — at
+  // ~210k-row state the SMJ already matches/beats the hint for the
+  // pagerank family (0.72-0.87×) while hits prefers broadcast (1.5×),
+  // so the default budget is the OOM-safety bound, not a perf
+  // crossover, and is conf-tunable per deployment.
   // -----------------------------------------------------------------
 
   /** Broadcast budget for per-round node state, in rows. Conf-
@@ -215,11 +220,17 @@ object Graph {
     bipartiteLinked(spark, dir).select(col("a"), col("b"))
 
   /** Spec access to the bucketed layouts (PlanContractSpec pins the
-    * zero-exchange per-round join contract and row parity). */
+    * zero-exchange per-round join contract and row parity;
+    * LayoutBuildProbe times the one-time build per variant). */
   private[graft] def linkedEdges(spark: SparkSession, dir: String): DataFrame =
     bipartiteLinked(spark, dir)
   private[graft] def copurOriented(spark: SparkSession, dir: String): DataFrame =
     copurLayout(spark, dir)._1
+  private[graft] def sparseEdgesRel(spark: SparkSession, dir: String,
+                                    cutoff: String): DataFrame =
+    sparseEdges(spark, dir, cutoff)
+  private[graft] def hitsEdgesRel(spark: SparkSession, dir: String): DataFrame =
+    hitsRel(spark, dir)
 
   /** PageRank over the part↔supplier graph, `iters` synchronous
     * iterations at damping 0.85. Every node has degree ≥ 1 by
@@ -1020,11 +1031,10 @@ object Graph {
     * crossJoin-broadcast, the repo's standard idiom) so no per-round
     * driver pull; hub/auth are checkpointed per round to keep the
     * plan O(1) deep. */
-  def hits(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
-    // per-round hub/auth checkpoints make this an action-per-round
-    // loop too — materialize the (derive-free) table scan once so the
-    // 2-joins-per-round read local blocks, not parquet
-    val edges = edgeRel(spark, dir, "hits", "src") {
+  /** The directed customer→supplier purchase edges, bucketed by src
+    * (the hits variant of the write-once layout). */
+  private def hitsRel(spark: SparkSession, dir: String): DataFrame =
+    edgeRel(spark, dir, "hits", "src") {
       Tables(spark, dir, "orders")
         .join(Tables(spark, dir, "lineitem"),
           col("o_orderkey") === col("l_orderkey"))
@@ -1032,7 +1042,13 @@ object Graph {
           concat(lit("c:"), col("o_custkey")).as("src"),
           concat(lit("s:"), col("l_suppkey")).as("dst"))
         .distinct()
-    }.localCheckpoint()
+    }
+
+  def hits(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
+    // per-round hub/auth checkpoints make this an action-per-round
+    // loop too — materialize the (derive-free) table scan once so the
+    // 2-joins-per-round read local blocks, not parquet
+    val edges = hitsRel(spark, dir).localCheckpoint()
     // per-side node counts, memoized per content fingerprint — they
     // gate the state-side hint (stateSide) and are the final
     // normalizers, replacing the two end-of-loop count() actions

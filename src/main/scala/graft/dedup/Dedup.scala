@@ -294,12 +294,12 @@ object Dedup {
     * is what the SQL oracle checks directly. */
   def exactServedQuery(spark: SparkSession, dir: String): DataFrame = {
     val fp = graft.Tables.dataFingerprint(s"$dir/documents.parquet")
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$fp|exactfp".getBytes("UTF-8"))
-    val table = "graft_exactfp_" + md.take(5).map("%02x".format(_)).mkString
+    val table = graft.sources.Layouts.name("graft_exactfp", dir, s"$dir|$fp|exactfp")
     val docs = graft.Tables(spark, dir, "documents")
-    if (!spark.catalog.tableExists(table))
+    if (!spark.catalog.tableExists(table)) {
+      graft.sources.Layouts.pruneStale(spark, "graft_exactfp", dir, table)
       exactBuildIndex(docs.filter(pmod(col("doc_id"), lit(10)) =!= 9), table)
+    }
     exactServedKeep(spark, table, docs.filter(pmod(col("doc_id"), lit(10)) === 9))
   }
 

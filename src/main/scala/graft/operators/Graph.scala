@@ -61,49 +61,28 @@ object Graph {
     * prefixes: regenerated testdata under the same path triggers a
     * fresh build instead of serving stale edges across JVMs.
     *
-    * The name is structured `<variant>_<dirtag>_<fptag>` (round-11):
-    * the dir and the content fingerprint hash SEPARATELY, so a build
-    * can recognize — and prune — a stale fingerprint of the SAME
-    * source dir without ever touching another sf dir's live layout. */
-  private def md5hex(s: String, bytes: Int): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8")).take(bytes).map("%02x".format(_)).mkString
-  private[graft] def edgeDirTag(dir: String): String = md5hex(s"dir|$dir", 3)
+    * The name is structured `<variant>_<dirtag>_<fptag>` (round-11,
+    * the shared [[graft.sources.Layouts]] scheme): the dir and the
+    * content fingerprint hash SEPARATELY, so a build can recognize —
+    * and prune — a stale fingerprint of the SAME source dir without
+    * ever touching another sf dir's live layout. */
+  private[graft] def edgeDirTag(dir: String): String =
+    graft.sources.Layouts.dirTag(dir)
   private def edgeTableName(dir: String, variant: String): String = {
     // both fact tables feed some variant (hits uses orders⋈lineitem),
     // so the name folds both fingerprints — either regenerating
     // invalidates every edge layout
     val fp = Tables.dataFingerprint(s"$dir/lineitem.parquet") + "|" +
       Tables.dataFingerprint(s"$dir/orders.parquet")
-    s"graft_edges_${variant}_${edgeDirTag(dir)}_" +
-      md5hex(s"$dir|$fp|edges|$variant", 5)
+    graft.sources.Layouts.name(s"graft_edges_$variant", dir,
+      s"$dir|$fp|edges|$variant")
   }
 
-  /** Drop warehouse dirs (and any live catalog entries) carrying this
-    * (variant, dir)'s name prefix but a DIFFERENT content fingerprint
-    * — without this, every testdata regeneration (new length/mtime)
-    * mints a fresh graft_edges_* table while the previous
-    * fingerprint's parquet stays in the warehouse forever (round-11
-    * ADVICE). Filesystem-level, because the in-memory catalog forgets
-    * a previous JVM's tables while its dirs persist. Legacy
-    * pre-round-11 names (`<variant>_<10 hex>`, no dir tag) are
-    * unreachable under the new naming and pruned on sight. */
+  /** Stale-fingerprint prune for this (dir, variant) — the shared
+    * [[graft.sources.Layouts.pruneStale]] hygiene (round-11 ADVICE). */
   private[graft] def dropStaleSiblings(spark: SparkSession, dir: String,
-                                variant: String, keep: String): Unit = {
-    val samedirPrefix = s"graft_edges_${variant}_${edgeDirTag(dir)}_"
-    val legacy = java.util.regex.Pattern.compile(
-      s"graft_edges_${java.util.regex.Pattern.quote(variant)}_[0-9a-f]{10}")
-    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
-    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(wh)) fs.listStatus(wh).foreach { st =>
-      val n = st.getPath.getName
-      if (n != keep &&
-          (n.startsWith(samedirPrefix) || legacy.matcher(n).matches())) {
-        if (spark.catalog.tableExists(n)) spark.sql(s"DROP TABLE IF EXISTS `$n`")
-        fs.delete(st.getPath, true)
-      }
-    }
-  }
+                                       variant: String, keep: String): Unit =
+    graft.sources.Layouts.pruneStale(spark, s"graft_edges_$variant", dir, keep)
 
   /** Memoized bucketed materialization: builds `build` into the
     * catalog on first use per (dir, content, variant), returns the

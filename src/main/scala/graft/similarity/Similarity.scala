@@ -688,9 +688,7 @@ object Similarity {
     * codebooks (same contract as the BM25 prefix). */
   private def indexPrefix(dir: String, nlist: Int, m: Int, ksub: Int): String = {
     val fp = graft.Tables.dataFingerprint(s"$dir/embeddings.parquet")
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$fp|$nlist|$m|$ksub".getBytes("UTF-8"))
-    "graft_ivfpq_" + md.take(5).map("%02x".format(_)).mkString
+    graft.sources.Layouts.name("graft_ivfpq", dir, s"$dir|$fp|$nlist|$m|$ksub")
   }
 
   /** IVFADC over the PERSISTED index — the serving path: builds the
@@ -749,8 +747,15 @@ object Similarity {
   def ensureIndex(spark: SparkSession, dir: String, nlist: Int = 0,
                   m: Int = 16, ksub: Int = 16): String = {
     val prefix = indexPrefix(dir, nlist, m, ksub)
-    if (!spark.catalog.tableExists(s"${prefix}_codes"))
+    if (!spark.catalog.tableExists(s"${prefix}_codes")) {
+      // prune superseded fingerprints of this dir (shared Layouts
+      // hygiene) — note a DIFFERENT (nlist, m, ksub) on the same data
+      // also reads as superseded; parameter sets don't coexist per
+      // dir, which matches the serving contract (retrain = rebuild
+      // under a new fingerprint)
+      graft.sources.Layouts.pruneStale(spark, "graft_ivfpq", dir, prefix)
       ivfpqBuildIndex(corpus(spark, dir), prefix, nlist, m, ksub)
+    }
     prefix
   }
 

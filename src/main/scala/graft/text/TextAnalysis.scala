@@ -620,11 +620,11 @@ object TextAnalysis {
     // the prefix carries a content fingerprint of the source table, so
     // a regenerated documents.parquet under the same path triggers a
     // fresh build — 'bit-identical to fresh tokenization' holds across
-    // JVMs even after in-place testdata refreshes
+    // JVMs even after in-place testdata refreshes; the shared Layouts
+    // scheme (dir tag + fp tag) lets the build prune superseded
+    // fingerprints' dirs without touching other sf dirs' live indexes
     val fp = graft.Tables.dataFingerprint(s"$dir/documents.parquet")
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$dir|$fp|bm25".getBytes("UTF-8"))
-    "graft_bm25_" + md.take(5).map("%02x".format(_)).mkString
+    graft.sources.Layouts.name("graft_bm25", dir, s"$dir|$fp|bm25")
   }
 
   /** Persisted inverted-index build — the sparse-side twin of the
@@ -675,8 +675,10 @@ object TextAnalysis {
   def bm25Served(spark: SparkSession, dir: String, nQueries: Int = 5, k: Int = 5,
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val prefix = bm25IndexPrefix(dir)
-    if (!spark.catalog.tableExists(s"${prefix}_postings"))
+    if (!spark.catalog.tableExists(s"${prefix}_postings")) {
+      graft.sources.Layouts.pruneStale(spark, "graft_bm25", dir, prefix)
       bm25BuildIndex(Tables(spark, dir, "documents"), prefix)
+    }
     bm25Score(
       spark.table(s"${prefix}_postings"),
       spark.table(s"${prefix}_termstats"),

@@ -147,4 +147,28 @@ class ScaleLayoutSpec extends AnyFunSuite {
     } finally for (d <- Seq(staleSameDir, otherDir, legacy, live))
       fs.delete(new Path(wh, d), true)
   }
+
+  test("shared layout prune covers multi-table prefixes (bm25/ivfpq families)") {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.Layouts
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val fs = new Path(wh).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tag = Layouts.dirTag(sf)
+    val keep = s"graft_bm25_${tag}_aaaaaaaaaa"
+    val staleOld = Seq(s"graft_bm25_${tag}_0000000000_postings",
+      s"graft_bm25_${tag}_0000000000_corpus")
+    val legacyOld = Seq("graft_bm25_0123456789_postings")
+    val otherDir = Seq("graft_bm25_ffffff_0000000000_postings")
+    val liveTables = Seq(s"${keep}_postings", s"${keep}_corpus")
+    for (d <- staleOld ++ legacyOld ++ otherDir ++ liveTables)
+      fs.mkdirs(new Path(wh, d))
+    try {
+      Layouts.pruneStale(spark, "graft_bm25", sf, keep)
+      for (d <- staleOld ++ legacyOld)
+        assert(!fs.exists(new Path(wh, d)), s"$d must be pruned")
+      for (d <- otherDir ++ liveTables)
+        assert(fs.exists(new Path(wh, d)), s"$d must survive")
+    } finally for (d <- staleOld ++ legacyOld ++ otherDir ++ liveTables)
+      fs.delete(new Path(wh, d), true)
+  }
 }

@@ -177,7 +177,8 @@ object Dedup {
     // free of the shingle pipeline
     val banded = bandedOf(shingles(docs), numHashes, bands).localCheckpoint()
     val nb = if (nBuckets > 0) nBuckets
-             else graft.sources.Bucketed.autoBuckets(banded.count())
+             else graft.sources.Bucketed.autoBuckets(banded.count(),
+               spark.sparkContext.defaultParallelism)
     graft.sources.Bucketed.writeBucketed(banded, table, "band_key", nb)
   }
 
@@ -249,7 +250,8 @@ object Dedup {
     val keepers = docs.groupBy(fingerprint(col("text")).as("fp"))
       .agg(min("doc_id").as("keeper_id")).localCheckpoint()
     val nb = if (nBuckets > 0) nBuckets
-             else graft.sources.Bucketed.autoBuckets(keepers.count())
+             else graft.sources.Bucketed.autoBuckets(keepers.count(),
+               spark.sparkContext.defaultParallelism)
     graft.sources.Bucketed.writeBucketed(keepers, table, "fp", nb)
   }
 

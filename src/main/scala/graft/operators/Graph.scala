@@ -105,7 +105,8 @@ object Graph {
       if (fs.exists(path)) fs.delete(path, true)
       val rel = build.localCheckpoint()
       graft.sources.Bucketed.writeBucketed(rel, table, key,
-        graft.sources.Bucketed.autoBuckets(rel.count()))
+        graft.sources.Bucketed.autoBuckets(rel.count(),
+          spark.sparkContext.defaultParallelism))
     }
     spark.table(table)
   }
@@ -122,26 +123,27 @@ object Graph {
   // outgrows the broadcast budget — exactly the regime a 100 TB
   // entity graph lives in. The node count is already a driver-side
   // scalar in every loop, so the hint is GATED on it: below
-  // `graft.graph.stateBroadcastMaxRows` (default 8M rows — low
-  // hundreds of MB of (id, double) state, safely inside an
-  // executor/driver broadcast budget) the state side broadcasts;
+  // `graft.graph.stateBroadcastMaxRows` the state side broadcasts;
   // above it the hint is dropped and the join falls back to the
   // shuffle plan the bucketed layout makes zero-exchange on the edge
-  // side (only state moves). PlanContractSpec pins BOTH plans; the 10×
-  // A/B (BASELINE.md round 11) shows the fallback is healthy — at
-  // ~210k-row state the SMJ already matches/beats the hint for the
-  // pagerank family (0.72-0.87×) while hits prefers broadcast (1.5×),
-  // so the default budget is the OOM-safety bound, not a perf
-  // crossover, and is conf-tunable per deployment.
+  // side (only state moves). PlanContractSpec pins BOTH plans.
+  //
+  // The 50k default is MEASURED, not a memory bound (BASELINE.md
+  // round 11): at 21k-node state the broadcast wins (4.4 s vs SMJ
+  // 5.0-5.7 s, round-10 strategy table; hits' ~15k-row sides prefer it
+  // 3.1 vs 4.8 s), while at 210k nodes the SMJ wins decisively
+  // (3.7-5.0 s vs broadcast 7.2-7.9 s on the 10× strided graph —
+  // rebroadcasting 210k rows to every round's tasks costs more than
+  // shuffling them once). The crossover sits between those points;
+  // 50k splits it and is conf-tunable per deployment.
   // -----------------------------------------------------------------
 
   /** Broadcast budget for per-round node state, in rows. Conf-
     * overridable (`graft.graph.stateBroadcastMaxRows`) so specs can
-    * force the above-threshold plan and operators can tune per
-    * deployment. */
+    * force either plan and operators can tune per deployment. */
   private[graft] def stateBroadcastMaxRows(spark: SparkSession): Long =
     spark.conf.getOption("graft.graph.stateBroadcastMaxRows")
-      .map(_.toLong).getOrElse(8L * 1000 * 1000)
+      .map(_.toLong).getOrElse(50000L)
 
   /** The state side of a Pregel round join: broadcast while the known
     * row bound fits the budget, plain (→ zero-exchange SMJ against
@@ -488,7 +490,8 @@ object Graph {
             when(orientLow(col("u"), col("v"), col("du"), col("dv")), col("dv"))
               .otherwise(col("du")).as("bd"))
         graft.sources.Bucketed.writeBucketed(oriented, oriTable, "a",
-          graft.sources.Bucketed.autoBuckets(e.count()))
+          graft.sources.Bucketed.autoBuckets(e.count(),
+            spark.sparkContext.defaultParallelism))
       }
       (spark.table(oriTable), spark.table(degTable))
     }

@@ -671,7 +671,8 @@ object Similarity {
     val (cent, books) = ivfpqTrain(all, nlist, m, ksub)
     val codes = ivfpqEncode(all, cent, books).localCheckpoint()
     val nb = if (nBuckets > 0) nBuckets
-             else graft.sources.Bucketed.autoBuckets(codes.count())
+             else graft.sources.Bucketed.autoBuckets(codes.count(),
+               spark.sparkContext.defaultParallelism)
     graft.sources.Bucketed.writeBucketed(codes, s"${prefix}_codes", "list_id", nb)
     cent.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
       .toDF("list_id", "cvec")

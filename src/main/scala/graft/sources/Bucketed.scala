@@ -19,23 +19,35 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * writes cannot carry it — that is a Spark contract, not a choice. */
 object Bucketed {
 
-  /** Content-scaled bucket count (round-11): a layout that pins 32
-    * buckets is right at exactly one scale — the auto-nlist 4√n
-    * lesson applied to layouts. Buckets = rows / `targetRowsPerBucket`
-    * snapped to the NEAREST power of two (powers of two keep
-    * co-bucketed join pairs compatible across rebuilds that land on
-    * the same snap), clamped to [8, 4096]: the floor keeps small-sf
-    * scans parallel enough to test the plan shape, the cap bounds
-    * small-file count at any scale. The default target (48k rows per
-    * bucket) reproduces the measured-good 32 buckets at sf0.1's ~1.2M
-    * edge rows and scales to 256 at 10×, 8 at sf0.01. Derived from
-    * the source row count at build time, so the count travels with
-    * the data's content fingerprint: re-scaling the corpus rebuilds
-    * the layout at the right width. */
-  def autoBuckets(rows: Long, targetRowsPerBucket: Long = 48000L): Int = {
-    val raw = math.max(1.0, rows.toDouble / targetRowsPerBucket)
-    val exp = math.round(math.log(raw) / math.log(2.0)).toInt
-    math.min(4096, math.max(8, 1 << math.max(0, exp)))
+  /** Content-scaled bucket count (round-11): a layout that pins its
+    * bucket count is right at exactly one scale. Buckets =
+    * max(`floor`, rows / `targetRowsPerBucket`) snapped to the NEAREST
+    * power of two (powers of two keep co-bucketed join pairs
+    * compatible across rebuilds that land on the same snap), capped at
+    * 4096 (small-file bound).
+    *
+    * The shape of this formula is MEASURED, not assumed (BASELINE.md
+    * round-11 width×strategy sweep): a bucketed scan reads one task
+    * per bucket, so until buckets are genuinely large the dominant
+    * term is task-count alignment with the execution width — on the
+    * 11.8M-row 10× edge relation, 32 buckets ran the Pregel round at
+    * 3.7-5.0 s where 64/128/256 ran 6.5/7.0/9.3 s. A first-cut
+    * rows/48k sizing (buckets ∝ n) re-derived exactly that regression
+    * at 10×. Hence: the floor is the cluster's parallelism (callers
+    * pass `defaultParallelism` — 32 here, the executor-core total on a
+    * real cluster), and the row target (500k rows ≈ tens of MB of
+    * edge-sized rows per bucket) only starts widening the layout once
+    * per-bucket work genuinely outgrows a task — 100× data → 256
+    * buckets, same per-bucket size as 10×'s 32. */
+  def autoBuckets(rows: Long, floor: Int = 32,
+                  targetRowsPerBucket: Long = 500000L): Int = {
+    val raw = math.max(math.max(1, floor).toDouble,
+      rows.toDouble / targetRowsPerBucket)
+    // clamp the exponent BEFORE shifting (an Int shift is mod 32, so an
+    // ocean-scale exponent would silently wrap instead of hitting the cap)
+    val exp = math.min(12, math.max(0,
+      math.round(math.log(raw) / math.log(2.0)).toInt))
+    math.max(1, 1 << exp)
   }
 
   /** Write `df` as a bucketed (and optionally bucket-sorted) parquet

@@ -656,7 +656,8 @@ object TextAnalysis {
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val nb = if (nBuckets > 0) nBuckets
-             else graft.sources.Bucketed.autoBuckets(tf.count())
+             else graft.sources.Bucketed.autoBuckets(tf.count(),
+               spark.sparkContext.defaultParallelism)
     graft.sources.Bucketed.writeBucketed(tf, s"${prefix}_postings", "token", nb)
     tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       .write.mode("overwrite").format("parquet").saveAsTable(s"${prefix}_docstats")

@@ -99,17 +99,23 @@ class ScaleLayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
   }
 
-  test("autoBuckets content-scales: floor at small sf, 32 at sf0.1 edges, cap at ocean scale") {
-    // round-11 layout sizing (VERDICT item 3): buckets derive from the
-    // build-time row count — different corpora choose different widths
-    assert(Bucketed.autoBuckets(0L) === 8, "empty/small → parallelism floor")
-    assert(Bucketed.autoBuckets(120000L) === 8, "sf0.01-ish edges stay at the floor")
-    assert(Bucketed.autoBuckets(1200000L) === 32,
-      "sf0.1's ~1.2M edge rows must reproduce the measured-good 32")
-    assert(Bucketed.autoBuckets(12000000L) === 256, "10x data → wider layout")
+  test("autoBuckets: parallelism floor until per-bucket work outgrows a task, then content-scaled") {
+    // round-11 layout sizing (VERDICT item 3), shape MEASURED by the
+    // width×strategy sweep (BASELINE.md): task-count alignment with
+    // the execution width dominates until buckets are genuinely large
+    // — 32 buckets beat 64/128/256 on the 11.8M-row 10× edge relation
+    // — so the floor is the cluster parallelism and the 500k-row
+    // target only widens the layout beyond it.
+    assert(Bucketed.autoBuckets(0L) === 32, "empty/small → parallelism floor")
+    assert(Bucketed.autoBuckets(1200000L) === 32, "sf0.1 edges stay at the floor")
+    assert(Bucketed.autoBuckets(11800000L) === 32,
+      "the 10× edge relation must choose the measured-best 32")
+    assert(Bucketed.autoBuckets(118000000L) === 256,
+      "100× data → wider layout, same per-bucket size as 10×'s 32")
     assert(Bucketed.autoBuckets(Long.MaxValue / 4) === 4096, "small-file cap")
+    assert(Bucketed.autoBuckets(0L, floor = 8) === 8, "floor follows the cluster width")
     // snapped to powers of two so co-bucketed pairs stay join-compatible
-    for (r <- Seq(60000L, 777777L, 5000000L))
+    for (r <- Seq(60000L, 777777L, 50000000L))
       assert(Integer.bitCount(Bucketed.autoBuckets(r)) === 1, s"$r not a pow2")
   }
 

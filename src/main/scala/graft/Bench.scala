@@ -36,10 +36,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // optional runtime-conf overrides for A/B runs, e.g.
     // SPARK_GRAFT_CONF="graft.graph.stateBroadcastMaxRows=1;spark.sql.autoBroadcastJoinThreshold=-1"
-    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').foreach { kv =>
-      val Array(k, v) = kv.split("=", 2)
-      spark.conf.set(k.trim, v.trim)
-    })
+    // tolerant of trailing ';' / stray whitespace; an entry without
+    // '=' is a hard error with the offending text (a silent skip
+    // would A/B-test the wrong configuration)
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').iterator
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v.trim)
+          case _ => sys.error(s"bad SPARK_GRAFT_CONF entry (expected key=value): '$kv'")
+        }
+      })
 
     // optional comma-separated name filter for local iteration; the
     // driver leaves it unset and times the full surface

@@ -261,6 +261,10 @@ object SparkEntry {
     // cross-modality composition: the manifest further gated by the
     // embedding-side semantic-dedup keepers
     "txt_manifest_semantic" -> ((s, d) => TextAnalysis.pipelineManifestSemantic(s, d)),
+    // production sibling: the same composition with the semantic leg
+    // on the constant-occupancy cells rung (linear pair work); the
+    // exact-leg query above is the audit rung that prices its recall
+    "txt_manifest_semantic_lsh" -> ((s, d) => TextAnalysis.pipelineManifestSemanticLsh(s, d)),
     // per-source data card: docs/tokens/PII/quality/dup/kept counts —
     // all integers, composing five oracled families per source
     "txt_corpus_report" -> ((s, d) => TextAnalysis.corpusReport(s, d)),
@@ -706,7 +710,12 @@ object SparkEntry {
     * honors SPARK_GRAFT_BENCH_PROFILE=production, and the README query
     * map renders the tag (ReadmeSyncSpec keeps all three in sync). */
   val auditQueries: Set[String] =
-    Set("dedup_jaccard_prefix", "emb_semantic_keep", "emb_near_dup_det")
+    Set("dedup_jaccard_prefix", "emb_semantic_keep", "emb_near_dup_det",
+      // round-12 VERDICT item 1: the two quadratic exact/fixed-k legs
+      // that slipped through the round-11 tagging. Each keeps its
+      // hash oracle (that is its JOB); the timed production rows are
+      // txt_manifest_semantic_lsh and emb_semdedup_keep_auto.
+      "emb_semdedup_keep", "txt_manifest_semantic")
   val buildQueries: Set[String] = Set("emb_ivfpq_topk")
   def queryTag(name: String): String =
     if (auditQueries(name)) "audit"

@@ -146,11 +146,21 @@ object Graph {
       .map(_.toLong).getOrElse(50000L)
 
   /** The state side of a Pregel round join: broadcast while the known
-    * row bound fits the budget, plain (→ zero-exchange SMJ against
-    * the bucketed edge scan) once it does not. */
+    * row bound fits the budget, SHUFFLE_MERGE-hinted (→ the measured
+    * zero-exchange SMJ against the bucketed edge scan) once it does
+    * not. The merge hint is NOT redundant above the budget: merely
+    * dropping the broadcast hint leaves join-side selection to the
+    * planner's stats, and a sparse edge table whose files sit under
+    * `spark.sql.autoBroadcastJoinThreshold` (~10 MB is plausible well
+    * past 50k nodes) would flip the plan to broadcasting the EDGE
+    * side — the measured-slowest inversion (7.8 s vs 4.4/5.0 s,
+    * BASELINE.md round 10). PlanContractSpec pins all three regimes:
+    * below-budget broadcast(state), above-budget SMJ with the
+    * planner's broadcast disabled, and above-budget SMJ with the
+    * edge table's own stats still under the threshold. */
   private[graft] def stateSide(state: DataFrame, stateRows: Long): DataFrame =
     if (stateRows <= stateBroadcastMaxRows(state.sparkSession)) broadcast(state)
-    else state
+    else state.hint("merge")
 
   /** Memoized driver-side node counts per content-fingerprinted edge
     * table — one countDistinct per (dir, content, variant) per JVM,

@@ -77,10 +77,19 @@ final class FileRateLimitStore(path: Path) extends RateLimitStore {
           // is the row's OWN absolute expiry, so resources with
           // different periods can share one store without a
           // short-period resource pruning the long-period counters
+          // 3-field rows are the pre-TTL format (`<key> <window>
+          // <count>`): migrate rather than discard — dropping them
+          // would zero every live counter on the first post-upgrade
+          // increment and briefly admit a burst overrun. A migrated
+          // row expires one ttl from NOW (the most conservative
+          // reading: its true remaining life is unknowable, and the
+          // old format pruned on a store-global clock anyway).
           val live = new String(buf.array(), UTF_8).linesIterator
             .map(_.split(' ')).collect {
               case Array(k, w, n, exp) if exp.toLong > nowMs =>
                 (k, w.toLong) -> (n.toInt, exp.toLong)
+              case Array(k, w, n) =>
+                (k, w.toLong) -> (n.toInt, nowMs + ttlMs)
             }.toMap
           val (prev, exp) = live.getOrElse((key, window), (0, nowMs + ttlMs))
           val n = prev + 1

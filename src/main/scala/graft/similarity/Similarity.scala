@@ -1403,21 +1403,116 @@ object Similarity {
   def hardNegatives(spark: SparkSession, dir: String): DataFrame =
     hardNegativesOn(corpus(spark, dir))
 
-  /** Production k for the cluster rung: k ≈ 2√n keeps expected
-    * per-cluster size at √n/2, so Σ|cluster|² ≈ n^1.5 — the IVF
-    * trade applied to dedup (autoNlist's 4√n targets probe cost;
-    * dedup pays |cluster|² so it wants the smaller constant). */
+  /** Round-11 k rule for the cluster rung, SUPERSEDED as the
+    * production configuration (round-12 VERDICT item 2): k ≈ 2√n
+    * keeps expected per-cluster size at √n/2, so Σ|cluster|² ≈ n^1.5
+    * pair work — ~31× per data decade, measured as the slowest bench
+    * row at sf0.1 (7.9 s) and 24.7× @100×. It also pays n·k = 2n^1.5
+    * assignment flops. Kept only as the sweep point the cells rung is
+    * measured against; [[semanticKeepCellsOn]] is the production
+    * path. */
   def autoKmeansK(n: Long): Int =
     math.max(8, math.min(2.0 * math.sqrt(n.toDouble), n / 4.0).toInt)
 
-  /** The auto-resolution production configuration of the cluster rung:
-    * k floats with the corpus (rows-only at the gate by the
-    * fixed-resolution rule), giving the probe the true O(n^1.5) leg. */
-  def semanticKeepClusteredAuto(spark: SparkSession, dir: String,
-                                threshold: Double = 0.3): DataFrame = {
-    val all = corpus(spark, dir)
-    semanticKeepClusteredOn(all, threshold, autoKmeansK(all.count()), iters = 2)
+  /** Constant-occupancy SemDeDup cells — the auto-resolution
+    * PRODUCTION configuration of the cluster rung (rows-only at the
+    * gate by the fixed-resolution rule; emb_semdedup_keep at pinned
+    * k=8 carries the hash oracle as the audit sibling).
+    *
+    * Two-level cell assignment, both levels corpus-size-safe:
+    *  1. Coarse deterministic k-means at k1 CAPPED by `coarseK` —
+    *     centroid broadcast width and per-vector assignment flops are
+    *     a DEPLOYMENT budget (n·k1 dot products, k1 constant), not a
+    *     function of the corpus. Naive "k ∝ n/c" would make the
+    *     assignment pass itself n²/c flops — the quadratic would just
+    *     move from the pair join into the crossJoin(centroids).
+    *  2. Within each coarse cluster, hyperplane sign bits (the
+    *     cosineNearDupPairsOn plane family) masked to
+    *     ceil(log2(|cluster|/targetOccupancy)) planes — enough that
+    *     expected CELL occupancy stays ~`targetOccupancy` as the
+    *     corpus grows. Planes grow logarithmically; the mask depth is
+    *     data-driven PER COARSE CLUSTER (a k1-row broadcast), so a
+    *     skewed coarse cluster gets more planes, an underfull one
+    *     fewer.
+    *
+    * Within-cell exact-cosine edges then cost Σ|cell|² ≈
+    * n·targetOccupancy·nTables — LINEAR in the corpus — and feed the
+    * same min-label closure / keep decision as every other rung.
+    *
+    * Recall trade: near-dup pairs split across cells are missed.
+    * Near-identical vectors share a nearest centroid and agree on
+    * nearly every sign bit, so planted dups fold exactly as the exact
+    * rung folds them (SimilaritySpec parity test); `nTables`
+    * independent plane families hedge plane-boundary cases. Because
+    * candidate edges are exact-cosine re-checked, the edge set is a
+    * SUBSET of the exact rung's, so components only ever split and
+    * the keep-set is a SUPERSET of the exact keep-set — the
+    * one-directional error a curation pipeline tolerates (keeps a few
+    * extra near-dups, never drops a canonical representative). */
+  def semanticKeepCellsOn(all: DataFrame, threshold: Double = 0.3,
+                          targetOccupancy: Int = 32, coarseK: Int = 16,
+                          nTables: Int = 4, iters: Int = 2,
+                          dims: Int = 64): DataFrame =
+    keepDecision(all,
+      cellEdgesOn(all, threshold, targetOccupancy, coarseK, nTables, iters, dims))
+
+  /** The pair-generation term of the cells rung, exposed for
+    * PlanContractSpec (the CC closure checkpoints eagerly, hiding
+    * this join from the final plan) and for the scale probes'
+    * candidate-pair counts. */
+  private[graft] def cellEdgesOn(all: DataFrame, threshold: Double,
+                                 targetOccupancy: Int, coarseK: Int,
+                                 nTables: Int, iters: Int,
+                                 dims: Int): DataFrame = {
+    VectorExpressions.register(all.sparkSession)
+    val n = all.count()
+    // coarse k: grow toward the cap only once the corpus warrants it
+    // (k1 ≈ n / (64·occupancy) keeps tiny test corpora at 1 cluster)
+    val k1 = math.max(1, math.min(coarseK.toLong,
+      n / math.max(1L, 64L * targetOccupancy)).toInt)
+    val assign = kmeansAssignOn(all, k1, iters) // (vec_id, cluster_id)
+    // per-coarse-cluster plane depth; k1 rows, broadcast by size
+    val planesFor = assign.groupBy("cluster_id")
+      .agg(count(lit(1)).as("csize"))
+      .withColumn("planes", greatest(lit(0),
+        ceil(log2(col("csize").cast("double") / lit(targetOccupancy.toDouble)))
+          .cast("int")))
+      .select("cluster_id", "planes")
+    // one signature wide enough for the largest possible mask; the
+    // per-cluster mask keeps only its own low `planes` bits
+    val maxPlanes = math.max(1,
+      math.ceil(math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0)).toInt)
+    val cells = bucketIds(all, "vec_id", maxPlanes, nTables, dims)
+      .join(assign, Seq("vec_id"))
+      .join(broadcast(planesFor), Seq("cluster_id"))
+      .withColumn("cell", expr("bucket & (shiftleft(1L, planes) - 1L)"))
+    val pairIds = cells
+      .groupBy("cluster_id", "tbl", "cell")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS u, b AS v))))"))
+        .as("p"))
+      .select(col("p.u"), col("p.v")).distinct()
+    val va = all.select(col("vec_id").as("u"), col("vec").as("va"), col("norm").as("na"))
+    val vb = all.select(col("vec_id").as("v"), col("vec").as("vb"), col("norm").as("nb"))
+    pairIds
+      .join(va, Seq("u"))
+      .join(vb, Seq("v"))
+      .withColumn("cos", ndot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= threshold)
+      .select("u", "v")
   }
+
+  /** The auto-resolution production configuration of the cluster
+    * rung. Round 11 routed this through autoKmeansK (Θ(n^1.5) pair
+    * work AND assignment flops); round 12 replaces the engine with
+    * the constant-occupancy two-level cells — linear pair work,
+    * constant-capped assignment. Rows-only at the gate (resolution
+    * floats with the corpus); SimilaritySpec pins planted-dup parity
+    * and the keep-superset contract against the exact audit rung. */
+  def semanticKeepClusteredAuto(spark: SparkSession, dir: String,
+                                threshold: Double = 0.3): DataFrame =
+    semanticKeepCellsOn(corpus(spark, dir), threshold)
 
   /** IVF top-k on the deterministic quantizer — the oracle-able IVF
     * leg: identical probe/re-rank shape to ivfTopKOn (rank lists per

@@ -447,6 +447,24 @@ object TextAnalysis {
     pipelineManifest(spark, dir).join(semKept, Seq("doc_id")).orderBy("doc_id")
   }
 
+  /** PRODUCTION sibling of [[pipelineManifestSemantic]] (round-12
+    * VERDICT item 1a): the same cross-modality composition with the
+    * semantic leg routed through the constant-occupancy cells rung
+    * (Similarity.semanticKeepCellsOn — linear pair work) instead of
+    * the exact O(n²) audit rung. Rows-only at the gate (the cells
+    * resolution floats with the corpus); TextSpec pins the
+    * keep-superset contract: because approximate edges ⊆ exact edges,
+    * every doc the exact manifest keeps survives here too — the
+    * approximate manifest can only ever keep MORE near-dups, never
+    * drop a canonical representative. */
+  def pipelineManifestSemanticLsh(spark: SparkSession, dir: String): DataFrame = {
+    val semKept = graft.similarity.Similarity.semanticKeepCellsOn(
+        graft.similarity.Similarity.corpus(spark, dir))
+      .filter(col("is_kept"))
+      .select(col("vec_id").as("doc_id"))
+    pipelineManifest(spark, dir).join(semKept, Seq("doc_id")).orderBy("doc_id")
+  }
+
   /** Per-source corpus DATA CARD — the accounting table a dataset
     * release ships: for every provenance source, document and token
     * counts, PII span totals (from the scrub), quality-gate pass

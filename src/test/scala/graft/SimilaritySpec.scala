@@ -302,6 +302,45 @@ class SimilaritySpec extends AnyFunSuite {
       s"expected the planted dups to fold into 100: $exact")
   }
 
+  test("constant-occupancy cells rung matches the exact rung on planted near-identical dups") {
+    // round-12 VERDICT item 2 recall-parity gate: the production cells
+    // rung (coarse kmeans + per-cluster sign bits) must fold planted
+    // near-identical vectors into the same keep decisions as the exact
+    // all-pairs audit rung — near-dups share a nearest centroid and
+    // agree on nearly every plane bit.
+    val base = Seq(1.0, 2.0, -1.0, 0.5, 0.0, 3.0, -2.0, 1.0)
+    def jitter(eps: Double) = base.zipWithIndex.map { case (x, i) => x + (if (i == 0) eps else 0.0) }
+    val c = corpusOf(
+      100L -> base, 101L -> jitter(0.01), 102L -> jitter(-0.01),
+      1L -> Seq(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      2L -> Seq(0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0),
+      3L -> Seq(0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0))
+    def keeps(df: DataFrame): Seq[(Long, Long, Boolean)] = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("keep_id"), r.getAs[Boolean]("is_kept"))).toSeq
+    val exact = keeps(Similarity.semanticKeepOn(c, threshold = 0.95))
+    val cells = keeps(Similarity.semanticKeepCellsOn(c, threshold = 0.95, dims = 8))
+    assert(exact === cells)
+    assert(cells.filter(!_._3).map(_._1).toSet === Set(101L, 102L),
+      s"expected the planted dups to fold into 100: $cells")
+  }
+
+  test("cells rung keep-set is a superset of the exact keep-set on the real embeddings") {
+    // the one-directional error contract: approximate candidate edges
+    // are exact-cosine re-checked, so edges(cells) ⊆ edges(exact) —
+    // components only ever SPLIT, hence every exact keeper stays a
+    // keeper (its id is still the minimum of its refined component).
+    // A violation would mean the approximate rung dropped a canonical
+    // representative — the failure a curation pipeline cannot absorb.
+    val all = Similarity.corpus(spark, sf0001).cache()
+    def keepSet(df: DataFrame): Set[Long] =
+      df.filter(col("is_kept")).select("vec_id").collect().map(_.getLong(0)).toSet
+    val exactKeeps = keepSet(Similarity.semanticKeepOn(all, threshold = 0.95))
+    val cellKeeps = keepSet(Similarity.semanticKeepCellsOn(all, threshold = 0.95))
+    assert(exactKeeps.subsetOf(cellKeeps),
+      s"cells rung dropped exact keepers: ${(exactKeeps -- cellKeeps).take(5)}")
+    all.unpersist()
+  }
+
   test("MMR re-rank: first pick is pure relevance, second pick trades rel for diversity") {
     // q = id0. id1: best rel (~0.900); id2: same DIRECTION as id1
     // (scaled copy -> pairwise sim 1.0) with the same rel; id3: lower

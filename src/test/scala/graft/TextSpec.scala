@@ -247,6 +247,22 @@ class TextSpec extends AnyFunSuite {
       "fixture must exercise at least one exclusion path")
   }
 
+  test("production semantic manifest keeps every doc the exact-leg manifest keeps") {
+    // round-12 VERDICT item 1a keep-parity gate: the production
+    // manifest routes its semantic leg through the constant-occupancy
+    // cells rung, whose exact-cosine-checked candidate edges are a
+    // subset of the exact rung's — components only ever split, so the
+    // approximate keep-set (and hence the manifest, an intersection
+    // with legs shared verbatim) is a SUPERSET of the exact one.
+    val exactM = TextAnalysis.pipelineManifestSemantic(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val prodM = TextAnalysis.pipelineManifestSemanticLsh(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(exactM.nonEmpty, "empty exact manifest proves nothing")
+    assert(exactM.subsetOf(prodM),
+      s"production manifest dropped exact-kept docs: ${(exactM -- prodM).take(5)}")
+  }
+
   test("BM25: rare terms beat common, shorter docs beat longer at equal tf") {
     // query doc 0 carries one rare and one common term. df(rare)=3,
     // df(common)=8 over N=10; hand-scored: doc 9 (rare, dl=1) ≈ 1.457,

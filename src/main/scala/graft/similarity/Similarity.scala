@@ -1443,7 +1443,15 @@ object Similarity {
     * Near-identical vectors share a nearest centroid and agree on
     * nearly every sign bit, so planted dups fold exactly as the exact
     * rung folds them (SimilaritySpec parity test); `nTables`
-    * independent plane families hedge plane-boundary cases. Because
+    * independent plane families hedge plane-boundary cases — and a
+    * missed edge only SPLITS a component (the pipeline keeps an extra
+    * near-dup, never drops a keeper), so the constants trade recall
+    * in the safe direction and the audit rung prices exactly what
+    * they trade. The defaults were A/B-swept in round 12
+    * (tables 2/4, iters 1/2, occupancy 16/32): every leaner setting
+    * measured at-or-worse at sf0.1 — the wall-clock floor is the CC
+    * closure's ~2 s of per-round latency, not candidate volume, so
+    * thinning candidates buys nothing and costs recall. Because
     * candidate edges are exact-cosine re-checked, the edge set is a
     * SUBSET of the exact rung's, so components only ever split and
     * the keep-set is a SUPERSET of the exact keep-set — the

@@ -38,10 +38,17 @@ class ProbeRegistrySpec extends AnyFunSuite {
     * in practice (e.g. output-bound on a corpus artifact) and carry
     * its own ceiling. */
   private val exceptions: Map[String, (Double, String)] = Map(
-    "graph_pagerank_tol" -> (20.0,
-      "tolerance loop: the bipartite corpus contracts at exactly 0.85/round, " +
-        "so 10x data adds rounds (log-growth), not per-round cost; " +
-        "100x anchor measured 5.4x per decade — see BASELINE.md round 11"))
+    // Exact triangle/wedge counting is Θ(m^1.5) (AYZ bound; the wedge
+    // join's Σdeg² term) — the OPTIMAL exact plan is superlinear by
+    // the nature of the query, not by a plan defect, so its bound is
+    // the theoretical 10^1.5 ≈ 31.6 per decade. Measured 11.8/14.1 on
+    // the strided edge-axis corpus, well inside it; approximate
+    // (sampled/degree-capped) variants are the documented 100 TB
+    // path if the exact count ever leaves the budget.
+    "graph_triangles" -> (32.0,
+      "exact wedge enumeration is Θ(m^1.5) by contract (measured 11.8x @10x edges)"),
+    "graph_clustering" -> (32.0,
+      "clustering coefficient rides the same Θ(m^1.5) wedge join (measured 14.1x @10x edges)"))
 
   private def probeRows(): Map[String, (Double, Double, Double)] = {
     val f = new java.io.File("PROBES10X.tsv")
@@ -51,8 +58,10 @@ class ProbeRegistrySpec extends AnyFunSuite {
     scala.io.Source.fromFile(f).getLines()
       .filterNot(l => l.startsWith("#") || l.startsWith("name\t") || l.trim.isEmpty)
       .map { l =>
-        val Array(name, s1, s10, ratio) = l.split('\t')
-        name -> (s1.toDouble, s10.toDouble, ratio.toDouble)
+        // name, sec_1x, sec_10x, ratio, axis (axis=edge rows take
+        // their 10x leg from the strided-edge graph corpus)
+        val cols = l.split('\t')
+        cols(0) -> (cols(1).toDouble, cols(2).toDouble, cols(3).toDouble)
       }.toMap
   }
 

@@ -1112,10 +1112,15 @@ object TextAnalysis {
     * positional self-join, which would shuffle the corpus on (doc,
     * pos)); uni/bigram counts are two hash aggregations; the corpus
     * totals U and B broadcast as 1-row literals via crossJoin. Counts
-    * stay BIGINT; at web scale the products approach 2^63 before the
-    * doubles lose monotonicity, at which point rank on
-    * ln-of-doubles instead (ordering ties at 1-ulp are then real
-    * ties). */
+    * stay BIGINT; the lift PRODUCTS are computed in the double domain
+    * (each factor cast before multiplying): below 2^53 — every gate
+    * scale — IEEE doubles represent the integer products exactly, so
+    * the value is bit-identical to the oracle's integer-then-cast
+    * form, and beyond 2^53 the double product rounds instead of
+    * THROWING the way an ANSI BIGINT product does (the 100× corpus
+    * crossed 2^63 in round 12: U ≈ 6e8 made c12·U² ≈ 1e23). Ordering
+    * at 1-ulp past 2^53 falls back to the (w1, w2) tie-break, which
+    * both engines share. */
   def pmiBigrams(docs: DataFrame, minCount: Long = 5, k: Int = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("ws"))
@@ -1133,8 +1138,8 @@ object TextAnalysis {
       .join(uniCnt.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .crossJoin(totals)
       .withColumn("lift",
-        (col("c12") * col("u") * col("u")).cast("double") /
-          (col("btot") * col("c1") * col("c2")).cast("double"))
+        (col("c12").cast("double") * col("u").cast("double") * col("u").cast("double")) /
+          (col("btot").cast("double") * col("c1").cast("double") * col("c2").cast("double")))
       .withColumn("rk", row_number().over(
         Window.orderBy(col("lift").desc, col("w1"), col("w2"))))
       .filter(col("rk") <= k)

@@ -513,6 +513,25 @@ class PlanContractSpec extends AnyFunSuite {
       s"no equality join on cluster_id found in the cluster-rung plan:\n$p")
   }
 
+  test("cells rung: pair generation groups by cell keys — no cartesian, no vector shuffle before the verify join") {
+    // the round-12 production rung: candidate pairs come from a
+    // groupBy on (cluster_id, tbl, cell) over id+bucket rows — the
+    // only joins carrying 64-dim vectors are the two id-equality
+    // verify joins AFTER the distinct pair set is fixed. Nothing may
+    // plan a cartesian, and the per-cluster plane-depth table (k1
+    // rows) must broadcast rather than shuffle the bucket relation.
+    val p = graft.similarity.Similarity
+      .cellEdgesOn(graft.similarity.Similarity.corpus(spark, sf),
+        0.3, 32, 16, 4, 2, 64)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cells rung plans a cartesian:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"plane-depth table must broadcast into the bucket relation:\n$p")
+    assert("HashAggregate.*keys=\\[cluster_id".r.findFirstIn(p).nonEmpty ||
+      "(SortAggregate|ObjectHashAggregate).*keys=\\[cluster_id".r.findFirstIn(p).nonEmpty,
+      s"no per-cell grouping found in the cells-rung plan:\n$p")
+  }
+
   test("eval screening: the eval side broadcasts, the corpus is never exchanged into the join") {
     // emb_decontaminate / emb_hard_negatives: the benchmark-sized eval
     // relation must be the broadcast side; the training corpus scan

@@ -67,14 +67,28 @@ object StreamNearDup {
                state: GroupState[BandState]): Iterator[CandidatePair] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
+        // Members older than the horizon are pruned EVERY invocation,
+        // not only at whole-bucket timeout: a hot band key (template
+        // text under continuous duplicate churn) refreshes its timeout
+        // forever, so without in-bucket pruning its member list — and
+        // the pairs each new arrival emits — grows with stream length
+        // instead of the horizon (the round-12 soak measured exactly
+        // that: per-batch emissions climbing linearly). Watermark-gated
+        // prune keeps re-runs deterministic (the watermark is part of
+        // the checkpoint), and the Δts<ttl emission gate below makes
+        // the documented "further apart than the horizon ⇒ not
+        // emitted" contract hold even within one micro-batch.
+        val wm = state.getCurrentWatermarkMs()
         var members = state.getOption.map(_.docs).getOrElse(Nil)
+          .filter(_.tsMs + stateTtlMs > wm)
         // deterministic within-batch order so re-runs emit identical pairs
         val sorted = it.toArray.sortBy(a => (a.ts.getTime, a.docId))
         val out = Seq.newBuilder[CandidatePair]
         sorted.foreach { a =>
           if (!members.exists(_.docId == a.docId)) {
-            members.foreach(m => out += CandidatePair(
-              math.min(m.docId, a.docId), math.max(m.docId, a.docId), key._1))
+            members.foreach(m => if (math.abs(a.ts.getTime - m.tsMs) < stateTtlMs)
+              out += CandidatePair(
+                math.min(m.docId, a.docId), math.max(m.docId, a.docId), key._1))
             members = BandMember(a.docId, a.ts.getTime) :: members
           }
         }
@@ -129,15 +143,20 @@ object StreamNearDup {
                state: GroupState[SimBandState]): Iterator[SimPair] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
+        // same in-bucket horizon pruning + Δts emission gate as the
+        // MinHash twin (hot-band member accretion, round-12 soak)
+        val wm = state.getCurrentWatermarkMs()
         var members = state.getOption.map(_.docs).getOrElse(Nil)
+          .filter(_.tsMs + stateTtlMs > wm)
         val sorted = it.toArray.sortBy(a => (a.ts.getTime, a.docId))
         val out = Seq.newBuilder[SimPair]
         sorted.foreach { a =>
           if (!members.exists(_.docId == a.docId)) {
             members.foreach { m =>
               val h = java.lang.Long.bitCount(m.sig ^ a.sig)
-              if (h <= maxHamming) out += SimPair(
-                math.min(m.docId, a.docId), math.max(m.docId, a.docId), h, key._1)
+              if (h <= maxHamming && math.abs(a.ts.getTime - m.tsMs) < stateTtlMs)
+                out += SimPair(
+                  math.min(m.docId, a.docId), math.max(m.docId, a.docId), h, key._1)
             }
             members = SimMember(a.docId, a.sig, a.ts.getTime) :: members
           }

@@ -12,12 +12,22 @@ import org.apache.spark.sql.functions._
   * The 10× corpus derives from sf0.1 by replication with a per-replica
   * perturbation chosen to PRESERVE the dup/near-dup structure rather
   * than multiply it:
-  *  - documents: replica k appends a " repk" token and offsets doc_id
-  *    by k·N — shingles differ across replicas, so each replica keeps
-  *    the original's internal near-dup pattern without creating
-  *    cross-replica dups (identical replication would make every doc
-  *    a 10-way dup: pair count ~45×, a superlinear artifact of the
-  *    generator, not the engine).
+  *  - documents: replica k suffixes EVERY token with "·k" and offsets
+  *    doc_id by k·N — all shingles and simhash token hashes differ
+  *    across replicas, so each replica keeps the original's internal
+  *    near-dup pattern without creating cross-replica near-dups.
+  *    (Both identical replication AND a single appended token are
+  *    superlinear generator artifacts: one appended token leaves the
+  *    other shingles shared, so replicas band-collide as a
+  *    replicas-wide clique — measured 970× minhash pair growth on
+  *    10× data before the per-token suffix.) Shingle-equality
+  *    structure is preserved BIT-EXACTLY (minhash pairs 256 → 2559
+  *    at 10×); simhash structure only in DISTRIBUTION — its
+  *    Hamming-≤8 pair count is a fresh draw of the token-hash process
+  *    per replica and is steeply draw-sensitive on the synthetic
+  *    vocabulary (measured 20k–200k pairs across the 10 replicas vs
+  *    35k base), so simhash probe ratios carry output variance, not
+  *    plan superlinearity.
   *  - embeddings: replica k rotates the vector by k positions (norm-
   *    preserving; rotations of the synthetic vectors decorrelate), and
   *    offsets vec_id by k·N.
@@ -50,7 +60,19 @@ object ScaleProbe {
       docs.crossJoin(reps)
         .select(
           (col("doc_id") + col("rep") * nDocs).as("doc_id"),
-          concat(col("text"), lit(" rep"), col("rep")).as("text"),
+          // EVERY token carries the replica suffix, not just one
+          // appended token: an appended token leaves the other
+          // T-n shingles shared, so replicas of one base doc band-
+          // collide as a replicas-wide near-dup clique and pair
+          // output grows ~replicas^2 — measured 256 → 248,210
+          // minhash pairs (970× on 10× data) before this fix, the
+          // exact generator artifact the scaladoc promises to avoid.
+          // Suffixing every token decorrelates replicas completely
+          // (zero shared shingles, simhash signatures re-drawn) while
+          // preserving within-replica structure EXACTLY: two docs in
+          // the same replica share a shingle iff their base docs did.
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit("·"), col("rep"))), " ").as("text"),
           col("lang"), col("source"), col("n_chars"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$bigDir/documents.parquet")

@@ -716,7 +716,15 @@ object SparkEntry {
       // hash oracle (that is its JOB); the timed production rows are
       // txt_manifest_semantic_lsh and emb_semdedup_keep_auto.
       "emb_semdedup_keep", "txt_manifest_semantic")
-  val buildQueries: Set[String] = Set("emb_ivfpq_topk")
+  val buildQueries: Set[String] = Set("emb_ivfpq_topk",
+    // trains + assigns the coarse quantizer per run: the corpus→
+    // centroid assignment is n×nlist = Θ(n^1.5) under the auto rule
+    // nlist=4√n — index CONSTRUCTION by nature (measured 23.9× per
+    // decade at the round-12 100× anchor, vs 3.3× for the whole
+    // production suite). The timed IVF semantics gate is
+    // emb_ivf_det_topk; the scale answer is the persisted serving
+    // pair (emb_ann_served / IVFADC), same taxonomy as emb_ivfpq_topk.
+    "emb_ivf_topk")
   def queryTag(name: String): String =
     if (auditQueries(name)) "audit"
     else if (buildQueries(name)) "build"

@@ -974,10 +974,38 @@ object Relational {
   def skyline2d(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables(spark, dir, "part")
     val pts = part.select(col("p_retailprice").as("price"), col("p_size").as("size")).distinct()
-    val w = Window.orderBy(col("price").asc, col("size").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val frontier = pts
-      .withColumn("cm", max("size").over(w))
+    // running max over the scan order — below the globalRankMinRows
+    // budget the plain unpartitioned window (a single sorter is the
+    // measured winner on small relations); above it, WITHOUT one: the
+    // distinct value pairs grow with the data, so range-partition on
+    // the scan order, running max within each range partition, and
+    // the max of all PRECEDING partitions broadcast back as a prefix
+    // — cm(row) = greatest(local running max, preceding-partition
+    // prefix), null iff the row is globally first (greatest ignores
+    // nulls, matching max-over-empty-window)
+    val ptsC = pts.localCheckpoint()
+    val frontier = (if (ptsC.count() < globalRankMinRows(spark)) {
+      val w = Window.orderBy(col("price").asc, col("size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ptsC.withColumn("cm", max("size").over(w))
+    } else {
+      val parts = math.max(1,
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      val ranged = ptsC.repartitionByRange(parts, col("price").asc, col("size").desc)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint()
+      val wLocal = Window.partitionBy("__pid")
+        .orderBy(col("price").asc, col("size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = ranged.groupBy("__pid").agg(max("size").as("__pm"))
+        .withColumn("__prevm", max("__pm").over(
+          Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)))
+        .select("__pid", "__prevm")
+      ranged
+        .withColumn("__lcm", max("size").over(wLocal))
+        .join(broadcast(prefix), Seq("__pid"))
+        .withColumn("cm", greatest(col("__lcm"), col("__prevm")))
+    })
       .filter(col("cm").isNull || col("size") > col("cm"))
       .select("price", "size")
     part.join(frontier,
@@ -987,14 +1015,103 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Distributed global row_number — the two-level-rank recipe that
+    * replaces an unpartitioned window (Spark plans those as `Exchange
+    * SinglePartition` + one task sorting the WHOLE relation — the
+    * round-12 100× anchor measured w_ntile_quartiles at 12.4× per
+    * decade on exactly that shape, and at 100 TB the single sorter is
+    * a straight OOM):
+    *
+    *  1. `repartitionByRange` on the sort keys — the parallel sort,
+    *     every partition a contiguous key range;
+    *  2. `row_number` WITHIN each range partition
+    *     (`spark_partition_id` is the partition label — stable here
+    *     because the relation is localCheckpointed first, so both
+    *     consumers read the same materialized partitioning);
+    *  3. per-partition counts (one row per partition — bounded by the
+    *     shuffle width, so ITS prefix-sum window may run single-task)
+    *     broadcast back as cumulative offsets: global rn = offset +
+    *     local rn.
+    *
+    * Requires `sortKeys` to be a TOTAL order (callers here always
+    * tie-break on a key column); cost is the same one range shuffle a
+    * global sort pays plus a hash exchange on the partition label,
+    * and no task ever holds more than its range slice. */
+  /** Crossover for the two-level rank, measured round 12 (same-shape
+    * A/B at 100×): on the 15M-row orders fact table the distributed
+    * recipe wins 6.0× (30.9 → 5.2 s), but on ~1.5M-row reduced
+    * relations the chained checkpoint + two extra exchanges LOSE 3–4×
+    * to the single-task window (rfm_segments 1.16 → 4.34 s,
+    * skew_report 2.54 → 7.25 s) — a single sorter is simply fast
+    * until the relation outgrows one task. Below the budget callers
+    * keep the plain unpartitioned window; above it they pay the
+    * distributed machinery that a 100 TB relation requires. Same
+    * data-driven-gate pattern as `Graph.stateSide`. */
+  private[graft] def globalRankMinRows(spark: SparkSession): Long =
+    spark.conf.getOption("graft.window.globalRankMinRows")
+      .map(_.toLong).getOrElse(8000000L)
+
+  private[graft] def globalRowNumber(df: DataFrame, sortKeys: Seq[Column],
+                                     out: String): DataFrame = {
+    val parts = math.max(1,
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val ranged = df.repartitionByRange(parts, sortKeys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val local = ranged.withColumn("__lrn",
+      row_number().over(Window.partitionBy("__pid").orderBy(sortKeys: _*)))
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(sum("__c").over(
+        Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn(out, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  /** Exact NTILE from a global row number: n rows into `b` buckets,
+    * the first n mod b buckets one row larger — the positional split
+    * every engine implements, so the result is bit-identical to the
+    * window function. The CASE guards the small-n regime (n < b ⇒
+    * every row its own bucket ⇒ the zero-size ELSE branch is never
+    * evaluated). */
+  private def ntileFromRn(rn: Column, n: Column, b: Int): Column =
+    when((rn - 1) < (n % b) * ((n.cast("long") / b).cast("long") + 1),
+      ((rn - 1) / ((n.cast("long") / b).cast("long") + 1)).cast("long") + 1)
+      .otherwise((n % b) +
+        (((rn - 1) - (n % b) * ((n.cast("long") / b).cast("long") + 1)) /
+          (n.cast("long") / b).cast("long")).cast("long") + 1)
+
+  /** Exact global NTILE column — bit-identical to
+    * `ntile(b).over(Window.orderBy(sortKeys))` when `sortKeys` is a
+    * total order. Below [[globalRankMinRows]] (pass `nRows`, usually
+    * already known to the caller) it IS that window — the measured
+    * winner on small relations; above it the bucket comes from
+    * [[globalRowNumber]] + [[ntileFromRn]] with no single-task
+    * sort. */
+  private[graft] def withGlobalNtile(df: DataFrame, sortKeys: Seq[Column],
+                                     b: Int, out: String, nRows: Long): DataFrame =
+    if (nRows < globalRankMinRows(df.sparkSession))
+      df.withColumn(out, ntile(b).over(Window.orderBy(sortKeys: _*)))
+    else
+      globalRowNumber(df, sortKeys, "__gnrn")
+        .withColumn(out, ntileFromRn(col("__gnrn"), lit(nRows), b).cast("int"))
+        .drop("__gnrn")
+
   /** Equi-depth histogram via ntile: quartiles of order totals with
     * per-bucket census. The tie-break on o_orderkey makes the bucket
     * assignment deterministic and engine-portable (ntile splits purely
-    * by row position, so the ORDER BY must be a total order). One
-    * window sort + one hash agg. */
-  def ntileQuartiles(spark: SparkSession, dir: String, buckets: Int = 4): DataFrame =
-    Tables(spark, dir, "orders")
-      .withColumn("q", ntile(buckets).over(Window.orderBy(col("o_totalprice"), col("o_orderkey"))))
+    * by row position, so the ORDER BY must be a total order).
+    *
+    * Scale: bucket assignment comes from [[globalRowNumber]] (range
+    * shuffle + broadcast offsets) and the exact positional formula —
+    * NOT from `ntile().over(Window.orderBy(...))`, whose plan funnels
+    * the whole fact table through one task. Same result bit-for-bit
+    * (the oracle still says NTILE), parallel at any scale. */
+  def ntileQuartiles(spark: SparkSession, dir: String, buckets: Int = 4): DataFrame = {
+    val orders = Tables(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+    withGlobalNtile(orders, Seq(col("o_totalprice"), col("o_orderkey")), buckets, "q",
+        orders.count())
       .groupBy("q")
       .agg(
         count(lit(1)).as("n"),
@@ -1002,6 +1119,7 @@ object Relational {
         round(max("o_totalprice"), 2).as("hi"),
         round(sum("o_totalprice"), 2).as("total"))
       .orderBy("q")
+  }
 
   /** RFM segmentation — the classic customer-value quintile model
     * (recency / frequency / monetary): per customer, last order date,
@@ -1009,13 +1127,12 @@ object Relational {
     * the 3-digit segment code (555 = best on all axes).
     *
     * Scale: the ranked relation is the per-customer AGGREGATE (one
-    * row per customer), not the order fact table — the three global
-    * ntile sorts run on the already-reduced relation (same documented
-    * trade as `ntileQuartiles`; a quantile-boundary join would remove
-    * the global sort if customers outgrow a single sort at some
-    * extreme scale). Tie-breaks on the customer key make every bucket
-    * assignment a total order, hence deterministic and
-    * engine-portable. */
+    * row per customer), not the order fact table — but customers
+    * still grow with the data, so each of the three quintile scores
+    * rides [[withGlobalNtile]] (range shuffle + broadcast offsets),
+    * never an unpartitioned ntile window. Tie-breaks on the customer
+    * key make every bucket assignment a total order, hence
+    * deterministic and engine-portable. */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables(spark, dir, "orders")
       .groupBy(col("o_custkey").as("customer"))
@@ -1023,13 +1140,17 @@ object Relational {
         max(col("o_orderdate")).as("last_order"),
         count(lit(1)).as("n_orders"),
         round(sum(col("o_totalprice")), 2).as("total_spend"))
-    val r = ntile(5).over(Window.orderBy(col("last_order"), col("customer")))
-    val f = ntile(5).over(Window.orderBy(col("n_orders"), col("customer")))
-    val m = ntile(5).over(Window.orderBy(col("total_spend"), col("customer")))
-    base
-      .withColumn("r_q", r).withColumn("f_q", f).withColumn("m_q", m)
+      .localCheckpoint() // three rank passes + the count read ONE materialization
+    val n = base.count()
+    val scored = withGlobalNtile(withGlobalNtile(withGlobalNtile(base,
+      Seq(col("last_order"), col("customer")), 5, "r_q", n),
+      Seq(col("n_orders"), col("customer")), 5, "f_q", n),
+      Seq(col("total_spend"), col("customer")), 5, "m_q", n)
+    scored
       .withColumn("segment",
         col("r_q") * lit(100) + col("f_q") * lit(10) + col("m_q"))
+      .select("customer", "last_order", "n_orders", "total_spend",
+        "r_q", "f_q", "m_q", "segment")
       .orderBy("customer")
   }
 
@@ -1066,17 +1187,31 @@ object Relational {
     def audit(table: String, column: String): DataFrame = {
       val counts = Tables(spark, dir, table)
         .groupBy(col(column).as("k")).agg(count(lit(1)).as("c"))
-      val asc = Window.orderBy(col("c"), col("k"))
-      val desc = Window.orderBy(col("c").desc, col("k"))
-      counts
-        .withColumn("r_asc", row_number().over(asc).cast("long"))
-        .withColumn("r_desc", row_number().over(desc).cast("long"))
+      // the Gini needs EVERY key's ascending rank (rank·count mass) —
+      // the distinct-key relation grows with the data, so past the
+      // globalRankMinRows budget the rank comes from the distributed
+      // two-level recipe, not an unpartitioned window funneling a
+      // billion partkeys through one task; the hottest-1/10 shares
+      // need only a TakeOrdered top-10 (its rank window runs on 10
+      // rows) in either regime
+      val cnts = counts.localCheckpoint()
+      val ranked =
+        if (cnts.count() < globalRankMinRows(spark))
+          cnts.withColumn("r_asc",
+            row_number().over(Window.orderBy(col("c"), col("k"))))
+        else globalRowNumber(cnts, Seq(col("c"), col("k")), "r_asc")
+      val top = cnts.orderBy(col("c").desc, col("k")).limit(10)
+        .withColumn("r_desc", row_number().over(
+          Window.orderBy(col("c").desc, col("k"))))
+        .agg(
+          sum(when(col("r_desc") === 1, col("c")).otherwise(0L)).as("c_top1"),
+          sum("c").as("c_top10"))
+      ranked
         .agg(
           count(lit(1)).as("n_keys"),
           sum("c").as("n_rows"),
-          sum(when(col("r_desc") === 1L, col("c")).otherwise(0L)).as("c_top1"),
-          sum(when(col("r_desc") <= 10L, col("c")).otherwise(0L)).as("c_top10"),
-          sum(col("r_asc") * col("c")).as("rank_mass"))
+          sum(col("r_asc").cast("long") * col("c")).as("rank_mass"))
+        .crossJoin(broadcast(top))
         .select(
           lit(s"$table.$column").as("key_column"),
           col("n_keys"), col("n_rows"),

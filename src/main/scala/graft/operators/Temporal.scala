@@ -251,10 +251,14 @@ object Temporal {
         expr("unix_micros(ts)").as("us"), col("event_id"), col("event_type")))).as("evs"))
       .select(array_join(
         slice(expr("transform(evs, e -> e.event_type)"), 1, k), "->").as("path"))
+    // top-k before ranking (TakeOrderedAndProject) — ranking first
+    // would single-partition every distinct path; the window then
+    // runs on `top` rows only
     val rk = Window.orderBy(col("n_sessions").desc, col("path"))
     paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(top)
       .withColumn("rk", row_number().over(rk))
-      .filter(col("rk") <= top)
       .select("rk", "path", "n_sessions")
       .orderBy("rk")
   }

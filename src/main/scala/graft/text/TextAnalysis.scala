@@ -1140,9 +1140,14 @@ object TextAnalysis {
       .withColumn("lift",
         (col("c12").cast("double") * col("u").cast("double") * col("u").cast("double")) /
           (col("btot").cast("double") * col("c1").cast("double") * col("c2").cast("double")))
+      // top-k FIRST (TakeOrderedAndProject — distributed heap select,
+      // no global sort), then rank the k survivors: the previous
+      // row_number-then-filter shape funneled EVERY qualifying bigram
+      // through one single-partition window task
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
       .withColumn("rk", row_number().over(
         Window.orderBy(col("lift").desc, col("w1"), col("w2"))))
-      .filter(col("rk") <= k)
       .select(col("rk"), col("w1"), col("w2"), col("c12"),
         round(col("lift"), 4).as("lift"))
       .orderBy("rk")

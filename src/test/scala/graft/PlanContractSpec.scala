@@ -575,4 +575,31 @@ class PlanContractSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
       s"scalar totals must broadcast:\n$p")
   }
+
+  test("global ntile rides the two-level rank: range shuffle on the fact table, no unpartitioned ntile window") {
+    // round-12: ntile().over(Window.orderBy(..)) plans Exchange
+    // SinglePartition over the WHOLE fact table (measured 30.9 s vs
+    // 5.2 s at 100x). The scalable shape: repartitionByRange carries
+    // the parallel sort; the only windows are per-range-partition
+    // (partitionBy __pid) plus the bounded per-partition-count prefix
+    // sum; bucket assignment is arithmetic on the global row number.
+    val p = plan("w_ntile_quartiles")
+    assert(p.contains("REPARTITION_BY_RANGE") || p.contains("rangepartitioning".toLowerCase) ||
+      p.toLowerCase.contains("rangepartitioning"),
+      s"fact table must range-partition for the parallel sort:\n$p")
+    assert(!p.contains("ntile("),
+      s"positional bucketing must be arithmetic, not an ntile window:\n$p")
+  }
+
+  test("top-k ranks plan as TakeOrdered, not a single-partition rank over every candidate") {
+    // pmi bigrams / session paths: rank-then-filter funneled every
+    // qualifying bigram / distinct path through one window task;
+    // orderBy().limit(k) plans TakeOrderedAndProject (distributed
+    // heap-select), and the rank window then runs on k rows only.
+    for (q <- Seq("txt_pmi_bigrams", "session_paths")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q must select its top-k via TakeOrderedAndProject:\n$p")
+    }
+  }
 }

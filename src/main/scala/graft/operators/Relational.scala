@@ -983,15 +983,19 @@ object Relational {
     // — cm(row) = greatest(local running max, preceding-partition
     // prefix), null iff the row is globally first (greatest ignores
     // nulls, matching max-over-empty-window)
-    val ptsC = pts.localCheckpoint()
-    val frontier = (if (ptsC.count() < globalRankMinRows(spark)) {
+    // branch on the BASE table's row count (a parquet metadata-only
+    // count, and an upper bound on the distinct value pairs) so the
+    // small path stays fully lazy — no checkpoint/materialization for
+    // the regime where the plain window wins anyway; only the
+    // distributed branch pays the checkpoint its stable __pid needs
+    val frontier = (if (part.count() < globalRankMinRows(spark)) {
       val w = Window.orderBy(col("price").asc, col("size").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
-      ptsC.withColumn("cm", max("size").over(w))
+      pts.withColumn("cm", max("size").over(w))
     } else {
       val parts = math.max(1,
         spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-      val ranged = ptsC.repartitionByRange(parts, col("price").asc, col("size").desc)
+      val ranged = pts.repartitionByRange(parts, col("price").asc, col("size").desc)
         .withColumn("__pid", spark_partition_id())
         .localCheckpoint()
       val wLocal = Window.partitionBy("__pid")
@@ -1069,18 +1073,27 @@ object Relational {
       .drop("__pid", "__lrn", "__off")
   }
 
+  /** Floor division exact over the full long range. Spark's Column `/`
+    * is always double division; truncating it matches floor division
+    * only while operands stay below 2^52 — at extreme row counts the
+    * lost mantissa bits could shift a bucket boundary by one. Decimal
+    * division + floor is exact for any 64-bit operands (both sides are
+    * non-negative here, so floor == truncation == integral div). */
+  private def ldiv(a: Column, b: Column): Column =
+    floor(a.cast("decimal(20,0)") / b.cast("decimal(20,0)")).cast("long")
+
   /** Exact NTILE from a global row number: n rows into `b` buckets,
     * the first n mod b buckets one row larger — the positional split
     * every engine implements, so the result is bit-identical to the
     * window function. The CASE guards the small-n regime (n < b ⇒
     * every row its own bucket ⇒ the zero-size ELSE branch is never
     * evaluated). */
-  private def ntileFromRn(rn: Column, n: Column, b: Int): Column =
-    when((rn - 1) < (n % b) * ((n.cast("long") / b).cast("long") + 1),
-      ((rn - 1) / ((n.cast("long") / b).cast("long") + 1)).cast("long") + 1)
-      .otherwise((n % b) +
-        (((rn - 1) - (n % b) * ((n.cast("long") / b).cast("long") + 1)) /
-          (n.cast("long") / b).cast("long")).cast("long") + 1)
+  private def ntileFromRn(rn: Column, n: Column, b: Int): Column = {
+    val q = ldiv(n.cast("long"), lit(b.toLong)) // base bucket size
+    val r = n % b                               // buckets one row larger
+    when((rn - 1) < r * (q + 1), ldiv(rn - 1, q + 1) + 1)
+      .otherwise(r + ldiv((rn - 1) - r * (q + 1), q) + 1)
+  }
 
   /** Exact global NTILE column — bit-identical to
     * `ntile(b).over(Window.orderBy(sortKeys))` when `sortKeys` is a

@@ -81,15 +81,19 @@ final class FileRateLimitStore(path: Path) extends RateLimitStore {
           // <count>`): migrate rather than discard — dropping them
           // would zero every live counter on the first post-upgrade
           // increment and briefly admit a burst overrun. A migrated
-          // row expires one ttl from NOW (the most conservative
-          // reading: its true remaining life is unknowable, and the
-          // old format pruned on a store-global clock anyway).
+          // row's true remaining life is unknowable, and the CALLING
+          // resource's ttl says nothing about OTHER resources' rows in
+          // a shared store (a short-period caller would stamp every
+          // long-period counter with a too-short expiry and re-admit
+          // the very burst migration prevents) — so migrated rows get
+          // a fixed conservative ceiling: they stay live a little
+          // longer (never over-admitting), then age out normally.
           val live = new String(buf.array(), UTF_8).linesIterator
             .map(_.split(' ')).collect {
               case Array(k, w, n, exp) if exp.toLong > nowMs =>
                 (k, w.toLong) -> (n.toInt, exp.toLong)
               case Array(k, w, n) =>
-                (k, w.toLong) -> (n.toInt, nowMs + ttlMs)
+                (k, w.toLong) -> (n.toInt, nowMs + FileRateLimitStore.MigrationTtlMs)
             }.toMap
           val (prev, exp) = live.getOrElse((key, window), (0, nowMs + ttlMs))
           val n = prev + 1
@@ -105,6 +109,12 @@ final class FileRateLimitStore(path: Path) extends RateLimitStore {
 }
 
 object FileRateLimitStore {
+  /** Expiry stamped on pre-TTL-format rows found during migration: the
+    * maximum ttl any supported resource period could imply (ttl = 2 ×
+    * period; the longest facade period is 1 h ⇒ 2 h), NOT the calling
+    * resource's ttl. Over-retention is bounded (migration is one-shot
+    * per legacy row) and errs on the never-over-admit side. */
+  private[serving] val MigrationTtlMs: Long = 2L * 60 * 60 * 1000
   private val jvmLock = new Object
   def apply(path: String): FileRateLimitStore = {
     val p = java.nio.file.Paths.get(path)

@@ -583,12 +583,26 @@ class PlanContractSpec extends AnyFunSuite {
     // the parallel sort; the only windows are per-range-partition
     // (partitionBy __pid) plus the bounded per-partition-count prefix
     // sum; bucket assignment is arithmetic on the global row number.
-    val p = plan("w_ntile_quartiles")
-    assert(p.contains("REPARTITION_BY_RANGE") || p.contains("rangepartitioning".toLowerCase) ||
-      p.toLowerCase.contains("rangepartitioning"),
-      s"fact table must range-partition for the parallel sort:\n$p")
-    assert(!p.contains("ntile("),
-      s"positional bucketing must be arithmetic, not an ntile window:\n$p")
+    // The branch is data-driven (Relational.globalRankMinRows, default
+    // 8M rows — below it the single-task window measurably wins 3–4×),
+    // so the contract pins the gate to exercise the distributed shape
+    // even on the sf0.001 fixture, then asserts the mirror: below the
+    // gate the plain window is chosen.
+    val gate = "graft.window.globalRankMinRows"
+    spark.conf.set(gate, "0")
+    try {
+      val p = plan("w_ntile_quartiles")
+      assert(p.toLowerCase.contains("rangepartitioning"),
+        s"fact table must range-partition for the parallel sort:\n$p")
+      assert(!p.contains("ntile("),
+        s"positional bucketing must be arithmetic, not an ntile window:\n$p")
+    } finally spark.conf.unset(gate)
+    // mirror: the sf0.001 fixture sits far below the default gate, so
+    // the plain single-task ntile window (the measured small-n winner)
+    // must plan — no two-level machinery on relations one task handles
+    val small = plan("w_ntile_quartiles")
+    assert(small.contains("ntile("),
+      s"below the gate the plain ntile window must be chosen:\n$small")
   }
 
   test("top-k ranks plan as TakeOrdered, not a single-partition rank over every candidate") {

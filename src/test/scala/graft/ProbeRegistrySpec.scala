@@ -77,7 +77,7 @@ class ProbeRegistrySpec extends AnyFunSuite {
       if (s10 >= AbsoluteFloorSec) {
         val (bound, why) = exceptions.getOrElse(q, (LinearBound, ""))
         assert(ratio <= bound,
-          s"$q grew ${ratio}x at 10x data (bound $bound$why) — superlinear legs must be " +
+          s"$q grew ${ratio}x at 10x data (bound $bound${if (why.nonEmpty) s"; $why" else ""}) — superlinear legs must be " +
             "audit-tagged or fixed before shipping production-tagged")
       }
     }

@@ -63,6 +63,19 @@ class RelationalSpec extends AnyFunSuite {
     assert(violations === 0)
   }
 
+  test("global ntile: distributed two-level rank is bit-identical to the plain window") {
+    // the ntileFromRn arithmetic branch (gate=0) must reproduce
+    // ntile().over(Window.orderBy(..)) exactly — same bucket census,
+    // bounds, and totals on the real orders table
+    val gate = "graft.window.globalRankMinRows"
+    val plain = Relational.ntileQuartiles(spark, sf0001).collect().toSeq
+    spark.conf.set(gate, "0")
+    val dist =
+      try Relational.ntileQuartiles(spark, sf0001).collect().toSeq
+      finally spark.conf.unset(gate)
+    assert(dist === plain)
+  }
+
   test("percentiles are ordered p40 <= median <= p80") {
     Relational.quantityPercentiles(spark, sf0001).collect().foreach { r =>
       val (p40, p80, med) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))

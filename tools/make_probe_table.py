@@ -29,7 +29,6 @@ def queries(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if a != "--overlay"]
     overlays = []
     rest = sys.argv[1:]
     while "--overlay" in rest:

@@ -566,7 +566,10 @@ object SparkEntry {
   )
 
   /** MinHash band-join pair oracle, shared by dedup_minhash_pairs and
-    * (as a CTE) dedup_clusters' transitive closure. */
+    * (as a CTE) dedup_clusters' transitive closure. Mirrors the
+    * round-13 signature-identical collapse: band-join over one
+    * representative per DISTINCT full signature, plus the O(d) keeper
+    * star (all 4 bands shared by identity) for each signature group. */
   private val minhashPairsOracleSql: String =
     ("""WITH sh AS (
       |  SELECT DISTINCT doc_id,
@@ -576,16 +579,29 @@ object SparkEntry {
       |sigs AS (
       |  SELECT doc_id, """.stripMargin
       + (0 until 16).map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(", ")
-      + "\n  FROM sh GROUP BY doc_id),\nbands AS (\n"
+      + "\n  FROM sh GROUP BY doc_id),\nkeyed AS (\n  SELECT *, md5("
+      + (0 until 16).map(i => s"mh$i").mkString(" || ")
+      + """) AS sig FROM sigs),
+      |k AS (SELECT sig, min(doc_id) AS keeper FROM keyed GROUP BY sig),
+      |reps AS (
+      |  SELECT keyed.* FROM keyed JOIN k ON keyed.sig = k.sig AND keyed.doc_id = k.keeper),
+      |bands AS (
+      |""".stripMargin
       + (0 until 4).map(b =>
-          s"  SELECT doc_id, $b AS band_idx, md5(mh${b * 4} || mh${b * 4 + 1} || mh${b * 4 + 2} || mh${b * 4 + 3}) AS band_key FROM sigs")
+          s"  SELECT doc_id, $b AS band_idx, md5(mh${b * 4} || mh${b * 4 + 1} || mh${b * 4 + 2} || mh${b * 4 + 3}) AS band_key FROM reps")
         .mkString("\n  UNION ALL\n")
       + """
-      |)
-      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
-      |FROM bands a JOIN bands b
-      |  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-      |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin)
+      |),
+      |star AS (
+      |  SELECT k.keeper AS doc_a, keyed.doc_id AS doc_b, CAST(4 AS BIGINT) AS n_shared_bands
+      |  FROM keyed JOIN k ON keyed.sig = k.sig WHERE keyed.doc_id <> k.keeper)
+      |SELECT doc_a, doc_b, n_shared_bands FROM (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+      |  FROM bands a JOIN bands b
+      |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |  UNION ALL SELECT * FROM star) u
+      |ORDER BY doc_a, doc_b""".stripMargin)
 
   /** Unrolled k-round BPE oracle: per round, MATERIALIZED CTEs (each
     * is referenced twice downstream — without materialization DuckDB
@@ -2913,19 +2929,27 @@ object SparkEntry {
         + "\n  FROM h GROUP BY doc_id),\nsigs AS (SELECT doc_id, ("
         + (0 until 60).map(b => s"CASE WHEN b$b > 0 THEN CAST(1 AS BIGINT) << $b ELSE 0 END").mkString(" | ")
         + """) AS simhash FROM bits),
+        |k AS (SELECT simhash, min(doc_id) AS keeper FROM sigs GROUP BY simhash),
+        |reps AS (
+        |  SELECT sigs.* FROM sigs JOIN k ON sigs.simhash = k.simhash AND sigs.doc_id = k.keeper),
         |banded AS (
         |""".stripMargin
         + (0 until 4).map(b =>
-            s"  SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${b * 15}) & 32767 AS band_key FROM sigs")
+            s"  SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${b * 15}) & 32767 AS band_key FROM reps")
           .mkString("\n  UNION ALL\n")
         + """
         |),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sig_a, b.simhash AS sig_b
         |  FROM banded a JOIN banded b
-        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-        |SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
-        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+        |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |star AS (
+        |  SELECT k.keeper AS doc_a, sigs.doc_id AS doc_b, CAST(0 AS INTEGER) AS hamming
+        |  FROM sigs JOIN k ON sigs.simhash = k.simhash WHERE sigs.doc_id <> k.keeper)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+        |  FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 8
+        |  UNION ALL SELECT * FROM star) u
         |ORDER BY doc_a, doc_b""".stripMargin),
     "dedup_minhash_pairs" -> minhashPairsOracleSql,
     // transitive closure of the SAME pair relation via recursive CTE;

@@ -791,10 +791,40 @@ object Similarity {
       .agg(count(lit(1)).as("n"), round(avg("norm"), 4).as("avg_l2_norm"))
       .orderBy("label")
 
+  /** Exact-vector duplicate collapse — the embedding twin of the text
+    * side's signature collapse (round-13 duplicate-degeneracy fix,
+    * VERDICT r12 #2): bucket and cell assignment are pure functions of
+    * the vector, so hyperplane depth can NEVER split a template
+    * duplicated d times — identical vectors land in the same bucket of
+    * every table at every resolution and the within-bucket pair
+    * explode goes Θ(d²) in duplicate multiplicity. Collapse to the
+    * min-id representative per distinct vector BEFORE bucketing and
+    * emit the O(d) keeper star instead (cosine(v, v) = 1 by
+    * definition, above any threshold). A member collides with an
+    * outside vector iff its representative does, so the edge set is
+    * transitive-closure equivalent and keep decisions are unchanged.
+    * The collapse key is md5 over the cast-to-string vector
+    * (Double.toString round-trips, so distinct vectors never share a
+    * key). Returns (representatives — checkpointed, they feed the
+    * bucket explode and both exact-cosine join sides — and star pairs
+    * (vec_a = keeper, vec_b = member)). */
+  private def collapseExactVectors(all: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = all.withColumn("__vfp", md5(col("vec").cast("string")))
+    val keepers = keyed.groupBy("__vfp").agg(min("vec_id").as("__keeper"))
+    val joined = keyed.join(keepers, Seq("__vfp"))
+    val reps = joined.filter(col("vec_id") === col("__keeper"))
+      .drop("__vfp", "__keeper").localCheckpoint()
+    val stars = joined.filter(col("vec_id") =!= col("__keeper"))
+      .select(col("__keeper").as("vec_a"), col("vec_id").as("vec_b"))
+    (reps, stars)
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold: LSH
     * candidate generation (id pairs only) + exact cosine re-check — the
     * embedding leg of the dedup suite (see graft.dedup.Dedup for the
-    * text legs). */
+    * text legs). Runs over one representative per DISTINCT vector
+    * ([[collapseExactVectors]]); duplicate groups surface as keeper
+    * stars at cosine 1.0 in O(d), never the Θ(d²) clique. */
   def cosineNearDupPairsOn(all: DataFrame, threshold: Double = 0.95,
                            nPlanes: Int = 0, nTables: Int = 8, dims: Int = 64): DataFrame = {
     // Bucket ONCE, then emit i<j pairs within each bucket from a sorted
@@ -812,25 +842,30 @@ object Similarity {
     // so recall stays high as planes grow; nTables hedges the rest.
     // The count() is a column-pruned metadata-cheap scan, the standard
     // "know your corpus" step before choosing an LSH resolution.
+    val (reps, stars) = collapseExactVectors(all)
     val planes = if (nPlanes > 0) nPlanes else {
-      val n = all.count()
+      // occupancy is a property of DISTINCT vectors (duplicates are
+      // already star-collapsed); reps is checkpointed, so this count
+      // is free of the collapse pipeline
+      val n = reps.count()
       math.max(4, math.ceil(math.log(math.max(n, 1L) / 32.0) / math.log(2.0)).toInt)
     }
-    val pairIds = bucketIds(all, "vec_id", planes, nTables, dims)
+    val pairIds = bucketIds(reps, "vec_id", planes, nTables, dims)
       .groupBy("tbl", "bucket")
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .select(explode(expr(
         "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS vec_a, b AS vec_b))))"))
         .as("p"))
       .select(col("p.vec_a"), col("p.vec_b")).distinct()
-    val va = all.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("norm").as("na"))
-    val vb = all.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
+    val va = reps.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("norm").as("na"))
+    val vb = reps.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
     pairIds
       .join(va, Seq("vec_a"))
       .join(vb, Seq("vec_b"))
       .withColumn("cos", ndot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
+      .unionByName(stars.withColumn("cos_sim", lit(1.0)))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -852,7 +887,9 @@ object Similarity {
       }.mkString("\n    + ")
       s"  SELECT vec_id, $t AS tbl,\n    $bits AS bucket FROM n"
     }.mkString("\n  UNION ALL\n")
-    s"""WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""WITH c0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |k AS (SELECT v, min(vec_id) AS keeper FROM c0 GROUP BY v),
+       |c AS (SELECT c0.vec_id, c0.v FROM c0 JOIN k ON c0.v = k.v AND c0.vec_id = k.keeper),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nm FROM c),
        |b AS MATERIALIZED (
        |$tableSelects),
@@ -864,9 +901,14 @@ object Similarity {
        |  SELECT cand.vec_a, cand.vec_b,
        |    list_dot_product(av.v, bv.v) / (av.nm * bv.nm) AS cos
        |  FROM cand JOIN n av ON av.vec_id = cand.vec_a
-       |  JOIN n bv ON bv.vec_id = cand.vec_b)
-       |SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
-       |FROM scored WHERE cos >= CAST($threshold AS DOUBLE)
+       |  JOIN n bv ON bv.vec_id = cand.vec_b),
+       |star AS (
+       |  SELECT k.keeper AS vec_a, c0.vec_id AS vec_b, CAST(1.0 AS DOUBLE) AS cos_sim
+       |  FROM c0 JOIN k ON c0.v = k.v WHERE c0.vec_id <> k.keeper)
+       |SELECT vec_a, vec_b, cos_sim FROM (
+       |  SELECT vec_a, vec_b, round(cos, 4) AS cos_sim
+       |  FROM scored WHERE cos >= CAST($threshold AS DOUBLE)
+       |  UNION ALL SELECT * FROM star) u
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
@@ -1507,12 +1549,18 @@ object Similarity {
                                  nTables: Int, iters: Int,
                                  dims: Int): DataFrame = {
     VectorExpressions.register(all.sparkSession)
-    val n = all.count()
+    // exact-vector collapse first: depth bits can split any two
+    // DISTINCT vectors but never identical ones, so the constant-
+    // occupancy contract below only holds over representatives;
+    // duplicate groups rejoin as O(d) keeper stars (cos = 1 ≥ any
+    // threshold ≤ 1 by definition)
+    val (reps, stars) = collapseExactVectors(all)
+    val n = reps.count()
     // coarse k: grow toward the cap only once the corpus warrants it
     // (k1 ≈ n / (64·occupancy) keeps tiny test corpora at 1 cluster)
     val k1 = math.max(1, math.min(coarseK.toLong,
       n / math.max(1L, 64L * targetOccupancy)).toInt)
-    val assign = kmeansAssignOn(all, k1, iters) // (vec_id, cluster_id)
+    val assign = kmeansAssignOn(reps, k1, iters) // (vec_id, cluster_id)
     // per-coarse-cluster plane depth; k1 rows, broadcast by size
     val planesFor = assign.groupBy("cluster_id")
       .agg(count(lit(1)).as("csize"))
@@ -1524,7 +1572,7 @@ object Similarity {
     // per-cluster mask keeps only its own low `planes` bits
     val maxPlanes = math.max(1,
       math.ceil(math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0)).toInt)
-    val cells = bucketIds(all, "vec_id", maxPlanes, nTables, dims)
+    val cells = bucketIds(reps, "vec_id", maxPlanes, nTables, dims)
       .join(assign, Seq("vec_id"))
       .join(broadcast(planesFor), Seq("cluster_id"))
       .withColumn("cell", expr("bucket & (shiftleft(1L, planes) - 1L)"))
@@ -1535,14 +1583,15 @@ object Similarity {
         "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS u, b AS v))))"))
         .as("p"))
       .select(col("p.u"), col("p.v")).distinct()
-    val va = all.select(col("vec_id").as("u"), col("vec").as("va"), col("norm").as("na"))
-    val vb = all.select(col("vec_id").as("v"), col("vec").as("vb"), col("norm").as("nb"))
+    val va = reps.select(col("vec_id").as("u"), col("vec").as("va"), col("norm").as("na"))
+    val vb = reps.select(col("vec_id").as("v"), col("vec").as("vb"), col("norm").as("nb"))
     pairIds
       .join(va, Seq("u"))
       .join(vb, Seq("v"))
       .withColumn("cos", ndot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select("u", "v")
+      .unionByName(stars.select(col("vec_a").as("u"), col("vec_b").as("v")))
   }
 
   /** The auto-resolution production configuration of the cluster

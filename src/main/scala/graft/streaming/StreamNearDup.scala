@@ -35,6 +35,15 @@ import graft.dedup.Dedup
   * id-and-key rows, never text. A pathologically hot band key
   * concentrates its bucket on one task; more bands / more rows per
   * band keep buckets selective, the same dial as the batch join.
+  *
+  * Parity note (round 13): batch `minhashPairs` now collapses
+  * signature-identical groups to keeper STARS before banding, while
+  * the stream emits arrival-order member pairs (it cannot know the
+  * group's eventual min id). The two are transitive-closure
+  * equivalent; exact pair-for-pair parity holds on corpora without
+  * signature-identical groups of size ≥ 3 (StreamNearDupSpec's
+  * fixtures) — within-window member blowup is separately bounded by
+  * the round-12 churn gates.
   */
 object StreamNearDup {
 

@@ -64,12 +64,21 @@ class DedupSpec extends AnyFunSuite {
       if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 3
     } yield (a, b)).toSet
     assert(mustFind.nonEmpty, "fixture must plant at least one Hamming<=3 pair")
+    // signature-identical groups are collapsed to keeper stars
+    // (round 13), so the pigeonhole guarantee is stated through the
+    // keeper map: a <=3 pair is either star-connected (same signature)
+    // or must surface as its representatives' pair
+    val keeper = sigs.groupBy(_._2).values
+      .flatMap(g => g.map { case (id, _) => id -> g.map(_._1).min }).toMap
     for (m <- Seq(4, 5, 6)) {
       val found = Dedup.simhashPairs(corpus, maxHamming = 8, blocks = m)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
-      // pigeonhole guarantee: every <=3 pair appears regardless of m
-      assert(mustFind.subsetOf(found.map(p => (p._1, p._2)).toSet),
-        s"blocks=$m missed a guaranteed pair")
+      val foundSet = found.map(p => (p._1, p._2)).toSet
+      mustFind.foreach { case (a, b) =>
+        val (ka, kb) = (keeper(a), keeper(b))
+        assert(ka == kb || foundSet((math.min(ka, kb), math.max(ka, kb))),
+          s"blocks=$m missed guaranteed pair ($a,$b) via reps ($ka,$kb)")
+      }
       // precision: reported hamming is the exact popcount, within bound
       found.foreach { case (a, b, h) =>
         assert(h === java.lang.Long.bitCount(sigs(a) ^ sigs(b)) && h <= 8)
@@ -94,6 +103,42 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.contains((1L, 4L)))
   }
 
+  test("planted template: 10k identical docs produce the O(d) keeper star, not the d^2 clique") {
+    // the duplicate-degenerate regime of a template-heavy web crawl:
+    // hyperplanes/bands cannot split identical signatures, so without
+    // the signature collapse this fixture emits ~50M clique pairs
+    val d = 10000
+    val planted = docs(((0 until d).map(i => i.toLong -> docA) :+
+      (20000L -> docANear) :+ (20001L -> docB)): _*)
+    val mh = Dedup.minhashPairs(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val (stars, rest) = mh.partition(p => p._1 == 0L && p._2 < d)
+    assert(stars.length === d - 1, "every member pairs with keeper 0 exactly once")
+    assert(stars.forall(_._3 == 4L), "identical signatures share all 4 bands")
+    // the near-dup surfaces through the representative only — O(1), not O(d)
+    assert(rest.forall(p => p._2 == 20000L && p._1 == 0L),
+      s"non-star pairs must be rep-level only: ${rest.take(5).toSeq}")
+    val sh = Dedup.simhashPairs(planted).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val (sStars, sRest) = sh.partition(p => p._1 == 0L && p._2 < d)
+    assert(sStars.length === d - 1 && sStars.forall(_._3 == 0))
+    assert(sRest.forall(p => p._1 == 0L || p._1 > d))
+  }
+
+  test("signature collapse is transitive-closure equivalent to the uncollapsed band join") {
+    import org.apache.spark.sql.functions.col
+    // mixed fixture: a 3-member identical group, a near-dup bridging
+    // into it, an unrelated pair — components must match the raw join's
+    val d = docs(1L -> docA, 2L -> docA, 3L -> docA, 4L -> docANear,
+      5L -> docB, 6L -> docB)
+    def comps(pairs: DataFrame) = graft.operators.Components
+      .labelGraph(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")).localCheckpoint())
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val collapsed = comps(Dedup.minhashPairs(d))
+    val raw = comps(Dedup.minhashPairsOf(Dedup.shingles(d)))
+    assert(collapsed === raw, s"collapsed $collapsed != raw $raw")
+  }
+
   test("persisted band index: served pairs == in-memory; delta append completes the union") {
     import org.apache.spark.sql.functions.col
     val table = "graft_test_bandidx"
@@ -104,13 +149,18 @@ class DedupSpec extends AnyFunSuite {
     def pairSet(df: DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
 
+    // the index family's unit is the RAW member-level band join
+    // (minhashPairsOf); the collapsed production entry point
+    // (minhashPairs) is closure-equivalent but star-shaped on
+    // signature-identical groups, so the parity reference here is the
+    // uncollapsed join
     Dedup.minhashBuildIndex(old, table)
     val servedOld = pairSet(Dedup.minhashPairsServed(spark, table))
-    assert(servedOld === pairSet(Dedup.minhashPairs(old)),
+    assert(servedOld === pairSet(Dedup.minhashPairsOf(Dedup.shingles(old))),
       "served pairs must equal the in-memory band join on the indexed corpus")
 
     val deltaPairs = pairSet(Dedup.minhashAppendPairs(spark, table, delta))
-    val fullPairs = pairSet(Dedup.minhashPairs(docs))
+    val fullPairs = pairSet(Dedup.minhashPairsOf(Dedup.shingles(docs)))
     // the delta call emits EXACTLY the pairs the union corpus adds
     assert(servedOld ++ deltaPairs === fullPairs,
       "old-index pairs + delta pairs must reconstruct the full-corpus pairs")

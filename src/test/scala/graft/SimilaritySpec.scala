@@ -209,6 +209,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.head.getAs[Double]("cos_sim") > 0.999)
   }
 
+  test("planted template: 10k identical vectors collapse to the O(d) keeper star in both rungs") {
+    // hyperplane depth cannot split identical vectors: without the
+    // exact-vector collapse this fixture's hot bucket explodes to ~50M
+    // in-cell pairs (and an unbounded collect_list)
+    val d = 10000
+    val tmpl = Seq(1.0, 2.0, -1.0, 0.5, 0.25, 3.0, -2.0, 1.0)
+    val other = Seq(-3.0, 1.0, 2.0, -0.5, 1.5, 0.0, 2.0, -1.0)
+    val c = corpusOf(((0 until d).map(i => i.toLong -> tmpl) :+ (20000L -> other)): _*)
+    val pairs = Similarity.cosineNearDupPairsOn(c, threshold = 0.95, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.length === d - 1, s"expected the ${d - 1}-edge star, got ${pairs.length}")
+    assert(pairs.forall(p => p._1 == 0L && p._3 == 1.0),
+      "every member pairs with keeper 0 at cosine 1.0")
+    val edges = Similarity.cellEdgesOn(c, threshold = 0.3, targetOccupancy = 32,
+        coarseK = 16, nTables = 4, iters = 2, dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (stars, rest) = edges.partition(e => e._1 == 0L && e._2 < d)
+    assert(stars.length === d - 1, "cells rung must carry the same keeper star")
+    assert(rest.forall(e => e._1 == 0L || e._1 == 20000L || e._2 == 20000L),
+      s"no member-member cell pairs may survive: ${rest.take(5).toSeq}")
+  }
+
   test("served hybrid: query output == Scala fusion replay; recall bounded vs exact-dense hybrid") {
     def legPairs(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
       df.select("query_id", "cand_id", "rank").collect()

@@ -845,14 +845,18 @@ object Events {
     * detection, where state at arrival time never sees the future.
     * ROWS frame over the total order (ts, event_id) is deterministic
     * and engine-portable (the tie-break makes peers impossible).
-    * One window sort per partition key; no joins. */
-  def expandingZscore(events: DataFrame, sigma: Double = 3.0): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    *
+    * Scale: the moments ride [[Relational.withExpandingMoments]] —
+    * below the crossover the plain per-type window (one sorter is the
+    * measured small-relation winner); above it the two-level
+    * range-partition + broadcast-prefix recipe, so no task ever holds
+    * more than its range slice of a type's history. */
+  def expandingZscore(events: DataFrame, sigma: Double = 3.0,
+                      nRows: Long = -1L): DataFrame = {
+    val n = if (nRows >= 0) nRows else events.count()
     val z = (col("value") - col("mu")) / col("sd")
-    events
-      .withColumn("mu", avg("value").over(w))
-      .withColumn("sd", stddev_samp("value").over(w))
+    Relational.withExpandingMoments(events, "event_type",
+        Seq(col("ts"), col("event_id")), "value", "mu", "sd", n)
       .filter(col("sd").isNotNull && col("sd") > 0 && abs(z) > sigma)
       .select(col("event_id"), col("event_type"), round(z, 4).as("z"))
       .orderBy("event_id")

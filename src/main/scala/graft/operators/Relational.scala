@@ -1111,6 +1111,76 @@ object Relational {
         .withColumn(out, ntileFromRn(col("__gnrn"), lit(nRows), b).cast("int"))
         .drop("__gnrn")
 
+  /** Expanding (strictly-prior) mean and sample stddev per group —
+    * [[globalRowNumber]]'s two-level recipe generalized to moment
+    * partials (VERDICT r12 #3): `Window.partitionBy(grp).orderBy(keys)
+    * .rowsBetween(unboundedPreceding, -1)` funnels each group's WHOLE
+    * history through one task (with ~10 event types at 100 TB, each
+    * type's full history is one sorter — the w family measured
+    * 7.8×/decade on exactly that shape). The scalable shape:
+    *
+    *  1. range-partition on (grp, sortKeys) — every partition a
+    *     contiguous slice of each group's order, checkpointed so both
+    *     consumers read the same `spark_partition_id`;
+    *  2. expanding power sums (n, Σx, Σx²) WITHIN each (partition,
+    *     group) slice — parallel windows;
+    *  3. per-(partition, group) slice totals (≤ shuffle-width rows per
+    *     group) cumulated into strictly-prior prefix offsets and
+    *     broadcast back: global prior-moments = prefix + local.
+    *
+    * mu = S/n, sd = sqrt((S2 − S²/n)/(n−1)) — the power-sum form of
+    * the sample variance; cancellation needs sd/mu ≲ 1e-7 at double
+    * precision to bite, far beyond the 4-decimal rounding every
+    * consumer applies (the parity spec pins distributed == plain on
+    * the real events table). Below [[globalRankMinRows]] it IS the
+    * plain window — the measured small-relation winner. Null values
+    * are ignored by count/sum exactly as avg/stddev_samp ignore them;
+    * n = 0 ⇒ mu and sd null, n = 1 ⇒ sd null (post-3.1 Spark
+    * statistical-aggregate semantics). */
+  private[graft] def withExpandingMoments(df: DataFrame, grpCol: String,
+                                          sortKeys: Seq[Column], valueCol: String,
+                                          muOut: String, sdOut: String,
+                                          nRows: Long): DataFrame = {
+    val spark = df.sparkSession
+    if (nRows < globalRankMinRows(spark)) {
+      val w = Window.partitionBy(grpCol).orderBy(sortKeys: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      df.withColumn(muOut, avg(valueCol).over(w))
+        .withColumn(sdOut, stddev_samp(valueCol).over(w))
+    } else {
+      val v = col(valueCol).cast("double")
+      val parts = math.max(1,
+        spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+      val ranged = df.repartitionByRange(parts, col(grpCol) +: sortKeys: _*)
+        .withColumn("__pid", spark_partition_id())
+        .localCheckpoint()
+      val wl = Window.partitionBy(col("__pid"), col(grpCol)).orderBy(sortKeys: _*)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val local = ranged
+        .withColumn("__ln", count(v).over(wl))
+        .withColumn("__ls", sum(v).over(wl))
+        .withColumn("__ls2", sum(v * v).over(wl))
+      // one row per (partition, group): its prefix window is bounded
+      // by the shuffle width, so the per-group single task is fine
+      val wp = Window.partitionBy(grpCol).orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = ranged.groupBy(col("__pid"), col(grpCol))
+        .agg(count(v).as("__c"), sum(v).as("__s"), sum(v * v).as("__s2"))
+        .withColumn("__pn", coalesce(sum("__c").over(wp), lit(0L)))
+        .withColumn("__ps", coalesce(sum("__s").over(wp), lit(0.0)))
+        .withColumn("__ps2", coalesce(sum("__s2").over(wp), lit(0.0)))
+        .select(col("__pid"), col(grpCol), col("__pn"), col("__ps"), col("__ps2"))
+      val n = col("__pn") + coalesce(col("__ln"), lit(0L))
+      val s = col("__ps") + coalesce(col("__ls"), lit(0.0))
+      val s2 = col("__ps2") + coalesce(col("__ls2"), lit(0.0))
+      local.join(broadcast(offsets), Seq("__pid", grpCol))
+        .withColumn(muOut, when(n > 0, s / n))
+        .withColumn(sdOut, when(n > 1,
+          sqrt(greatest((s2 - s * s / n) / (n - 1), lit(0.0)))))
+        .drop("__pid", "__ln", "__ls", "__ls2", "__pn", "__ps", "__ps2")
+    }
+  }
+
   /** Equi-depth histogram via ntile: quartiles of order totals with
     * per-bucket census. The tie-break on o_orderkey makes the bucket
     * assignment deterministic and engine-portable (ntile splits purely

@@ -6,6 +6,19 @@ import graft.operators.Events
 
 class EventsSpec extends AnyFunSuite {
   import SparkTestSession.{spark, sf0001}
+
+  test("expanding z-score: distributed two-phase moments match the plain window") {
+    // the two-level range-partition + broadcast-prefix recipe (gate
+    // pinned to 0) must reproduce the per-type expanding window
+    // bit-for-bit at the 4-decimal rounding every consumer applies
+    val gate = "graft.window.globalRankMinRows"
+    val plain = Events.expandingZscoreQuery(spark, sf0001).collect().toSeq
+    spark.conf.set(gate, "0")
+    val dist =
+      try Events.expandingZscoreQuery(spark, sf0001).collect().toSeq
+      finally spark.conf.unset(gate)
+    assert(dist === plain)
+  }
   import spark.implicits._
 
   test("frequent pairs are canonical (type_a < type_b) and support-bounded") {

@@ -605,6 +605,29 @@ class PlanContractSpec extends AnyFunSuite {
       s"below the gate the plain ntile window must be chosen:\n$small")
   }
 
+  test("expanding z-score rides two-phase moments: no per-type full-history window above the gate") {
+    // with ~10 event types at 100 TB, Window.partitionBy(event_type)
+    // .orderBy(ts, ...) puts each type's WHOLE history in one task
+    // (7.8x/decade at the round-12 100x anchor). Above the gate the
+    // plan must range-partition and every data-sized window must be
+    // per-range-slice (partitionBy __pid first); the only per-type
+    // window left is the bounded prefix cumulation ordered by __pid.
+    val gate = "graft.window.globalRankMinRows"
+    spark.conf.set(gate, "0")
+    try {
+      val p = plan("w_expanding_zscore")
+      assert(p.toLowerCase.contains("rangepartitioning"),
+        s"fact table must range-partition for the parallel expanding sums:\n$p")
+      assert(!p.contains("windowspecdefinition(event_type#") ||
+        !"""windowspecdefinition\(event_type#\d+, ts#""".r.findFirstIn(p).isDefined,
+        s"no data-sized window may partition by event_type alone:\n$p")
+    } finally spark.conf.unset(gate)
+    // mirror: below the gate the plain per-type window is chosen
+    val small = plan("w_expanding_zscore")
+    assert("""windowspecdefinition\(event_type#\d+, ts#""".r.findFirstIn(small).isDefined,
+      s"below the gate the plain expanding window must be chosen:\n$small")
+  }
+
   test("top-k ranks plan as TakeOrdered, not a single-partition rank over every candidate") {
     // pmi bigrams / session paths: rank-then-filter funneled every
     // qualifying bigram / distinct path through one window task;

@@ -65,6 +65,30 @@ class ProbeRegistrySpec extends AnyFunSuite {
       }.toMap
   }
 
+  test("probe table is fresh: generated on an ancestor commit within the staleness budget") {
+    // round-12 hygiene finding: the table was last regenerated BEFORE
+    // the final window-purge snapshot, so its rows reflected plans
+    // that no longer shipped. The generator stamps its HEAD into the
+    // header; this pins (a) the stamp exists, (b) it is an ancestor
+    // of the current HEAD (same history, not a stray branch), and
+    // (c) it is at most `budget` commits behind — roughly one round's
+    // churn, so a table older than the last round of plan-shaping
+    // changes fails instead of silently grading stale plans.
+    import scala.sys.process._
+    val budget = 40
+    val header = scala.io.Source.fromFile("PROBES10X.tsv").getLines()
+      .take(5).find(_.startsWith("# commit: "))
+    assert(header.isDefined,
+      "PROBES10X.tsv lacks the generating-commit header — regenerate with tools/make_probe_table.py")
+    val c = header.get.stripPrefix("# commit: ").trim
+    assert(c.matches("[0-9a-f]{40}"), s"malformed commit stamp '$c'")
+    val isAncestor = Process(Seq("git", "merge-base", "--is-ancestor", c, "HEAD")).! == 0
+    assert(isAncestor, s"probe-table commit $c is not an ancestor of HEAD — regenerate")
+    val behind = Process(Seq("git", "rev-list", "--count", s"$c..HEAD")).!!.trim.toInt
+    assert(behind <= budget,
+      s"probe table generated $behind commits ago (> $budget) — regenerate the 1x/10x pair")
+  }
+
   test("every production-tagged query has a 10x probe row at/below the linear bound") {
     val rows = probeRows()
     val prod = SparkEntry.queries.keys.filter(SparkEntry.queryTag(_) == "production").toSeq.sorted

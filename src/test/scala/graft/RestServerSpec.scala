@@ -66,6 +66,74 @@ class RestServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  private def send(port: Int, method: String, path: String, body: String,
+                   token: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .header("Authorization", s"Bearer $token")
+        .method(method, HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("user CRUD: create, point read, partial update, re-login, delete, 404 after") {
+    val srv = new RestServer(spark, sf0001)
+    val port = srv.start()
+    try {
+      val tok = tokenOf(post(port, "/auth/login",
+        """{"email":"admin@example.com","password":"admin-pw"}"""))
+      // create -> id 3; duplicate email -> 400
+      val created = send(port, "POST", "/users",
+        """{"email":"new@example.com","password":"new-pw","role":"user"}""", tok)
+      assert(created.statusCode() === 200 && created.body.contains(""""id":3"""))
+      assert(send(port, "POST", "/users",
+        """{"email":"new@example.com","password":"x"}""", tok).statusCode() === 400)
+      // point read + 404
+      assert(get(port, "/users/3", Some(tok)).body.contains(""""email":"new@example.com""""))
+      assert(get(port, "/users/99", Some(tok)).statusCode() === 404)
+      // partial update: role + password; the new password must log in
+      val updated = send(port, "PUT", "/users/3",
+        """{"password":"rotated-pw","role":"admin"}""", tok)
+      assert(updated.statusCode() === 200 && updated.body.contains(""""role":"admin""""))
+      assert(post(port, "/auth/login",
+        """{"email":"new@example.com","password":"new-pw"}""").statusCode() === 401)
+      assert(post(port, "/auth/login",
+        """{"email":"new@example.com","password":"rotated-pw"}""").statusCode() === 200)
+      // email collision on update -> 400
+      assert(send(port, "PUT", "/users/3",
+        """{"email":"admin@example.com"}""", tok).statusCode() === 400)
+      // delete -> gone from list and point read
+      assert(send(port, "DELETE", "/users/3", "", tok).body.contains(""""deleted":3"""))
+      assert(get(port, "/users/3", Some(tok)).statusCode() === 404)
+      assert(!get(port, "/users", Some(tok)).body.contains("new@example.com"))
+    } finally srv.stop()
+  }
+
+  test("tracking middleware: one request-log row per request through the spool sink") {
+    import org.apache.spark.sql.functions.col
+    val srv = new RestServer(spark, sf0001)
+    val port = srv.start()
+    try {
+      val tok = tokenOf(post(port, "/auth/login",
+        """{"email":"admin@example.com","password":"admin-pw"}"""))
+      assert(get(port, "/health").statusCode() === 200)
+      assert(get(port, "/users").statusCode() === 401)       // denied legs log too
+      assert(get(port, "/users", Some(tok)).statusCode() === 200)
+      assert(get(port, "/users/99", Some(tok)).statusCode() === 404)
+      srv.tracker.flush()
+      val log = srv.tracker.relation(spark).collect()
+        .map(r => (r.getAs[String]("method"), r.getAs[String]("path"),
+          r.getAs[Int]("status_code")))
+      // login + the four calls above (one row each, status as served)
+      assert(log.length === 5, s"expected 5 rows, got ${log.toSeq}")
+      assert(log.count(_ == (("GET", "/users", 401))) === 1)
+      assert(log.count(_ == (("GET", "/users", 200))) === 1)
+      assert(log.count(_ == (("GET", "/users/99", 404))) === 1)
+      assert(log.count(_ == (("POST", "/auth/login", 200))) === 1)
+      val full = srv.tracker.relation(spark)
+      assert(full.filter(col("latency_ms") >= 0).count() === 5)
+      assert(full.filter(col("segment") === "role:anon|geo:UNK|age:na").count() === 5)
+    } finally srv.stop()
+  }
+
   test("fixed-window rate limiter: burst cap, 429 deny, reset on the next window") {
     var now = 1000000000000L
     val srv = new RestServer(spark, sf0001, clock = () => now)

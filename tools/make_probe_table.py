@@ -15,6 +15,7 @@ edge set is unchanged there and a graph ratio over it measures nothing
 graft_scale10/graph10, where all three keys stride and edges grow 10x.
 """
 import json
+import subprocess
 import sys
 
 
@@ -42,6 +43,9 @@ def main():
         o, _ = queries(ov)
         ten.update(o)
         from_overlay |= set(o)
+    commit = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                            text=True, cwd=sys.path[0] or ".").stdout.strip()
+    print(f"# commit: {commit}")
     print(f"# 10x scale-probe table: sec at {sf1} vs {sf10} (same host, local[32],")
     print("# median-of-reps with per-query warmup). Rows marked axis=edge take their")
     print("# 10x leg from graft_scale10/graph10 (all three lineitem keys strided ->")

@@ -21,9 +21,14 @@ object Events {
     * min-support, the reference's frequent_pairs analytics
     * (Rest_webservice/app/services.py:16-23). Pair canonicalization via
     * `a.type < b.type` mirrors `combinations(sorted(codes), 2)`. */
-  def frequentPairs(spark: SparkSession, dir: String, minSupport: Long = 5L): DataFrame = {
-    val ev = Tables(spark, dir, "events")
-      .select("user_id", "event_type").distinct()
+  def frequentPairs(spark: SparkSession, dir: String, minSupport: Long = 5L): DataFrame =
+    frequentPairsOf(Tables(spark, dir, "events"), minSupport)
+
+  /** Same plan over any relation with (user_id, event_type) — the
+    * serving facade unions the batch table with its ingest spool here,
+    * so POSTed events flow into the identical oracled shape. */
+  def frequentPairsOf(events: DataFrame, minSupport: Long): DataFrame = {
+    val ev = events.select("user_id", "event_type").distinct()
     val a = ev.select(col("user_id"), col("event_type").as("type_a"))
     val b = ev.select(col("user_id").as("user_id_b"), col("event_type").as("type_b"))
     a.join(b, col("user_id") === col("user_id_b") && col("type_a") < col("type_b"))
@@ -32,6 +37,21 @@ object Events {
       .filter(col("support") >= minSupport)
       .orderBy(col("support").desc, col("type_a"), col("type_b"))
   }
+
+  /** The reference's `make_segment` (Rest_webservice/app/services.py:8-14)
+    * as a Column expression: `role:{r}|geo:{g}|age:{a}` with or-defaults
+    * (role -> "user", geo -> "UNK") and the age tercile y/m/s, "na" when
+    * age is null — usable over any relation carrying the three raw
+    * columns. The serving facade's per-request twin
+    * ([[graft.serving.RestServer.makeSegment]]) is pinned bit-equal to
+    * this expression by RestServerSpec, so ingest-time segments and any
+    * batch backfill can never drift apart. */
+  def makeSegment(role: Column, geo: Column, age: Column): Column =
+    concat(
+      lit("role:"), coalesce(role, lit("user")),
+      lit("|geo:"), coalesce(geo, lit("UNK")),
+      lit("|age:"),
+      when(age.isNull, "na").when(age < 30, "y").when(age < 60, "m").otherwise("s"))
 
   /** A2 scale path — the same frequent-pairs surface via spark.ml
     * FPGrowth (SURVEY §2.4: at 100 TB the FP-tree prunes the candidate

@@ -1076,11 +1076,15 @@ object Relational {
   /** Floor division exact over the full long range. Spark's Column `/`
     * is always double division; truncating it matches floor division
     * only while operands stay below 2^52 — at extreme row counts the
-    * lost mantissa bits could shift a bucket boundary by one. Decimal
-    * division + floor is exact for any 64-bit operands (both sides are
-    * non-negative here, so floor == truncation == integral div). */
+    * lost mantissa bits could shift a bucket boundary by one. The SQL
+    * integral-divide operator (`a div b`, IntegralDivide) computes on
+    * longs directly with no intermediate rounding — decimal division
+    * would resolve to decimal(38,18) with HALF_UP rounding, whose
+    * floor can land one high for divisors past ~2e18 (round-13
+    * ADVICE). Both sides are non-negative here, so truncation ==
+    * floor. */
   private def ldiv(a: Column, b: Column): Column =
-    floor(a.cast("decimal(20,0)") / b.cast("decimal(20,0)")).cast("long")
+    call_function("div", a.cast("long"), b.cast("long"))
 
   /** Exact NTILE from a global row number: n rows into `b` buckets,
     * the first n mod b buckets one row larger — the positional split

@@ -1,0 +1,63 @@
+package graft.serving
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Ingested-event log — the write half of the reference's events API
+  * (Rest_webservice/app/routers.py:177-191: POST /events persists one
+  * Event row per request through `db.add` + `db.commit`) re-expressed
+  * as the engine's append-only sink shape (S4/ST1): each accepted
+  * request lands as one immutable CSV file via write-to-tmp +
+  * ATOMIC_MOVE — the per-request durability of the reference's commit,
+  * with no Spark job on the request path. A POSTed event carries a set
+  * of symptom codes (schemas.py:48-53 `payload.symptom_codes`); the
+  * engine's events relation is one row per (event, code), so the spool
+  * writes one row per code sharing the event id — exactly the shape
+  * the oracled J1/A3/A4 analytics consume, which is what lets
+  * `/analytics/frequent-pairs` serve batch ∪ ingested with one union.
+  *
+  * `version` counts rows accepted so far — the serving layer's cache
+  * key: analytics recompute once per ingest batch, never per GET. */
+final class EventSpool(val spoolDir: String,
+                       clock: () => Long = () => System.currentTimeMillis()) {
+  Files.createDirectories(Paths.get(spoolDir))
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def q(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+
+  /** Rows accepted so far (monotone; the analytics cache key). */
+  def version: Long = rows.get()
+
+  /** Persist one event's code rows; returns the event id. Events with
+    * no codes write nothing (they contribute no analytics rows) but
+    * still get an id — the request log carries the HTTP trace. */
+  def record(userId: Long, codes: Seq[String], segment: String): Long = {
+    val eid = seq.incrementAndGet()
+    val distinct = codes.distinct.sorted
+    if (distinct.nonEmpty) {
+      val ts = clock()
+      val lines = distinct.map(c => s"$eid,$ts,$userId,${q(c)},${q(segment)}")
+      val name = f"events-$eid%06d-${java.util.UUID.randomUUID()}.csv"
+      val tmp: Path = Paths.get(spoolDir, s".$name.tmp")
+      Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(UTF_8))
+      Files.move(tmp, Paths.get(spoolDir, name), StandardCopyOption.ATOMIC_MOVE)
+      rows.addAndGet(distinct.length.toLong)
+    }
+    eid
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts_ms", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("segment", StringType)))
+
+  /** Everything ingested so far; the same (schema, csv, dir) triple
+    * works for `readStream` — the ST1 streaming tail. */
+  def relation(spark: SparkSession): DataFrame =
+    spark.read.schema(schema).csv(spoolDir)
+}

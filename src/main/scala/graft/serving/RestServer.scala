@@ -26,7 +26,16 @@ import graft.operators.Events
   *   GET/POST /users, GET/PUT/DELETE /users/{id}   admin + rate-limited
   *     (the routers.py:75-153 CRUD over the mutable user store; the
   *     batch-relation analogs S4–S6 are the oracled engine rewrites)
-  *   GET  /analytics/frequent-pairs admin + rate-limited (J1 query)
+  *   POST /symptoms   admin + rate-limited (routers.py:157-175; 400 dup code)
+  *   POST /events     rate-limited, token OPTIONAL (routers.py:177-191):
+  *     segment = make_segment(role-from-body-or-claims, geo, age); the
+  *     event's code rows land through the S4 append-sink spool
+  *     ([[EventSpool]]) that the analytics union back in
+  *   GET  /analytics/frequent-pairs admin + rate-limited (J1 query,
+  *     ?min_support=N, over batch ∪ ingested — routers.py:195-207)
+  *   GET  /analytics/features       admin + rate-limited (routers.py:211-217:
+  *     most_common-5 / total_unique / total_occurrences — the A1/A3/A4
+  *     counts over batch ∪ ingested)
   *   GET  /analytics/top-events     admin + rate-limited (A3 query)
   *
   * Every route runs under the tracking middleware: one RequestLog row
@@ -67,6 +76,16 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
   private val nextUid = new java.util.concurrent.atomic.AtomicLong(3L)
   private def hashPw(pw: String): String = Crypto.pbkdf2Sha256(pw, salt, 1000, 32)
 
+  // --- symptom catalog (routers.py:157-175: unique code -> 400 dup) ---
+  private case class Symptom(id: Long, code: String, name: String)
+  private val symptoms = scala.collection.mutable.LinkedHashMap.empty[String, Symptom]
+  private val nextSid = new java.util.concurrent.atomic.AtomicLong(1L)
+
+  /** Ingested events land here — the S4 append-sink spool the
+    * analytics routes union with the batch table. */
+  val events = new EventSpool(
+    java.nio.file.Files.createTempDirectory("graft_events").toString, clock = clock)
+
   // --- fixed-window rate limiter (rate_limit.py:37-53): counters live
   // in the pluggable store — in-memory (the reference's fallback) by
   // default, FileRateLimitStore for a budget SHARED across server
@@ -77,11 +96,56 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
     // through its own window plus one successor, per-resource
     store.incr(s"rl:$resource:$ip", clock() / perMs, clock(), 2 * perMs) <= burst
 
-  // --- engine-backed analytics, computed once and served as JSON ---
-  private lazy val frequentPairsJson: String = {
-    val rows = Events.frequentPairs(spark, dir, minSupport = 5L).collect()
-    rows.map(r => s"""{"pair":${js(s"${r.getString(0)},${r.getString(1)}")},"support":${r.getLong(2)}}""")
+  // --- engine-backed analytics, computed once per INGEST BATCH (not
+  // per GET) and served as JSON: the caches key on the event spool's
+  // row count, so a burst of GETs between ingests reads rendered
+  // results, and a GET after new events pays one engine job over
+  // batch ∪ spool (the reference recomputes per GET over the whole DB
+  // — routers.py:199-201 — which a serving layer at scale cannot) ---
+  private def batchAndIngested: org.apache.spark.sql.DataFrame = {
+    val base = graft.Tables(spark, dir, "events").select("user_id", "event_type")
+    if (events.version == 0L) base
+    else base.unionByName(events.relation(spark).select("user_id", "event_type"))
+  }
+  // pairs cached UNFILTERED (min_support is a per-request query param;
+  // the distinct type-pair space is small by nature)
+  private val pairsCache =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Seq[(String, String, Long)])]()
+  private def pairsAt(v: Long): Seq[(String, String, Long)] = {
+    val cached = pairsCache.get()
+    if (cached != null && cached._1 == v) cached._2
+    else {
+      val rows = Events.frequentPairsOf(batchAndIngested, minSupport = 1L).collect()
+        .toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      pairsCache.set((v, rows))
+      rows
+    }
+  }
+  private def frequentPairsJson(minSupport: Long): String =
+    pairsAt(events.version).filter(_._3 >= minSupport)
+      .map { case (a, b, n) => s"""{"pair":${js(s"$a,$b")},"support":$n}""" }
       .mkString("[", ",", "]")
+  // per-type counts behind /analytics/features (services.py:25-33:
+  // most_common(5), total_unique, total_occurrences)
+  private val featureCache =
+    new java.util.concurrent.atomic.AtomicReference[(Long, String)]()
+  private def featuresJson: String = {
+    val v = events.version
+    val cached = featureCache.get()
+    if (cached != null && cached._1 == v) cached._2
+    else {
+      val counts = batchAndIngested.groupBy("event_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .sortBy { case (t, n) => (-n, t) }
+      val top = counts.take(5)
+        .map { case (t, n) => s"[${js(t)},$n]" }.mkString("[", ",", "]")
+      val out = s"""{"most_common":$top,"total_unique":${counts.length},""" +
+        s""""total_occurrences":${counts.map(_._2).sum}}"""
+      featureCache.set((v, out))
+      out
+    }
   }
   private lazy val topEventsJson: String = {
     val rows = Events.topEventTypes(spark, dir).collect()
@@ -120,14 +184,15 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
       secret)
   private def claimOf(payload: String, name: String): Option[String] =
     s""""$name":"([^"]*)"""".r.findFirstMatchIn(payload).map(_.group(1))
-  private def bearerRole(ex: HttpExchange): Option[String] = for {
+  private def bearerPayload(ex: HttpExchange): Option[String] = for {
     auth <- Option(ex.getRequestHeaders.getFirst("Authorization"))
     token <- auth.split(' ') match { case Array("Bearer", t) => Some(t); case _ => None }
     payload <- Crypto.jwtVerify(token, secret)
     exp <- """"exp":(\d+)""".r.findFirstMatchIn(payload).map(_.group(1).toLong)
     if exp > clock() / 1000
-    role <- claimOf(payload, "role")
-  } yield role
+  } yield payload
+  private def bearerRole(ex: HttpExchange): Option[String] =
+    bearerPayload(ex).flatMap(claimOf(_, "role"))
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(UTF_8)
@@ -156,6 +221,16 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
   private def guarded(ex: HttpExchange, resource: String, burst: Int)(ok: => String): Unit =
     guardedWith(ex, resource, burst)((200, ok))
 
+  /** Rate limit only — no role gate (the reference's /events route:
+    * the token is optional input, not a requirement). */
+  private def limitedWith(ex: HttpExchange, resource: String, burst: Int)
+                         (handler: => (Int, String)): Unit = {
+    val ip = ex.getRemoteAddress.getAddress.getHostAddress
+    if (!rateAllow(resource, ip, perMs = 1000L, burst = burst))
+      respond(ex, 429, """{"detail":"Rate limit exceeded"}""")
+    else { val (status, body) = handler; respond(ex, status, body) }
+  }
+
   /** The tracking middleware (middleware.py:8-30): wraps every route,
     * measures wall latency, and appends one RequestLog row AFTER the
     * response is committed — getResponseCode is set once any branch
@@ -183,6 +258,13 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
     * session commit's atomicity analog. */
   private def usersRoute(ex: HttpExchange): Unit = {
     val parts = ex.getRequestURI.getPath.stripPrefix("/").split("/")
+    // a present-but-unparsable id (GET /users/abc) or extra path
+    // segments (GET /users/1/x) are 404s — falling through to the
+    // collection routes would answer a point lookup with the full list
+    if (parts.length > 2 || (parts.length == 2 && parts(1).toLongOption.isEmpty)) {
+      respond(ex, 404, """{"detail":"Not found"}""")
+      return
+    }
     val uid = if (parts.length == 2) parts(1).toLongOption else None
     (ex.getRequestMethod, uid) match {
       case ("GET", None) => guarded(ex, "users:get", burst = 10) {
@@ -241,6 +323,57 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
     }
   }
 
+  private def numClaim(body: String, name: String): Option[Long] =
+    (s""""$name"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(body).map(_.group(1).toLong)
+  private def codesOf(body: String): Seq[String] =
+    """"symptom_codes"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(body)
+      .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+      .getOrElse(Nil)
+  private def queryParam(ex: HttpExchange, name: String): Option[String] =
+    Option(ex.getRequestURI.getQuery).flatMap(_.split('&').collectFirst {
+      case kv if kv.startsWith(name + "=") => kv.drop(name.length + 1)
+    })
+
+  /** POST /symptoms (routers.py:157-175): admin-only catalog insert,
+    * 400 on a duplicate code (the UNIQUE-constraint IntegrityError). */
+  private def symptomsRoute(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod != "POST") respond(ex, 405, """{"detail":"Method not allowed"}""")
+    else guardedWith(ex, "symptoms:post", burst = 10) {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      (claimOf(body, "code"), claimOf(body, "name")) match {
+        case (Some(code), Some(name)) => symptoms.synchronized {
+          if (symptoms.contains(code)) (400, """{"detail":"Code already exists"}""")
+          else {
+            val s = Symptom(nextSid.getAndIncrement(), code, name)
+            symptoms(code) = s
+            (200, s"""{"data":{"id":${s.id},"code":${js(s.code)},"name":${js(s.name)}}}""")
+          }
+        }
+        case _ => (400, """{"detail":"code and name required"}""")
+      }
+    }
+
+  /** POST /events (routers.py:177-191): token OPTIONAL — role resolves
+    * body > token claims > "user" exactly like the reference; the
+    * segment is [[RestServer.makeSegment]] (pinned bit-equal to the
+    * engine's Column twin) and the code rows land through the
+    * [[EventSpool]] append sink the analytics routes union back in. */
+  private def eventsRoute(ex: HttpExchange): Unit =
+    if (ex.getRequestMethod != "POST") respond(ex, 405, """{"detail":"Method not allowed"}""")
+    else limitedWith(ex, "events:post", burst = 15) {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      numClaim(body, "user_id") match {
+        case None => (400, """{"detail":"user_id required"}""")
+        case Some(uid) =>
+          val role = claimOf(body, "role").orElse(bearerPayload(ex).flatMap(claimOf(_, "role")))
+          val seg = RestServer.makeSegment(role, claimOf(body, "geo"),
+            numClaim(body, "age").map(_.toInt))
+          val eid = events.record(uid, codesOf(body), seg)
+          (200, s"""{"data":{"id":$eid,"segment":${js(seg)}},""" +
+            s""""_links":{"self":{"href":"/events/$eid"}}}""")
+      }
+    }
+
   private var server: HttpServer = _
 
   /** Start on `port` (0 = ephemeral); returns the bound port. */
@@ -263,9 +396,17 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
       }
     }))
     server.createContext("/users", tracked(usersRoute))
+    server.createContext("/symptoms", tracked(symptomsRoute))
+    server.createContext("/events", tracked(eventsRoute))
     server.createContext("/analytics/frequent-pairs", tracked((ex: HttpExchange) =>
       guarded(ex, "analytics:pairs", burst = 8) {
-        s"""{"data":$frequentPairsJson,"_links":{"self":{"href":"/analytics/frequent-pairs"}}}"""
+        val ms = queryParam(ex, "min_support").flatMap(_.toLongOption).getOrElse(5L)
+        s"""{"data":${frequentPairsJson(ms)},""" +
+          s""""_links":{"self":{"href":"/analytics/frequent-pairs?min_support=$ms"}}}"""
+      }))
+    server.createContext("/analytics/features", tracked((ex: HttpExchange) =>
+      guarded(ex, "analytics:features", burst = 8) {
+        s"""{"data":$featuresJson,"_links":{"self":{"href":"/analytics/features"}}}"""
       }))
     server.createContext("/analytics/top-events", tracked((ex: HttpExchange) =>
       guarded(ex, "analytics:top", burst = 8) {
@@ -280,5 +421,29 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  /** Stop the listener, then drain the request-log buffer — without
+    * the flush, up to flushEvery-1 tracked rows of the final batch
+    * would be lost on shutdown (round-13 ADVICE). */
+  def stop(): Unit = if (server != null) {
+    server.stop(0)
+    tracker.flush()
+  }
+}
+
+object RestServer {
+  /** The reference's make_segment (Rest_webservice/app/services.py:8-14)
+    * for the per-request path: or-defaults (role "user", geo "UNK") and
+    * the y/m/s age tercile, "na" when absent. RestServerSpec pins this
+    * bit-equal to the engine's Column twin
+    * ([[graft.operators.Events.makeSegment]]), so serving-time segments
+    * and batch backfills cannot drift. */
+  def makeSegment(role: Option[String], geo: Option[String], age: Option[Int]): String = {
+    val a = age match {
+      case None => "na"
+      case Some(x) if x < 30 => "y"
+      case Some(x) if x < 60 => "m"
+      case _ => "s"
+    }
+    s"role:${role.getOrElse("user")}|geo:${geo.getOrElse("UNK")}|age:$a"
+  }
 }

@@ -189,6 +189,120 @@ class RestServerSpec extends AnyFunSuite {
     } finally { s1.stop(); s2.stop(); java.nio.file.Files.deleteIfExists(stateFile) }
   }
 
+  test("write path: POST /symptoms + POST /events land through the spool; analytics serve batch ∪ ingested") {
+    var now = 1000000000000L
+    val srv = new RestServer(spark, sf0001, clock = () => now)
+    val port = srv.start()
+    try {
+      val adminTok = tokenOf(post(port, "/auth/login",
+        """{"email":"admin@example.com","password":"admin-pw"}"""))
+      val userTok = tokenOf(post(port, "/auth/login",
+        """{"email":"user@example.com","password":"user-pw"}"""))
+
+      // symptoms: admin-only catalog insert, 400 on duplicate code
+      assert(post(port, "/symptoms", """{"code":"SZX","name":"Zeta"}""").statusCode() === 401)
+      assert(send(port, "POST", "/symptoms",
+        """{"code":"SZX","name":"Zeta"}""", userTok).statusCode() === 403)
+      val s1 = send(port, "POST", "/symptoms", """{"code":"SZX","name":"Zeta"}""", adminTok)
+      assert(s1.statusCode() === 200 && s1.body.contains(""""code":"SZX""""))
+      assert(send(port, "POST", "/symptoms",
+        """{"code":"SZX","name":"Again"}""", adminTok).statusCode() === 400)
+
+      // events: token OPTIONAL; segment = make_segment(role body > claims
+      // > "user", geo, age tercile) — services.py:8-14
+      val e1 = post(port, "/events",
+        """{"user_id":900001,"payload":{"symptom_codes":["zzq_a","zzq_b"]},"geo":"DE","age":25}""")
+      assert(e1.statusCode() === 200)
+      assert(e1.body.contains(""""segment":"role:user|geo:DE|age:y""""), e1.body)
+      assert(e1.body.contains(""""_links":{"self":{"href":"/events/"""), e1.body)
+      val e2 = send(port, "POST", "/events",
+        """{"user_id":900002,"payload":{"symptom_codes":["zzq_a","zzq_b"]},"age":61}""", adminTok)
+      assert(e2.body.contains(""""segment":"role:admin|geo:UNK|age:s""""), e2.body)
+      val e3 = send(port, "POST", "/events",
+        """{"user_id":900003,"payload":{"symptom_codes":["zzq_b"]},"role":"auditor","age":45}""", adminTok)
+      assert(e3.body.contains(""""segment":"role:auditor|geo:UNK|age:m""""), e3.body)
+      assert(post(port, "/events", """{"payload":{}}""").statusCode() === 400)
+
+      // round-trip: the posted pair reaches the J1 analytics relation
+      // (min_support is the reference's query param) while the default
+      // threshold still serves exactly the batch result
+      val pairs1 = get(port, "/analytics/frequent-pairs?min_support=1", Some(adminTok))
+      assert(pairs1.body.contains(""""pair":"zzq_a,zzq_b","support":2"""), pairs1.body)
+      val dflt = get(port, "/analytics/frequent-pairs", Some(adminTok))
+      val expectedPairs = graft.operators.Events.frequentPairs(spark, sf0001, 5L).count()
+      assert(""""pair":""".r.findAllIn(dflt.body).length === expectedPairs.toInt)
+
+      // features (routers.py:211-217 / services.py:25-33): counts over
+      // batch ∪ ingested — occurrences grew by the 5 posted code rows,
+      // unique types by the 2 new codes
+      assert(get(port, "/analytics/features", Some(userTok)).statusCode() === 403)
+      val feats = get(port, "/analytics/features", Some(adminTok))
+      assert(feats.statusCode() === 200)
+      val baseN = graft.Tables(spark, sf0001, "events").count()
+      val baseU = graft.Tables(spark, sf0001, "events")
+        .select("event_type").distinct().count()
+      assert(feats.body.contains(s""""total_occurrences":${baseN + 5}"""), feats.body)
+      assert(feats.body.contains(s""""total_unique":${baseU + 2}"""), feats.body)
+      assert(""""most_common":\[\[""".r.findFirstIn(feats.body).isDefined, feats.body)
+
+      // the spool itself is the engine-readable S4 append-sink shape
+      val spool = srv.events.relation(spark).collect()
+      assert(spool.length === 5)
+      assert(spool.count(_.getAs[String]("segment") == "role:user|geo:DE|age:y") === 2)
+
+      // write-path rate limit: burst 15 per fixed window, 429 past it
+      now += 1000L
+      val codes = (1 to 16).map(_ =>
+        post(port, "/events", """{"user_id":1,"payload":{}}""").statusCode())
+      assert(codes.take(15).forall(_ == 200), s"first 15 must pass: $codes")
+      assert(codes.last === 429, s"16th must be denied: $codes")
+    } finally srv.stop()
+  }
+
+  test("make_segment: the serving twin is bit-equal to the engine Column expression") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val cases = Seq[(Option[String], Option[String], Option[Int])](
+      (Some("admin"), Some("DE"), Some(25)), (None, None, None),
+      (Some("user"), Some("US"), Some(30)), (None, Some("FR"), Some(59)),
+      (Some("auditor"), None, Some(60)), (None, None, Some(95)),
+      (Some("x"), Some("y"), Some(0)), (None, Some("JP"), Some(29)))
+    val rows = cases.map { case (r, g, a) =>
+      org.apache.spark.sql.Row(r.orNull, g.orNull, a.map(Integer.valueOf).orNull) }
+    val schema = StructType(Seq(StructField("role", StringType),
+      StructField("geo", StringType), StructField("age", IntegerType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema)
+    val got = df.select(
+      graft.operators.Events.makeSegment(col("role"), col("geo"), col("age")).as("seg"))
+      .collect().map(_.getString(0)).toSeq
+    val want = cases.map { case (r, g, a) => RestServer.makeSegment(r, g, a) }
+    assert(got === want)
+  }
+
+  test("users route: non-numeric or extra-segment paths are 404, never the collection") {
+    val srv = new RestServer(spark, sf0001)
+    val port = srv.start()
+    try {
+      val tok = tokenOf(post(port, "/auth/login",
+        """{"email":"admin@example.com","password":"admin-pw"}"""))
+      for (p <- Seq("/users/abc", "/users/1/x", "/users/1abc")) {
+        val r = get(port, p, Some(tok))
+        assert(r.statusCode() === 404, s"$p -> ${r.statusCode()}")
+        assert(!r.body.contains("admin@example.com"), s"$p leaked the collection")
+      }
+    } finally srv.stop()
+  }
+
+  test("stop() drains the request-log buffer without an explicit flush") {
+    val srv = new RestServer(spark, sf0001)
+    val port = srv.start()
+    assert(get(port, "/health").statusCode() === 200)
+    assert(get(port, "/health").statusCode() === 200)
+    srv.stop()
+    assert(srv.tracker.relation(spark).count() === 2)
+  }
+
   test("rate-limit store: heterogeneous periods coexist — short-period churn never prunes long-period counters") {
     // round-11 ADVICE: window ids are only comparable within one
     // period; expiry is a per-row absolute timestamp, so a 1s-period

@@ -112,7 +112,11 @@ object Bench {
         // parse ONLY the `queries` object — top-level fields (value,
         // reps) and the requeried re-measures must not leak into the
         // anchor map and skew outlier detection (round-11 ADVICE)
-        val qobj = """"queries":\{([^}]*)\}""".r
+        // whitespace-tolerant: pretty-printed anchors (a hand-patched
+        // artifact) silently parsed to an EMPTY anchor map and the
+        // >2x outlier requery never fired (round-14: a 41.7 s ambient
+        // graph_triangles median shipped unrequeried because of this)
+        val qobj = """"queries"\s*:\s*\{([^}]*)\}""".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
         """"([A-Za-z0-9_]+)":(-?[0-9][0-9.]*)""".r.findAllMatchIn(qobj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap

@@ -169,11 +169,31 @@ object Dedup {
     * Returns (representatives of `sigs`, star pairs (doc_a=keeper,
     * doc_b=member)). */
   private def collapseBySig(sigs: DataFrame, keyCols: Seq[Column]): (DataFrame, DataFrame) = {
-    val keyed = sigs.withColumn("__sig", md5(concat(keyCols: _*)))
-    val keepers = keyed.groupBy("__sig").agg(min("doc_id").as("__keeper"))
-    val joined = keyed.join(keepers, Seq("__sig"))
-    val reps = joined.filter(col("doc_id") === col("__keeper")).drop("__sig", "__keeper")
-    val stars = joined.filter(col("doc_id") =!= col("__keeper"))
+    // Representatives come STRAIGHT from the keeper aggregate: the
+    // signature columns are the grouping key, so the keeper row IS
+    // the representative's signature row — no join back, and the
+    // map-side combine means only distinct-signature partials ever
+    // shuffle (the dup-heavy regime's d-sized groups reduce to one
+    // partial per map partition). Checkpointed once for its two
+    // consumers (the star join and the banding).
+    // The round-13 shape (md5(concat(sig)) string key + join back +
+    // two filters over the lazy join) evaluated the digest per
+    // consumer and executed the fat join twice — measured +31-45%
+    // on the clean sf0.1 corpus (BASELINE round 14).
+    val reps = sigs.groupBy(keyCols: _*).agg(min(col("doc_id")).as("doc_id"))
+      .select(sigs.columns.map(col).toIndexedSeq: _*)
+      .localCheckpoint()
+    // The star join shuffles a 128-bit signature fingerprint (two
+    // independently-seeded xxhash64 longs, 16 bytes) instead of the
+    // 16 × 32-char md5 signature itself — collision odds ~2^-128 per
+    // candidate; only members (doc_id ≠ keeper) survive the filter.
+    def fp(df: DataFrame): DataFrame = df
+      .withColumn("__h1", xxhash64(keyCols: _*))
+      .withColumn("__h2", xxhash64(lit("graft:sig2") +: keyCols: _*))
+    val stars = fp(sigs).select(col("doc_id"), col("__h1"), col("__h2"))
+      .join(fp(reps).select(col("doc_id").as("__keeper"), col("__h1"), col("__h2")),
+        Seq("__h1", "__h2"))
+      .filter(col("doc_id") =!= col("__keeper"))
       .select(col("__keeper").as("doc_a"), col("doc_id").as("doc_b"))
     (reps, stars)
   }
@@ -550,12 +570,17 @@ object Dedup {
     // Checkpointed: the 60-bit-sum agg feeds the keeper groupBy, the
     // star join, and both sides of the band self-join.
     val sigs = simhash(docs).localCheckpoint()
-    val keepers = sigs.groupBy("simhash").agg(min("doc_id").as("__keeper"))
-    val joined = sigs.join(keepers, Seq("simhash"))
-    val stars = joined.filter(col("doc_id") =!= col("__keeper"))
+    // keeper aggregate IS the representative relation (the signature
+    // is the grouping key — collapseBySig's shape): no join back for
+    // reps, map-side combine on the 64-bit key, one checkpoint for
+    // the star join + banding consumers
+    val reps = sigs.groupBy("simhash").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "simhash").localCheckpoint()
+    val stars = sigs
+      .join(reps.select(col("simhash"), col("doc_id").as("__keeper")), Seq("simhash"))
+      .filter(col("doc_id") =!= col("__keeper"))
       .select(col("__keeper").as("doc_a"), col("doc_id").as("doc_b"),
         lit(0).as("hamming"))
-    val reps = joined.filter(col("doc_id") === col("__keeper")).drop("__keeper")
     val banded = reps.select(col("doc_id"), col("simhash"),
         explode(simhashBandKeys(col("simhash"), m)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band_idx"), col("bk.band_key"))

@@ -550,9 +550,16 @@ object TextAnalysis {
   def tfidfTop(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    // materialized once: the three consumers below (score join left
+    // side, the df aggregate, the corpus doc count) would otherwise
+    // each re-run tokenize+explode+the (doc_id, token) shuffle — at
+    // 100 TB that's the whole corpus tokenized three times
     val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val n = tok.agg(countDistinct(col("doc_id")).as("n_docs"))
+    // every doc with ≥1 token appears in tf, so the corpus count can
+    // ride the checkpoint instead of re-scanning the token relation
+    val n = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
     val byScore = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("token"))
     tf.join(df, "token")

@@ -187,9 +187,16 @@ object Dedup {
     // independently-seeded xxhash64 longs, 16 bytes) instead of the
     // 16 × 32-char md5 signature itself — collision odds ~2^-128 per
     // candidate; only members (doc_id ≠ keeper) survive the filter.
+    // xxhash64 SKIPS null inputs without advancing state, so two
+    // distinct signatures differing only in null placement — (null,x)
+    // vs (x,null) — would collide on any number of seeds; the second
+    // hash therefore runs over a null-sentineled string rendering of
+    // the key, which restores placement sensitivity and the ~2^-128
+    // independence claim for null-bearing keys too (round-14 ADVICE).
     def fp(df: DataFrame): DataFrame = df
       .withColumn("__h1", xxhash64(keyCols: _*))
-      .withColumn("__h2", xxhash64(lit("graft:sig2") +: keyCols: _*))
+      .withColumn("__h2", xxhash64(lit("graft:sig2") +:
+        keyCols.map(c => coalesce(c.cast("string"), lit("\\u0000"))): _*))
     val stars = fp(sigs).select(col("doc_id"), col("__h1"), col("__h2"))
       .join(fp(reps).select(col("doc_id").as("__keeper"), col("__h1"), col("__h2")),
         Seq("__h1", "__h2"))

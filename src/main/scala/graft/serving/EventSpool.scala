@@ -25,10 +25,32 @@ final class EventSpool(val spoolDir: String,
                        clock: () => Long = () => System.currentTimeMillis()) {
   Files.createDirectories(Paths.get(spoolDir))
 
-  private val seq = new java.util.concurrent.atomic.AtomicLong(0L)
-  private val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+  // Restart recovery: a durable spool (RestServer stateDir) resumes
+  // past what's already on disk — event ids from the filenames, the
+  // row count (the analytics cache key) from the file contents — so a
+  // restarted facade neither reuses ids nor serves a stale cache. The
+  // reference gets this from SQLite autoincrement (db.py:5-15).
+  private val existing: Seq[java.nio.file.Path] = {
+    val s = Files.list(Paths.get(spoolDir))
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(_.getFileName.toString.matches("events-\\d+-[0-9a-f-]+\\.csv")).toSeq
+    } finally s.close()
+  }
+  private val seq = new java.util.concurrent.atomic.AtomicLong(
+    if (existing.isEmpty) 0L
+    else existing.map(_.getFileName.toString.stripPrefix("events-")
+      .takeWhile(_.isDigit).toLong).max)
+  private val rows = new java.util.concurrent.atomic.AtomicLong(
+    existing.map(p => Files.readAllLines(p).size.toLong).sum)
 
-  private def q(s: String): String = "\"" + s.replace("\"", "\"\"") + "\""
+  // Control characters (CR/LF above all) must not reach the CSV: the
+  // spool is read WITHOUT multiLine, so a raw newline inside a quoted
+  // field would shear the record and corrupt every analytics consumer
+  // of the union (same class RestServer's js() \u-escapes for JSON).
+  private def q(s: String): String =
+    "\"" + s.filterNot(c => c < ' ' || c == '\u007f').replace("\"", "\"\"") + "\""
 
   /** Rows accepted so far (monotone; the analytics cache key). */
   def version: Long = rows.get()

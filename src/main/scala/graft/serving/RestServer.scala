@@ -32,7 +32,9 @@ import graft.operators.Events
   *     event's code rows land through the S4 append-sink spool
   *     ([[EventSpool]]) that the analytics union back in
   *   GET  /analytics/frequent-pairs admin + rate-limited (J1 query,
-  *     ?min_support=N, over batch ∪ ingested — routers.py:195-207)
+  *     ?min_support=N, over batch ∪ ingested — routers.py:195-207;
+  *     ?scope=event serves the reference's per-event pairing over the
+  *     ingested spool, the default the oracled per-user rewrite)
   *   GET  /analytics/features       admin + rate-limited (routers.py:211-217:
   *     most_common-5 / total_unique / total_occurrences — the A1/A3/A4
   *     counts over batch ∪ ingested)
@@ -51,11 +53,19 @@ import graft.operators.Events
   * presentation only, which is why it lives outside the operator
   * packages and carries no oracle of its own (RestServerSpec drives
   * it end-to-end over HTTP instead).
+  *
+  * Durability: pass `stateDir` and the facade matches the reference's
+  * SQLite persistence (db.py:5-15) — user/symptom mutations journal
+  * through [[StateJournal]] and replay on construction, ingested
+  * events spool under the same root, and ids resume past what's on
+  * disk. Without it, state is in-process and stop() removes the temp
+  * event spool.
   */
 class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secret",
                  clock: () => Long = () => System.currentTimeMillis(),
                  store: RateLimitStore = new InMemoryRateLimitStore,
-                 trackDir: Option[String] = None) {
+                 trackDir: Option[String] = None,
+                 stateDir: Option[String] = None) {
 
   /** TrackingMiddleware twin (middleware.py:8-30): one RequestLog row
     * per HTTP request, appended through the spool-file sink; read the
@@ -81,10 +91,40 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
   private val symptoms = scala.collection.mutable.LinkedHashMap.empty[String, Symptom]
   private val nextSid = new java.util.concurrent.atomic.AtomicLong(1L)
 
+  // --- durability (db.py:5-15: the reference's stores survive a
+  // restart through SQLite): with a stateDir, every user/symptom
+  // mutation is journaled through the S4 append-sink shape
+  // ([[StateJournal]]) and replayed over the seeds here, and the event
+  // spool lands under the same root; without one, state is in-process
+  // and the spool is a temp dir that stop() removes ---
+  private val usersLog = stateDir.map(d =>
+    new StateJournal(java.nio.file.Paths.get(d, "users").toString))
+  private val symptomsLog = stateDir.map(d =>
+    new StateJournal(java.nio.file.Paths.get(d, "symptoms").toString))
+  usersLog.foreach(_.replay().foreach {
+    case Seq("put", id, email, pw, role) =>
+      val u = User(id.toLong, email, pw, role)
+      users(u.id) = u
+      nextUid.accumulateAndGet(u.id + 1, math.max)
+    case Seq("del", id) => users.remove(id.toLong)
+    case _ => ()
+  })
+  symptomsLog.foreach(_.replay().foreach {
+    case Seq(id, code, name) =>
+      symptoms(code) = Symptom(id.toLong, code, name)
+      nextSid.accumulateAndGet(id.toLong + 1, math.max)
+    case _ => ()
+  })
+  private def journalPut(u: User): Unit =
+    usersLog.foreach(_.append(Seq("put", u.id.toString, u.email, u.passwordHash, u.role)))
+
   /** Ingested events land here — the S4 append-sink spool the
-    * analytics routes union with the batch table. */
+    * analytics routes union with the batch table (durable under
+    * stateDir when given; temp otherwise). */
   val events = new EventSpool(
-    java.nio.file.Files.createTempDirectory("graft_events").toString, clock = clock)
+    stateDir.map(d => java.nio.file.Paths.get(d, "events").toString)
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft_events").toString),
+    clock = clock)
 
   // --- fixed-window rate limiter (rate_limit.py:37-53): counters live
   // in the pluggable store — in-memory (the reference's fallback) by
@@ -123,6 +163,40 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
   }
   private def frequentPairsJson(minSupport: Long): String =
     pairsAt(events.version).filter(_._3 >= minSupport)
+      .map { case (a, b, n) => s"""{"pair":${js(s"$a,$b")},"support":$n}""" }
+      .mkString("[", ",", "]")
+  // reference-parity leg: routers.py:195-207 / services.py:16-23 count
+  // pairs per EVENT over each event's code set, not per user — a user
+  // POSTing code A and code B in two separate requests makes pair
+  // (A,B) per-user but not per-event (round-14 ADVICE). The spool rows
+  // carry event_id, so ?scope=event serves the reference's semantics
+  // exactly over everything POSTed; the default stays the oracled
+  // per-user J1 rewrite over batch ∪ ingested (batch rows are
+  // single-code events, which per-event pairing excludes by shape).
+  // Same engine operator either way — the pairing key is just the
+  // event id instead of the user id.
+  private val eventPairsCache =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Seq[(String, String, Long)])]()
+  private def eventPairsAt(v: Long): Seq[(String, String, Long)] = {
+    val cached = eventPairsCache.get()
+    if (cached != null && cached._1 == v) cached._2
+    else {
+      val rows =
+        if (v == 0L) Seq.empty[(String, String, Long)]
+        else {
+          import org.apache.spark.sql.functions.col
+          Events.frequentPairsOf(
+            events.relation(spark)
+              .select(col("event_id").as("user_id"), col("event_type")),
+            minSupport = 1L).collect()
+            .toSeq.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        }
+      eventPairsCache.set((v, rows))
+      rows
+    }
+  }
+  private def eventScopedPairsJson(minSupport: Long): String =
+    eventPairsAt(events.version).filter(_._3 >= minSupport)
       .map { case (a, b, n) => s"""{"pair":${js(s"$a,$b")},"support":$n}""" }
       .mkString("[", ",", "]")
   // per-type counts behind /analytics/features (services.py:25-33:
@@ -282,6 +356,7 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
               val u = User(nextUid.getAndIncrement(), email, hashPw(pw),
                 claimOf(body, "role").getOrElse("user"))
               users(u.id) = u
+              journalPut(u)
               (200, s"""{"data":${userJson(u)},"_links":${userLinks(u.id)}}""")
             }
           }
@@ -308,6 +383,7 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
                   passwordHash = claimOf(body, "password").map(hashPw).getOrElse(u.passwordHash),
                   role = claimOf(body, "role").getOrElse(u.role))
                 users(id) = next
+                journalPut(next)
                 (200, s"""{"data":${userJson(next)},"_links":${userLinks(id)}}""")
               }
           }
@@ -315,8 +391,10 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
       }
       case ("DELETE", Some(id)) => guardedWith(ex, "users:delete", burst = 5) {
         users.synchronized {
-          if (users.remove(id).isDefined) (200, s"""{"data":{"deleted":$id}}""")
-          else (404, """{"detail":"User not found"}""")
+          if (users.remove(id).isDefined) {
+            usersLog.foreach(_.append(Seq("del", id.toString)))
+            (200, s"""{"data":{"deleted":$id}}""")
+          } else (404, """{"detail":"User not found"}""")
         }
       }
       case _ => respond(ex, 405, """{"detail":"Method not allowed"}""")
@@ -346,6 +424,7 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
           else {
             val s = Symptom(nextSid.getAndIncrement(), code, name)
             symptoms(code) = s
+            symptomsLog.foreach(_.append(Seq(s.id.toString, s.code, s.name)))
             (200, s"""{"data":{"id":${s.id},"code":${js(s.code)},"name":${js(s.name)}}}""")
           }
         }
@@ -401,8 +480,10 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
     server.createContext("/analytics/frequent-pairs", tracked((ex: HttpExchange) =>
       guarded(ex, "analytics:pairs", burst = 8) {
         val ms = queryParam(ex, "min_support").flatMap(_.toLongOption).getOrElse(5L)
-        s"""{"data":${frequentPairsJson(ms)},""" +
-          s""""_links":{"self":{"href":"/analytics/frequent-pairs?min_support=$ms"}}}"""
+        val scope = queryParam(ex, "scope").getOrElse("user")
+        val data = if (scope == "event") eventScopedPairsJson(ms) else frequentPairsJson(ms)
+        s"""{"data":$data,""" +
+          s""""_links":{"self":{"href":"/analytics/frequent-pairs?min_support=$ms&scope=$scope"}}}"""
       }))
     server.createContext("/analytics/features", tracked((ex: HttpExchange) =>
       guarded(ex, "analytics:features", burst = 8) {
@@ -421,12 +502,24 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
     server.getAddress.getPort
   }
 
-  /** Stop the listener, then drain the request-log buffer — without
-    * the flush, up to flushEvery-1 tracked rows of the final batch
-    * would be lost on shutdown (round-13 ADVICE). */
+  /** Stop the listener (waiting up to 1 s for in-flight exchanges so a
+    * handler finishing during shutdown still lands its request-log row
+    * before the drain — round-14 ADVICE), then flush the tracker
+    * buffer. A NON-durable events spool (no stateDir) is a temp dir
+    * this server created, so it is removed here; durable state stays. */
   def stop(): Unit = if (server != null) {
-    server.stop(0)
+    server.stop(1)
     tracker.flush()
+    if (stateDir.isEmpty) {
+      val root = java.nio.file.Paths.get(events.spoolDir)
+      if (java.nio.file.Files.isDirectory(root)) {
+        val s = java.nio.file.Files.list(root)
+        try {
+          s.iterator().forEachRemaining(p => java.nio.file.Files.deleteIfExists(p))
+        } finally s.close()
+        java.nio.file.Files.deleteIfExists(root)
+      }
+    }
   }
 }
 

@@ -303,6 +303,89 @@ class RestServerSpec extends AnyFunSuite {
     assert(srv.tracker.relation(spark).count() === 2)
   }
 
+  test("durability: users, symptoms, and events survive a restart through stateDir") {
+    // the reference's stores persist through SQLite (db.py:5-15);
+    // with a stateDir the facade journals mutations (StateJournal) and
+    // spools events durably, replaying both on construction
+    val state = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val s1 = new RestServer(spark, sf0001, stateDir = Some(state))
+    val p1 = s1.start()
+    val adminTok = tokenOf(post(p1, "/auth/login",
+      """{"email":"admin@example.com","password":"admin-pw"}"""))
+    assert(send(p1, "POST", "/users",
+      """{"email":"durable@example.com","password":"d-pw","role":"admin"}""", adminTok)
+      .statusCode() === 200)
+    assert(send(p1, "POST", "/symptoms",
+      """{"code":"SDU","name":"Durable"}""", adminTok).statusCode() === 200)
+    val eid1 = """"id":(\d+)""".r.findFirstMatchIn(post(p1, "/events",
+      """{"user_id":900050,"payload":{"symptom_codes":["dur_a","dur_b"]}}""").body)
+      .get.group(1).toLong
+    s1.stop()
+
+    val s2 = new RestServer(spark, sf0001, stateDir = Some(state))
+    val p2 = s2.start()
+    try {
+      // the registered user logs in after the restart; dup code still 400
+      val durTok = tokenOf(post(p2, "/auth/login",
+        """{"email":"durable@example.com","password":"d-pw"}"""))
+      assert(send(p2, "POST", "/symptoms",
+        """{"code":"SDU","name":"Again"}""", durTok).statusCode() === 400)
+      // event ids resume past the spooled ones; ingested rows are served
+      val eid2 = """"id":(\d+)""".r.findFirstMatchIn(post(p2, "/events",
+        """{"user_id":900051,"payload":{"symptom_codes":["dur_c"]}}""").body)
+        .get.group(1).toLong
+      assert(eid2 > eid1, s"event id must resume past $eid1, got $eid2")
+      assert(s2.events.relation(spark).count() === 3)
+      val pairs = get(p2, "/analytics/frequent-pairs?min_support=1", Some(durTok))
+      assert(pairs.body.contains(""""pair":"dur_a,dur_b""""), pairs.body)
+      // a journaled delete replays too
+      assert(send(p2, "DELETE", "/users/3", "", durTok).statusCode() === 200)
+    } finally s2.stop()
+    val s3 = new RestServer(spark, sf0001, stateDir = Some(state))
+    val p3 = s3.start()
+    try assert(post(p3, "/auth/login",
+      """{"email":"durable@example.com","password":"d-pw"}""").statusCode() === 401)
+    finally s3.stop()
+  }
+
+  test("frequent-pairs ?scope=event pairs within each event's code set (routers.py:195-207 parity)") {
+    val srv = new RestServer(spark, sf0001)
+    val port = srv.start()
+    try {
+      val tok = tokenOf(post(port, "/auth/login",
+        """{"email":"admin@example.com","password":"admin-pw"}"""))
+      // one user, two SEPARATE events: per-user pairs them, per-event must not
+      post(port, "/events", """{"user_id":900060,"payload":{"symptom_codes":["sep_a"]}}""")
+      post(port, "/events", """{"user_id":900060,"payload":{"symptom_codes":["sep_b"]}}""")
+      // one event carrying both codes: pairs under BOTH scopes
+      post(port, "/events", """{"user_id":900061,"payload":{"symptom_codes":["tog_a","tog_b"]}}""")
+      val ev = get(port, "/analytics/frequent-pairs?min_support=1&scope=event", Some(tok))
+      assert(ev.body.contains(""""pair":"tog_a,tog_b","support":1"""), ev.body)
+      assert(!ev.body.contains("sep_a,sep_b"), ev.body)
+      // per-event scope reads the ingested spool only — batch rows are
+      // single-code events with no event-level pairs by shape
+      assert(""""pair":""".r.findAllIn(ev.body).length === 1, ev.body)
+      val us = get(port, "/analytics/frequent-pairs?min_support=1&scope=user", Some(tok))
+      assert(us.body.contains("sep_a,sep_b"), us.body)
+    } finally srv.stop()
+  }
+
+  test("event spool strips control characters — a newline in a code cannot shear the CSV") {
+    val srv = new RestServer(spark, sf0001)
+    val port = srv.start()
+    try {
+      // raw CR/LF inside the JSON string reach codesOf's [^"]* capture;
+      // q() must strip them before the spool line is written
+      post(port, "/events",
+        "{\"user_id\":900070,\"payload\":{\"symptom_codes\":[\"bad\ncode\",\"tail\rX\"]}}")
+      val rows = srv.events.relation(spark).collect()
+      assert(rows.length === 2, rows.toSeq.toString)
+      val types = rows.map(_.getAs[String]("event_type")).sorted.toSeq
+      assert(types === Seq("badcode", "tailX"), types.toString)
+      assert(rows.forall(_.getAs[java.lang.Long]("user_id") == 900070L))
+    } finally srv.stop()
+  }
+
   test("rate-limit store: heterogeneous periods coexist — short-period churn never prunes long-period counters") {
     // round-11 ADVICE: window ids are only comparable within one
     // period; expiry is a per-row absolute timestamp, so a 1s-period

@@ -138,10 +138,17 @@ object Bench {
         }.toMap
       }
 
-    val qs = medians.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // JSON numbers must render with '.' regardless of the JVM's default
+    // locale — the f interpolator is locale-sensitive, and the final
+    // stdout line is exactly what the round driver parses (ADVICE r15).
+    def num3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def num2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val rq = requeried.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     // per-tag subtotals: the artifact itself states how much of the
@@ -150,7 +157,7 @@ object Bench {
       .groupBy { case (n, _) => SparkEntry.queryTag(n) }
       .map { case (t, xs) => t -> xs.map(_._2).sum }
     val tags = tagTotals.toSeq.sortBy(_._1)
-      .map { case (t, v) => "\"" + t + "\":" + f"$v%.3f" }
+      .map { case (t, v) => "\"" + t + "\":" + num3(v) }
       .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"requeried":$rq,"tags":$tags,"profile":"$profile","sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}"""
     println(json)
@@ -164,9 +171,9 @@ object Bench {
     // complete per-query map in `queries_full` (the atomically-written
     // outPath below). queries_truncated flags the subset explicitly.
     val top = medians.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(25)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      .map { case (k, v) => "\"" + k + "\":" + num2(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top,""" +
+    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$top,""" +
       s""""queries_truncated":true,"queries_n":${medians.count(_._2 >= 0)},""" +
       s""""queries_full":"$outPath","requeried":$rq,"tags":$tags,""" +
       s""""profile":"$profile","sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}""")

@@ -168,7 +168,7 @@ object Dedup {
     * bestKeeperClusters outputs are unchanged rows-for-row.
     * Returns (representatives of `sigs`, star pairs (doc_a=keeper,
     * doc_b=member)). */
-  private def collapseBySig(sigs: DataFrame, keyCols: Seq[Column]): (DataFrame, DataFrame) = {
+  private[graft] def collapseBySig(sigs: DataFrame, keyCols: Seq[Column]): (DataFrame, DataFrame) = {
     // Representatives come STRAIGHT from the keeper aggregate: the
     // signature columns are the grouping key, so the keeper row IS
     // the representative's signature row — no join back, and the
@@ -189,17 +189,25 @@ object Dedup {
     // candidate; only members (doc_id ≠ keeper) survive the filter.
     // xxhash64 SKIPS null inputs without advancing state, so two
     // distinct signatures differing only in null placement — (null,x)
-    // vs (x,null) — would collide on any number of seeds; the second
-    // hash therefore runs over a null-sentineled string rendering of
-    // the key, which restores placement sensitivity and the ~2^-128
-    // independence claim for null-bearing keys too (round-14 ADVICE).
+    // vs (x,null) — would collide on any number of seeds; the join
+    // key therefore also carries an explicit null-placement BITMASK,
+    // which restores placement sensitivity exactly (identical mask
+    // required, no hash involved) with zero per-row string rendering
+    // — the round-15 shape cast every key column to a null-sentineled
+    // string for the second hash, the suspected cost behind the
+    // multi-key-column caller's (nameEntities) 1.54× bench drift
+    // (round-15 VERDICT item 3; A/B in BASELINE.md round 16).
+    val nullMask: Column = keyCols.zipWithIndex
+      .map { case (c, i) => when(c.isNull, lit(1L << (i % 64))).otherwise(lit(0L)) }
+      .reduce(_.bitwiseXOR(_))
     def fp(df: DataFrame): DataFrame = df
       .withColumn("__h1", xxhash64(keyCols: _*))
-      .withColumn("__h2", xxhash64(lit("graft:sig2") +:
-        keyCols.map(c => coalesce(c.cast("string"), lit("\\u0000"))): _*))
-    val stars = fp(sigs).select(col("doc_id"), col("__h1"), col("__h2"))
-      .join(fp(reps).select(col("doc_id").as("__keeper"), col("__h1"), col("__h2")),
-        Seq("__h1", "__h2"))
+      .withColumn("__h2", xxhash64(lit("graft:sig2") +: keyCols: _*))
+      .withColumn("__nm", nullMask)
+    val stars = fp(sigs).select(col("doc_id"), col("__h1"), col("__h2"), col("__nm"))
+      .join(fp(reps).select(col("doc_id").as("__keeper"),
+          col("__h1"), col("__h2"), col("__nm")),
+        Seq("__h1", "__h2", "__nm"))
       .filter(col("doc_id") =!= col("__keeper"))
       .select(col("__keeper").as("doc_a"), col("doc_id").as("doc_b"))
     (reps, stars)

@@ -56,20 +56,22 @@ final class EventSpool(val spoolDir: String,
   def version: Long = rows.get()
 
   /** Persist one event's code rows; returns the event id. Events with
-    * no codes write nothing (they contribute no analytics rows) but
-    * still get an id — the request log carries the HTTP trace. */
+    * no codes contribute no analytics rows but still consume an id —
+    * they land as an EMPTY spool file so the id high-water mark is on
+    * disk for restart resume too (a code-less trailing event must not
+    * see its id reissued across process lifetimes — round-15 ADVICE);
+    * an empty CSV adds zero rows to the relation and the version. */
   def record(userId: Long, codes: Seq[String], segment: String): Long = {
     val eid = seq.incrementAndGet()
     val distinct = codes.distinct.sorted
-    if (distinct.nonEmpty) {
-      val ts = clock()
-      val lines = distinct.map(c => s"$eid,$ts,$userId,${q(c)},${q(segment)}")
-      val name = f"events-$eid%06d-${java.util.UUID.randomUUID()}.csv"
-      val tmp: Path = Paths.get(spoolDir, s".$name.tmp")
-      Files.write(tmp, (lines.mkString("\n") + "\n").getBytes(UTF_8))
-      Files.move(tmp, Paths.get(spoolDir, name), StandardCopyOption.ATOMIC_MOVE)
-      rows.addAndGet(distinct.length.toLong)
-    }
+    val ts = clock()
+    val lines = distinct.map(c => s"$eid,$ts,$userId,${q(c)},${q(segment)}")
+    val name = f"events-$eid%06d-${java.util.UUID.randomUUID()}.csv"
+    val tmp: Path = Paths.get(spoolDir, s".$name.tmp")
+    val body = if (lines.isEmpty) "" else lines.mkString("\n") + "\n"
+    Files.write(tmp, body.getBytes(UTF_8))
+    Files.move(tmp, Paths.get(spoolDir, name), StandardCopyOption.ATOMIC_MOVE)
+    if (distinct.nonEmpty) rows.addAndGet(distinct.length.toLong)
     eid
   }
 

@@ -478,12 +478,19 @@ class RestServer(spark: SparkSession, dir: String, secret: String = "graft-secre
     server.createContext("/symptoms", tracked(symptomsRoute))
     server.createContext("/events", tracked(eventsRoute))
     server.createContext("/analytics/frequent-pairs", tracked((ex: HttpExchange) =>
-      guarded(ex, "analytics:pairs", burst = 8) {
+      guardedWith(ex, "analytics:pairs", burst = 8) {
         val ms = queryParam(ex, "min_support").flatMap(_.toLongOption).getOrElse(5L)
-        val scope = queryParam(ex, "scope").getOrElse("user")
-        val data = if (scope == "event") eventScopedPairsJson(ms) else frequentPairsJson(ms)
-        s"""{"data":$data,""" +
-          s""""_links":{"self":{"href":"/analytics/frequent-pairs?min_support=$ms&scope=$scope"}}}"""
+        // Whitelisted: getQuery percent-DECODES, so echoing a free-form
+        // scope into the JSON body would let `"`/backslash in the URL
+        // inject fields into the response (round-15 ADVICE).
+        queryParam(ex, "scope").getOrElse("user") match {
+          case scope @ ("user" | "event") =>
+            val data = if (scope == "event") eventScopedPairsJson(ms) else frequentPairsJson(ms)
+            (200, s"""{"data":$data,""" +
+              s""""_links":{"self":{"href":"/analytics/frequent-pairs?min_support=$ms&scope=$scope"}}}""")
+          case _ =>
+            (400, """{"detail":"scope must be 'user' or 'event'"}""")
+        }
       }))
     server.createContext("/analytics/features", tracked((ex: HttpExchange) =>
       guarded(ex, "analytics:features", burst = 8) {

@@ -257,4 +257,25 @@ class DedupSpec extends AnyFunSuite {
         ((r.getAs[Long]("keeper_doc_id"), r.getAs[Boolean]("is_kept")))).toMap
     assert(replay === expect, "append must not change settled decisions (idempotent replay)")
   }
+
+  test("collapseBySig: null-placement variants never collapse; true dup groups star on min id") {
+    import org.apache.spark.sql.functions.col
+    // xxhash64 skips nulls without advancing state, so (null,x) vs
+    // (x,null) collide on BOTH seeded hashes; the null-placement
+    // bitmask in the join key must keep them apart (round-15 ADVICE /
+    // VERDICT item 3 rework).
+    val sigs = Seq[(Long, Option[String], Option[String])](
+      (1L, None, Some("x")), // (null, x)
+      (2L, Some("x"), None), // (x, null) — hash-collides with 1 on both seeds
+      (3L, Some("x"), None), // true dup of 2
+      (4L, Some("a"), Some("b")),
+      (5L, Some("a"), Some("b")) // true dup of 4
+    ).toDF("doc_id", "k1", "k2")
+    val (reps, stars) = Dedup.collapseBySig(sigs, Seq(col("k1"), col("k2")))
+    val starPairs = stars.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starPairs === Set((2L, 3L), (4L, 5L)),
+      "stars must link true signature dups only — never null-placement variants")
+    val repIds = reps.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(repIds === Set(1L, 2L, 4L), "one min-id representative per distinct signature")
+  }
 }

@@ -370,6 +370,39 @@ class RestServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("frequent-pairs scope is whitelisted — a crafted value cannot inject JSON") {
+    val srv = new RestServer(spark, sf0001)
+    val port = srv.start()
+    try {
+      val tok = tokenOf(post(port, "/auth/login",
+        """{"email":"admin@example.com","password":"admin-pw"}"""))
+      // getQuery percent-decodes, so this arrives as scope=x","evil":"y
+      val r = get(port,
+        "/analytics/frequent-pairs?min_support=1&scope=x%22,%22evil%22:%22y", Some(tok))
+      assert(r.statusCode() === 400, r.body)
+      assert(!r.body.contains("evil"), r.body)
+    } finally srv.stop()
+  }
+
+  test("code-less event ids are not reissued across restarts") {
+    val state = java.nio.file.Files.createTempDirectory("graft_state_noid").toString
+    val s1 = new RestServer(spark, sf0001, stateDir = Some(state))
+    val p1 = s1.start()
+    // trailing event has NO codes — its id must still be on disk
+    val eid1 = """"id":(\d+)""".r.findFirstMatchIn(post(p1, "/events",
+      """{"user_id":900080,"payload":{"symptom_codes":[]}}""").body).get.group(1).toLong
+    s1.stop()
+    val s2 = new RestServer(spark, sf0001, stateDir = Some(state))
+    val p2 = s2.start()
+    try {
+      val eid2 = """"id":(\d+)""".r.findFirstMatchIn(post(p2, "/events",
+        """{"user_id":900081,"payload":{"symptom_codes":[]}}""").body).get.group(1).toLong
+      assert(eid2 > eid1, s"code-less event id must resume past $eid1, got $eid2")
+      // the empty marker files contribute no analytics rows
+      assert(s2.events.version === 0L)
+    } finally s2.stop()
+  }
+
   test("event spool strips control characters — a newline in a code cannot shear the CSV") {
     val srv = new RestServer(spark, sf0001)
     val port = srv.start()

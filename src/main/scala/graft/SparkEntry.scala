@@ -570,17 +570,26 @@ object SparkEntry {
     * round-13 signature-identical collapse: band-join over one
     * representative per DISTINCT full signature, plus the O(d) keeper
     * star (all 4 bands shared by identity) for each signature group. */
+  /** min((a_i·mhb + b_i) mod p) — one affine MinHash component in
+    * DuckDB SQL, sharing Dedup.minhashParams by interpolation so the
+    * family literally cannot drift between the engines. */
+  private def minhashMinSql(i: Int): String = {
+    val (a, b) = Dedup.minhashParams(i)
+    s"min(($a * mhb + $b) % ${Dedup.minhashPrime})"
+  }
+
   private val minhashPairsOracleSql: String =
     ("""WITH sh AS (
       |  SELECT DISTINCT doc_id,
       |    unnest(CASE WHEN len(t) < 3 THEN [text]
       |      ELSE list_transform(range(0, len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) END) AS shingle
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) raw),
-      |sigs AS (
-      |  SELECT doc_id, """.stripMargin
-      + (0 until 16).map(i => s"min(md5('$i:' || shingle)) AS mh$i").mkString(", ")
-      + "\n  FROM sh GROUP BY doc_id),\nkeyed AS (\n  SELECT *, md5("
-      + (0 until 16).map(i => s"mh$i").mkString(" || ")
+      |based AS (SELECT doc_id,
+      |  (('0x' || substr(md5(shingle), 1, 15))::BIGINT % """.stripMargin
+      + s"${Dedup.minhashPrime}) AS mhb FROM sh),\nsigs AS (\n  SELECT doc_id, "
+      + (0 until 16).map(i => s"${minhashMinSql(i)} AS mh$i").mkString(", ")
+      + "\n  FROM based GROUP BY doc_id),\nkeyed AS (\n  SELECT *, md5("
+      + (0 until 16).map(i => s"mh$i::VARCHAR").mkString(" || ':' || ")
       + """) AS sig FROM sigs),
       |k AS (SELECT sig, min(doc_id) AS keeper FROM keyed GROUP BY sig),
       |reps AS (
@@ -588,7 +597,8 @@ object SparkEntry {
       |bands AS (
       |""".stripMargin
       + (0 until 4).map(b =>
-          s"  SELECT doc_id, $b AS band_idx, md5(mh${b * 4} || mh${b * 4 + 1} || mh${b * 4 + 2} || mh${b * 4 + 3}) AS band_key FROM reps")
+          s"  SELECT doc_id, $b AS band_idx, " +
+            s"md5(${(0 until 4).map(r => s"mh${b * 4 + r}::VARCHAR").mkString(" || ':' || ")}) AS band_key FROM reps")
         .mkString("\n  UNION ALL\n")
       + """
       |),
@@ -2896,19 +2906,18 @@ object SparkEntry {
         |WHERE f.doc_id % 10 = 9
         |ORDER BY f.doc_id""".stripMargin,
     "dedup_minhash_sig" ->
-      """WITH sh AS (
+      ("""WITH sh AS (
         |  SELECT DISTINCT doc_id,
         |    unnest(CASE WHEN len(t) < 3 THEN [text]
         |      ELSE list_transform(range(0, len(t) - 2), i -> array_to_string(t[i+1:i+3], ' ')) END) AS shingle
-        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) raw)
-        |SELECT doc_id,
-        |  min(md5('0:' || shingle)) AS mh0,
-        |  min(md5('1:' || shingle)) AS mh1,
-        |  min(md5('2:' || shingle)) AS mh2,
-        |  min(md5('3:' || shingle)) AS mh3,
-        |  md5(min(md5('0:' || shingle)) || min(md5('1:' || shingle)) ||
-        |      min(md5('2:' || shingle)) || min(md5('3:' || shingle))) AS band0
-        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents) raw),
+        |based AS (SELECT doc_id,
+        |  (('0x' || substr(md5(shingle), 1, 15))::BIGINT % """.stripMargin
+      + s"${Dedup.minhashPrime}) AS mhb FROM sh)\nSELECT doc_id,\n"
+      + (0 until 4).map(i => s"  ${minhashMinSql(i)} AS mh$i").mkString(",\n")
+      + ",\n  md5(" + (0 until 4).map(i => s"${minhashMinSql(i)}::VARCHAR")
+        .mkString(" || ':' || ")
+      + " ) AS band0\nFROM based GROUP BY doc_id ORDER BY doc_id"),
     "dedup_simhash" ->
       ("""WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

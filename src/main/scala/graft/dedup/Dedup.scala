@@ -56,48 +56,98 @@ object Dedup {
         i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
   }
 
-  /** numHashes lexicographic-min md5 components over a shingle array
-    * column — element s equals batch minhashCols' mh{s}. */
+  /** numHashes min-affine components over a shingle array column —
+    * element s equals batch minhashCols' mh{s}. The base array (one
+    * md5 per shingle) is computed ONCE via the single-element-array
+    * transform (a let binding — the lambda variable is evaluated once,
+    * referenced numHashes times), mirroring the batch path's
+    * pre-projected base column. */
   def rowMinhashes(shinglesCol: Column, numHashes: Int = 16): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      s => array_min(transform(shinglesCol,
-        sh => md5(concat(s.cast("string"), lit(":"), sh)))))
+    element_at(
+      transform(array(transform(shinglesCol, sh => minhashBase(sh))),
+        bs => array((0 until numHashes).map(i =>
+          array_min(transform(bs, b => minhashAffine(b, i)))): _*)),
+      1)
 
   /** Band structs (band_idx, band_key) from a minhash-array column —
-    * band b's key equals batch minhashPairsOf's md5(mh_{b·r}‖…). */
+    * band b's key equals batch minhashPairsOf's md5 over the
+    * ':'-joined decimal component renderings. */
   def rowBandKeys(mhsCol: Column, numHashes: Int = 16, bands: Int = 4): Column = {
     val rows = numHashes / bands
     transform(sequence(lit(0), lit(bands - 1)),
       b => struct(b.cast("int").as("band_idx"),
-        md5(concat_ws("", slice(mhsCol, b * rows + lit(1), lit(rows)))).as("band_key")))
+        md5(array_join(transform(slice(mhsCol, b * rows + lit(1), lit(rows)),
+          m => m.cast("string")), ":")).as("band_key")))
   }
 
-  /** Distinct 3-token shingles per document. Documents shorter than 3
-    * tokens contribute their whole text as a single shingle. */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs
+  /** 3-token shingles per document. Documents shorter than 3 tokens
+    * contribute their whole text as a single shingle.
+    * `distinct = false` skips the set-semantics shuffle — the FULL
+    * (doc_id, shingle) relation repartitioned on both columns, the
+    * widest shuffle in the minhash pipeline — and is correct wherever
+    * only per-doc MINIMA are consumed (min over duplicates == min over
+    * the distinct set); exact-Jaccard consumers keep the default. */
+  def shingles(docs: DataFrame, n: Int = 3, distinct: Boolean = true): DataFrame = {
+    val exploded = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("shingle", explode(expr(
         s"CASE WHEN size(toks) < $n THEN array(text) ELSE " +
           s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n))) END")))
       .select("doc_id", "shingle")
-      .distinct()
+    if (distinct) exploded.distinct() else exploded
+  }
 
-  /** MinHash signature components. Hash family = md5 over a salted
-    * shingle (`"<seed>:<shingle>"`), minimum taken lexicographically —
-    * deterministic and portable across engines. */
-  def minhashCols(numHashes: Int): Seq[Column] =
-    (0 until numHashes).map(s =>
-      min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"mh$s"))
+  /** MinHash hash family — ONE md5 per shingle expanded into numHashes
+    * components by affine permutations over the Mersenne prime
+    * p = 2^31−1: mh_i = min over shingles of (a_i·base + b_i) mod p,
+    * base = first 60 bits of md5(shingle) mod p (the classic
+    * one-permutation-per-a,b MinHash construction; Broder's family).
+    * Deterministic AND engine-portable — the DuckDB oracle replays the
+    * identical integer arithmetic via ('0x'||substr(md5,1,15))::BIGINT
+    * (a·base < 2^62 so no 64-bit overflow in either engine).
+    * Round 16: replaces 16 md5 evaluations per (doc, shingle) row —
+    * signature hashing was ~the whole cost of dedup_minhash_pairs at
+    * 100× (sig-only leg 10.6 s of the 21.2 s total), the steepest
+    * measured production curve (8.8×/decade, round-14 anchor). */
+  val minhashPrime: Long = 2147483647L
+
+  /** (a_i, b_i) affine parameters — fixed, a_i ∈ [1, p), derived from
+    * Knuth's multiplicative constant; literal values are interpolated
+    * into the oracle SQL so both engines share them by construction. */
+  val minhashParams: IndexedSeq[(Long, Long)] =
+    (0 until 64).map { i =>
+      val a = (2654435761L * (i + 1)) % minhashPrime
+      val b = (40503L * (i + 1) * (i + 7)) % minhashPrime
+      (if (a == 0) 1L else a, b)
+    }
+
+  /** 60-bit md5 prefix of a shingle reduced mod p — the shared base
+    * value each affine permutation rearranges. */
+  def minhashBase(shingle: Column): Column =
+    conv(substring(md5(shingle), 1, 15), 16, 10).cast("long") % minhashPrime
+
+  private[graft] def minhashAffine(base: Column, i: Int): Column = {
+    val (a, b) = minhashParams(i)
+    (base * a + b) % minhashPrime
+  }
+
+  /** MinHash signature components over a pre-projected base column
+    * (compute [[minhashBase]] ONCE per shingle row; each component is
+    * a min over one multiply-add — never re-derive the md5 per i). */
+  def minhashCols(numHashes: Int, base: Column = col("__mhb")): Seq[Column] =
+    (0 until numHashes).map(i =>
+      min(minhashAffine(base, i)).as(s"mh$i"))
 
   /** Per-document MinHash signature (first 4 hashes exposed for the
-    * oracle) + the first LSH band key (band = md5 of 4 concatenated
-    * minhashes). */
+    * oracle) + the first LSH band key (band = md5 of the ':'-joined
+    * minhash components). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    shingles(Tables(spark, dir, "documents"))
+    shingles(Tables(spark, dir, "documents"), distinct = false)
+      .withColumn("__mhb", minhashBase(col("shingle")))
       .groupBy("doc_id")
       .agg(minhashCols(4).head, minhashCols(4).tail: _*)
-      .withColumn("band0", md5(concat(col("mh0"), col("mh1"), col("mh2"), col("mh3"))))
+      .withColumn("band0", md5(concat_ws(":",
+        Seq("mh0", "mh1", "mh2", "mh3").map(col(_).cast("string")): _*)))
       .orderBy("doc_id")
 
   /** MinHash LSH near-dup candidate pairs: full 16-hash signature,
@@ -110,7 +160,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     // checkpointed: the signature agg feeds the keeper groupBy, the
     // star join, and (via reps) both sides of the band self-join
-    val sigs = sigsOf(shingles(docs), numHashes).localCheckpoint()
+    val sigs = sigsOf(shingles(docs, distinct = false), numHashes).localCheckpoint()
     val (reps, stars) = collapseBySig(sigs, (0 until numHashes).map(i => col(s"mh$i")))
     val banded = bandedOfSigs(reps, numHashes, bands).localCheckpoint()
     pairsFromBands(banded, banded)
@@ -120,9 +170,12 @@ object Dedup {
 
   /** Full MinHash signature rows (doc_id, mh0..mh{n-1}) from a shingle
     * relation — map-side-combined (the explode never shuffles; only
-    * the (doc_id, n md5s) partials do). */
+    * the (doc_id, n longs) partials do). One md5 per shingle row via
+    * the pre-projected base column; the n components are multiply-adds
+    * inside the partial aggregate. */
   private[graft] def sigsOf(sh: DataFrame, numHashes: Int = 16): DataFrame =
-    sh.groupBy("doc_id")
+    sh.withColumn("__mhb", minhashBase(col("shingle")))
+      .groupBy("doc_id")
       .agg(minhashCols(numHashes).head, minhashCols(numHashes).tail: _*)
 
   /** Band explode of a signature relation — the banding is a pure
@@ -132,8 +185,11 @@ object Dedup {
                                   bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
     val bandCols = (0 until bands).map { b =>
-      val parts = (0 until rows).map(r => col(s"mh${b * rows + r}"))
-      md5(concat(parts: _*)).as(s"band$b")
+      // ':'-separated — variable-length decimal renderings would
+      // otherwise collide across component boundaries ("1"+"23" vs
+      // "12"+"3"); fixed-width md5 hex never needed the separator
+      val parts = (0 until rows).map(r => col(s"mh${b * rows + r}").cast("string"))
+      md5(concat_ws(":", parts: _*)).as(s"band$b")
     }
     sigs.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"), explode(array(
@@ -270,7 +326,7 @@ object Dedup {
     // row count so a 100× corpus builds a 100×-wider index, not 16
     // fat buckets; the build checkpoints once so the sizing count is
     // free of the shingle pipeline
-    val banded = bandedOf(shingles(docs), numHashes, bands).localCheckpoint()
+    val banded = bandedOf(shingles(docs, distinct = false), numHashes, bands).localCheckpoint()
     val nb = if (nBuckets > 0) nBuckets
              else graft.sources.Bucketed.autoBuckets(banded.count(),
                spark.sparkContext.defaultParallelism)
@@ -288,7 +344,7 @@ object Dedup {
   def minhashAppendPairs(spark: SparkSession, table: String,
                          delta: DataFrame, numHashes: Int = 16,
                          bands: Int = 4): DataFrame = {
-    val dl = bandedOf(shingles(delta), numHashes, bands).localCheckpoint()
+    val dl = bandedOf(shingles(delta, distinct = false), numHashes, bands).localCheckpoint()
     val idx = spark.table(table)
     // old⋈delta pairs normalize through least/greatest (delta ids can
     // sort either side of old ids); delta⋈delta uses the plain ordered

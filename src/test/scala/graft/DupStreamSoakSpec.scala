@@ -26,9 +26,13 @@ class DupStreamSoakSpec extends AnyFunSuite {
   import SparkTestSession.spark
   import spark.implicits._
 
+  // vocabulary-DISJOINT templates: with shared filler tokens the ten
+  // templates are genuine near-duplicates of one another (the min of
+  // most hash components lands on a shared shingle), so bands collide
+  // across templates and the cliques merge — the operator working as
+  // designed, but not the isolated-group fixture this soak needs
   private val templates = (0 until 10).map(t =>
-    s"template $t body with shared filler tokens alpha beta gamma delta " +
-      s"epsilon zeta eta theta iota kappa plus marker m$t distinct tail t$t")
+    (0 until 18).map(j => s"t${t}w$j").mkString(" "))
 
   test("dup-heavy soak: 10 templates x 2000 copies — state and emissions hold the horizon bound") {
     val l = Prometheus.attachStreaming(spark)
@@ -95,8 +99,7 @@ class DupStreamSoakSpec extends AnyFunSuite {
     val docs = (0 until 3).flatMap(t => (0 until 40).map(c =>
       ((t * 40 + c).toLong, templates(t)))) ++
       (0 until 6).map(u => ((200 + u).toLong,
-        s"unique standalone document number $u with unrelated vocabulary " +
-          s"row${u}a row${u}b row${u}c row${u}d row${u}e row${u}f"))
+        (0 until 12).map(j => s"u${u}q$j").mkString(" ")))
     val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
     val out = graft.streaming.StreamNearDup.minhashPairsStream(
       stream.toDF().toDF("doc_id", "ts", "text"),
@@ -130,7 +133,8 @@ class DupStreamSoakSpec extends AnyFunSuite {
       assert(sc === bc,
         s"stream and batch must connect identical duplicate groups (stream ${sc.size}, batch ${bc.size})")
       // and those groups are exactly the three 40-member template cliques
-      assert(sc.map(_.size).toSeq.sorted === Seq(40, 40, 40), sc.map(_.size))
+      assert(sc.toSeq.map(_.size).sorted === Seq(40, 40, 40),
+        sc.toSeq.map(_.size).sorted)
     } finally query.stop()
   }
 }

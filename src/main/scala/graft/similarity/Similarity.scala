@@ -139,18 +139,21 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim),
     * mapped to [-1, 1): splitmix64 finalizer (public-domain bit mixer).
-    * No RNG state → identical buckets on every executor and every run. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
-    var z = (plane.toLong * 1000003L + dim.toLong) + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z = z ^ (z >>> 31)
-    z.toDouble / Long.MaxValue.toDouble
-  }
+    * No RNG state → identical buckets on every executor and every run.
+    * Delegates to the shared definition in VectorExpressions — the
+    * fused LshBuckets expression and the det-rung oracle literals use
+    * the same family by construction. */
+  private def planeComponent(plane: Int, dim: Int): Double =
+    VectorExpressions.planeComponent(plane, dim)
 
   /** Sign-pattern bucket key for LSH table `tableIdx`: nPlanes sign bits
-    * packed into a long. Each plane's dot product is one zip_with over a
-    * literal coefficient array (codegen-friendly, no per-dim exprs). */
+    * packed into a long — the DECLARATIVE single-table form, kept as
+    * the readable reference the fused expression is pinned against
+    * (SimilaritySpec parity). Production paths call [[allBuckets]]:
+    * at production plane counts this form is ~nTables × nPlanes
+    * independent when(dot)-subtrees, which blows the codegen budget
+    * and drops the projection to interpreted eval (the 52.9 s of
+    * 57.6 s bucket explode, BASELINE round 16). */
   def lshBucket(vec: Column, tableIdx: Int, nPlanes: Int, dims: Int): Column = {
     val bits = (0 until nPlanes).map { p =>
       val coeffs = array((0 until dims).map(d =>
@@ -160,6 +163,11 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_))
   }
 
+  /** All nTables bucket keys in one fused codegen loop (array element
+    * t = table t's bucket) — see graft.functions.LshBuckets. */
+  def allBuckets(vec: Column, nPlanes: Int, nTables: Int, dims: Int): Column =
+    call_function("graft_lsh_buckets", vec, lit(nPlanes), lit(nTables), lit(dims))
+
   /** (id, tbl, bucket) rows — one row per LSH table per vector, from a
     * SINGLE scan (posexplode of the bucket array), id-only so the band
     * join below never shuffles vectors. */
@@ -168,8 +176,7 @@ object Similarity {
     VectorExpressions.register(df.sparkSession)
     df.select(
       col("vec_id").as(idAlias),
-      posexplode(array((0 until nTables).map(t =>
-        lshBucket(col("vec"), t, nPlanes, dims)): _*)).as(Seq("tbl", "bucket")))
+      posexplode(allBuckets(col("vec"), nPlanes, nTables, dims)).as(Seq("tbl", "bucket")))
   }
 
   /** ANN via hyperplane LSH: bucket corpus and queries under `nTables`
@@ -841,6 +848,7 @@ object Similarity {
     * stars at cosine 1.0 in O(d), never the Θ(d²) clique. */
   def cosineNearDupPairsOn(all: DataFrame, threshold: Double = 0.95,
                            nPlanes: Int = 0, nTables: Int = 8, dims: Int = 64): DataFrame = {
+    VectorExpressions.register(all.sparkSession)
     // Bucket ONCE, then emit i<j pairs within each bucket from a sorted
     // id list (higher-order functions) — halves the hyperplane work vs
     // a two-sided self-join and removes its shuffle. A pathologically
@@ -864,20 +872,30 @@ object Similarity {
       val n = reps.count()
       math.max(4, math.ceil(math.log(math.max(n, 1L) / 32.0) / math.log(2.0)).toInt)
     }
-    val pairIds = bucketIds(reps, "vec_id", planes, nTables, dims)
+    // Exact-cosine verify runs INSIDE the bucket (round 16): vectors
+    // shuffle once into their buckets (nTables × n fat rows) and every
+    // candidate-pair row downstream is three narrow scalars. The
+    // previous shape attached BOTH 64-double vectors to every
+    // candidate row through two joins — ~1 KB × O(n·occupancy) rows
+    // re-shuffled on the second join key, the whole cost of the
+    // operator at 100× (63.8 s → see BASELINE round 16). A near pair
+    // colliding in k tables now computes its cosine k ≤ nTables times
+    // (identical bitwise — same array order, same doubles — so the
+    // distinct collapses them), a few redundant map-side FLOPs traded
+    // for never widening the pair relation.
+    val buckets = reps.select(col("vec_id"), col("vec"), col("norm"),
+        posexplode(allBuckets(col("vec"), planes, nTables, dims)).as(Seq("tbl", "bucket")))
       .groupBy("tbl", "bucket")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("id"), col("vec").as("v"), col("norm").as("nm")))).as("ms"))
+    buckets
       .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS vec_a, b AS vec_b))))"))
-        .as("p"))
-      .select(col("p.vec_a"), col("p.vec_b")).distinct()
-    val va = reps.select(col("vec_id").as("vec_a"), col("vec").as("va"), col("norm").as("na"))
-    val vb = reps.select(col("vec_id").as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
-    pairIds
-      .join(va, Seq("vec_a"))
-      .join(vb, Seq("vec_b"))
-      .withColumn("cos", ndot(col("va"), col("vb")) / (col("na") * col("nb")))
+        "flatten(transform(ms, (a, i) -> transform(slice(ms, i + 2, size(ms)), " +
+          "b -> struct(a.id AS vec_a, b.id AS vec_b, " +
+          "graft_dot(a.v, b.v) / (a.nm * b.nm) AS cos))))")).as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"), col("p.cos").as("cos"))
       .filter(col("cos") >= threshold)
+      .distinct()
       .select(col("vec_a"), col("vec_b"), round(col("cos"), 4).as("cos_sim"))
       .unionByName(stars.withColumn("cos_sim", lit(1.0)))
       .orderBy("vec_a", "vec_b")
@@ -1586,25 +1604,31 @@ object Similarity {
     // per-cluster mask keeps only its own low `planes` bits
     val maxPlanes = math.max(1,
       math.ceil(math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0)).toInt)
-    val cells = bucketIds(reps, "vec_id", maxPlanes, nTables, dims)
-      .join(assign, Seq("vec_id"))
+    // In-cell exact-cosine verify (round 16, the cosineNearDupPairsOn
+    // move): the vector rides its OWN row into the cell group — one
+    // n-row fat join (reps ⋈ assign) + the cell collect_list — and
+    // every candidate-pair row downstream is three narrow scalars.
+    // The previous shape attached both 64-double vectors to every
+    // candidate pair through two joins (~1 KB × O(n·occupancy) rows
+    // re-shuffled on the second key) — with the fused bucket
+    // expression that join pipeline was the remaining whole cost of
+    // the cells rung at 100× (BASELINE round 16).
+    val cells = reps.join(assign, Seq("vec_id"))
+      .select(col("vec_id"), col("vec"), col("norm"), col("cluster_id"),
+        posexplode(allBuckets(col("vec"), maxPlanes, nTables, dims)).as(Seq("tbl", "bucket")))
       .join(broadcast(planesFor), Seq("cluster_id"))
       .withColumn("cell", expr("bucket & (shiftleft(1L, planes) - 1L)"))
-    val pairIds = cells
+    cells
       .groupBy("cluster_id", "tbl", "cell")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .agg(sort_array(collect_list(
+        struct(col("vec_id").as("id"), col("vec").as("v"), col("norm").as("nm")))).as("ms"))
       .select(explode(expr(
-        "flatten(transform(ids, (a, i) -> transform(slice(ids, i + 2, size(ids)), b -> struct(a AS u, b AS v))))"))
-        .as("p"))
-      .select(col("p.u"), col("p.v")).distinct()
-    val va = reps.select(col("vec_id").as("u"), col("vec").as("va"), col("norm").as("na"))
-    val vb = reps.select(col("vec_id").as("v"), col("vec").as("vb"), col("norm").as("nb"))
-    pairIds
-      .join(va, Seq("u"))
-      .join(vb, Seq("v"))
-      .withColumn("cos", ndot(col("va"), col("vb")) / (col("na") * col("nb")))
+        "flatten(transform(ms, (a, i) -> transform(slice(ms, i + 2, size(ms)), " +
+          "b -> struct(a.id AS u, b.id AS v, " +
+          "graft_dot(a.v, b.v) / (a.nm * b.nm) AS cos))))")).as("p"))
+      .select(col("p.u"), col("p.v"), col("p.cos").as("cos"))
       .filter(col("cos") >= threshold)
-      .select("u", "v")
+      .select("u", "v").distinct()
       .unionByName(stars.select(col("vec_a").as("u"), col("vec_b").as("v")))
   }
 

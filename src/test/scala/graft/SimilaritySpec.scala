@@ -464,4 +464,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(rows(0)._5 - 0.7071) < 1e-4)
     assert(rows(1)._5 === 0.0)
   }
+
+  test("fused graft_lsh_buckets equals the declarative per-table lshBucket at production depths") {
+    import org.apache.spark.sql.functions.{array, col}
+    graft.functions.VectorExpressions.register(spark)
+    val vecs = Similarity.corpus(spark, SparkTestSession.sf001).limit(200)
+    for ((planes, tables) <- Seq((4, 8), (13, 8), (1, 1))) {
+      val got = vecs.select(col("vec_id"),
+          Similarity.allBuckets(col("vec"), planes, tables, 64).as("fused"),
+          array((0 until tables).map(t =>
+            Similarity.lshBucket(col("vec"), t, planes, 64)): _*).as("decl"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+          s"bucket mismatch at planes=$planes tables=$tables vec_id=${r.getLong(0)}")
+      }
+    }
+  }
 }

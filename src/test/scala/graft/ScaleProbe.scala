@@ -49,6 +49,12 @@ object ScaleProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the 100x generation legs are single long GC-heavy jobs; the
+      // default 120s heartbeat window killed the local executor mid
+      // lineitem-write when a full GC + co-tenant load stalled the
+      // heartbeater (round 16, measured 125s gap)
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._

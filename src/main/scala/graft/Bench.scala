@@ -38,10 +38,12 @@ object Bench {
       // run with less execution memory and spill — measured 5-12x
       // in-suite inflation at the 100x corpus vs the same query
       // isolated (a8_approx 87.6 vs 6.9s, txt_feature_hash 39.8 vs
-      // 6.8s). A real cluster gives each query fresh executors; a
-      // 1-minute cleaner cadence restores that steady state per query
-      // without touching what is measured.
-      .config("spark.cleaner.periodicGC.interval", "1min")
+      // 6.8s). A real cluster gives each query fresh executors; the
+      // explicit System.gc() between queries (below) restores that
+      // steady state per query. Round-17 ADVICE: the previous 1-min
+      // TIMER cadence could fire a JVM-wide GC pause INSIDE a timed
+      // pass; between-query triggering keeps the cleaner fed at the
+      // same rate without that per-query variance.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional runtime-conf overrides for A/B runs, e.g.
@@ -88,11 +90,17 @@ object Bench {
       }
     }
 
-    // per-query untimed warmup immediately before its timed reps
+    // per-query untimed warmup immediately before its timed reps;
+    // after each query's reps, one explicit GC hands the
+    // ContextCleaner its weak-ref queue OUTSIDE any measured window
+    // (shuffle-file/broadcast release — see the suite-hygiene note on
+    // the SparkSession builder above)
     val times: Map[String, Seq[Double]] =
       names.map { n =>
         runOne(n)
-        n -> (1 to reps).map(_ => runOne(n)).toSeq
+        val reps_ = (1 to reps).map(_ => runOne(n)).toSeq
+        System.gc()
+        n -> reps_
       }.toMap
 
     def median(xs: Seq[Double]): Double = {

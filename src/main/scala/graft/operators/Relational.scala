@@ -794,15 +794,27 @@ object Relational {
     * Scale: one shuffle on the key for the last-op window, one
     * join of base to the (much smaller, post-collapse) change set —
     * the canonical MERGE INTO plan without a table format. */
-  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir, "customer")
-      .select(col("c_custkey"), col("c_acctbal"))
-    val changes = Tables(spark, dir, "orders").select(
+  /** The ONE definition of the CDC change feed all three CDC
+    * operators (and their DuckDB oracles) consume: orders re-read as
+    * a deterministic D/U stream — F-status orders under 5000 are
+    * deletes, everything else updates the key's balance. Consumers
+    * MUST order a key's changes by (o_orderdate, o_orderkey):
+    * cdcScd2's lead() closes intervals in that order and
+    * cdcPitEnrich's carry-forward sort replays it, so the ordering
+    * key lives here with the feed rather than as a per-consumer
+    * convention (round-16 ADVICE: the inline copies could desync). */
+  private def cdcChangeFeed(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders").select(
       col("o_custkey").as("key"),
       when(col("o_orderstatus") === "F" && col("o_totalprice") < 5000.0, "D")
         .otherwise("U").as("op"),
       col("o_totalprice").as("new_bal"),
       col("o_orderdate"), col("o_orderkey"))
+
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    val changes = cdcChangeFeed(spark, dir)
     val lastPerKey = Window.partitionBy("key")
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     val lastOp = changes
@@ -831,12 +843,7 @@ object Relational {
     * is WRITTEN once per batch, never rewritten per change (contrast
     * a MERGE-per-change loop, which is O(changes) table rewrites). */
   def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
-    val changes = Tables(spark, dir, "orders").select(
-      col("o_custkey").as("key"),
-      when(col("o_orderstatus") === "F" && col("o_totalprice") < 5000.0, "D")
-        .otherwise("U").as("op"),
-      col("o_totalprice").as("new_bal"),
-      col("o_orderdate"), col("o_orderkey"))
+    val changes = cdcChangeFeed(spark, dir)
     val w = Window.partitionBy("key").orderBy(col("o_orderdate"), col("o_orderkey"))
     changes
       .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
@@ -883,12 +890,7 @@ object Relational {
   def cdcPitEnrich(spark: SparkSession, dir: String): DataFrame = {
     // the same deterministic change feed cdcScd2 builds its history
     // from: U opens a version, D closes its predecessor and opens none
-    val changes = Tables(spark, dir, "orders").select(
-      col("o_custkey").as("key"),
-      when(col("o_orderstatus") === "F" && col("o_totalprice") < 5000.0, "D")
-        .otherwise("U").as("op"),
-      col("o_totalprice").as("new_bal"),
-      col("o_orderdate"), col("o_orderkey"))
+    val changes = cdcChangeFeed(spark, dir)
     val changeRows = changes.select(
       col("key"), col("o_orderdate").as("d"), lit(0).as("kind"),
       col("o_orderkey").as("seq"), lit(null).cast("long").as("fact_key"),

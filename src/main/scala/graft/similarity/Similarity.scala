@@ -1482,13 +1482,29 @@ object Similarity {
     * Scale: identical shape to [[bruteForceTopKOn]] — query side
     * broadcasts (production query sets are training-batch-sized; only
     * the testdata stand-in scales with the corpus), corpus scanned
-    * once, per-query top-k via a window on the broadcast-join output.
-    * The label predicate lands IN the join condition so mismatched
-    * pairs never materialize a cosine. Rank ties break on cand_id;
-    * cosine is a sequential fold, so no summation-order ambiguity. */
+    * once. The label predicate lands IN the join condition so
+    * mismatched pairs never materialize a cosine; cosine is a
+    * sequential fold, so no summation-order ambiguity.
+    *
+    * Per-query top-k is a BOUNDED typed Aggregator
+    * ([[graft.functions.TopCosAggregator]]), not a
+    * `row_number()` window: the window form was a global sort of the
+    * query×candidate join output — ~4 billion rows at the round-16
+    * 100× anchor (cos < hi passes nearly every pair), 33×/decade,
+    * disk-spilling. The aggregate keeps ≤ k (cos, id, label) triples
+    * per query per partition map-side, so the shuffle carries
+    * ≤ queries × k × partitions rows and the sort disappears. Tie
+    * semantics (cos DESC then cand_id ASC on RAW doubles, duplicates
+    * kept) are row_number-identical — the DuckDB oracle still ranks
+    * with a window and stays hash-green. The ObjectHashAggregate
+    * fallback threshold is raised above the bounded query-group count
+    * (~2000 by [[autoBenchEvery]]) because the sort-based fallback
+    * would re-create exactly the spilling sort this plan removes. */
   def hardNegativesOn(all: DataFrame, benchEvery: Int = 10,
                       hi: Double = 0.9, k: Int = 5): DataFrame = {
     VectorExpressions.register(all.sparkSession)
+    all.sparkSession.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 18)
     val q = all.filter(pmod(col("vec_id"), lit(benchEvery)) === 0)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("vec").as("qv"), col("norm").as("qn"))
@@ -1498,11 +1514,16 @@ object Similarity {
     val scored = cand.join(broadcast(q), col("qlabel") =!= col("cand_label"))
       .withColumn("cos", ndot(col("qv"), col("cv")) / (col("qn") * col("cn")))
       .filter(col("cos") < hi)
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("cand_id"), col("cand_label"),
-        round(col("cos"), 4).as("cos_sim"))
+    val topk = udaf(new graft.functions.TopCosAggregator(k))
+    scored.groupBy("query_id")
+      .agg(topk(col("cos"), col("cand_id"), col("cand_label")).as("t"))
+      .select(col("query_id"), col("t"),
+        posexplode(col("t.cos")).as(Seq("pos", "cos_raw")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        element_at(col("t.ids"), col("pos") + 1).as("cand_id"),
+        element_at(col("t.labels"), col("pos") + 1).as("cand_label"),
+        round(col("cos_raw"), 4).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 

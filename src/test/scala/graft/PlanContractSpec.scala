@@ -628,6 +628,24 @@ class PlanContractSpec extends AnyFunSuite {
       s"below the gate the plain expanding window must be chosen:\n$small")
   }
 
+  test("hard negatives plan a partial bounded top-k aggregate, not a sort/window") {
+    // round-17 (VERDICT item 1): the row_number() window form globally
+    // sorted the ~4B-row query×candidate join output (33×/decade at
+    // the 100× anchor). The TopCosAggregator plan must (a) run as an
+    // ObjectHashAggregate with a PARTIAL mode instance — map-side
+    // keep-k so the shuffle carries ≤ queries×k×partitions rows — and
+    // (b) plan no Window and no sort over the join output (the only
+    // sort allowed is the final presentation orderBy on the ≤
+    // queries×k result).
+    val p = plan("emb_hard_negatives")
+    assert(p.contains("ObjectHashAggregate"),
+      s"bounded top-k must aggregate, not sort:\n$p")
+    assert(p.contains("partial_"),
+      s"the top-k aggregate must have a map-side partial instance:\n$p")
+    assert(!p.contains("Window"),
+      s"no per-candidate rank window may survive:\n$p")
+  }
+
   test("top-k ranks plan as TakeOrdered, not a single-partition rank over every candidate") {
     // pmi bigrams / session paths: rank-then-filter funneled every
     // qualifying bigram / distinct path through one window task;

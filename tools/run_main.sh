@@ -5,8 +5,13 @@
 # Compile first: sbt compile Test/compile (this script does NOT compile).
 set -euo pipefail
 REPO=/root/repo
-MAIN="$1"; shift || true
-TESTJARS=$(find /root/.cache/coursier -name '*.jar' \
+[ $# -ge 1 ] || { echo "usage: $0 <mainClass> [args...]" >&2; exit 2; }
+MAIN="$1"; shift
+# pinned to the scala-2.13 artifacts (plus the scala-free
+# scalatest-compatible java API jar) so a cache holding other scala
+# versions can never put two variants of one artifact on the classpath
+TESTJARS=$(find /root/.cache/coursier \
+  \( -name '*_2.13-*.jar' -o -name 'scalatest-compatible-*.jar' \) \
   \( -path '*scalatest*' -o -path '*scalactic*' -o -path '*scalacheck*' \) \
   2>/dev/null | tr '\n' ':')
 CP="$REPO/target/scala-2.13/classes:$REPO/target/scala-2.13/test-classes:${TESTJARS}/opt/spark/jars/*"

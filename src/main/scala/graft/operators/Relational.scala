@@ -943,7 +943,7 @@ object Relational {
     * approx_count_distinct in — the same trade the a4 HLL rung
     * documents; this query keeps exact counts because the oracle can
     * then check them bit-for-bit. */
-  def profileColumns(df: DataFrame): DataFrame = {
+  def profileColumns(df: DataFrame, exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.types._
     val fields = df.schema.fields.toSeq
     // parquet timestamps without isAdjustedToUTC read as TIMESTAMP_NTZ
@@ -959,7 +959,8 @@ object Relational {
       val c = col(f.name)
       Seq(
         sum(c.isNull.cast("long")).as(s"${f.name}__nulls"),
-        countDistinct(c).as(s"${f.name}__distinct")) ++ (kind(f.dataType) match {
+        (if (exact) countDistinct(c)
+         else approx_count_distinct(c)).as(s"${f.name}__distinct")) ++ (kind(f.dataType) match {
         case "num" => Seq(
           round(min(c).cast("double"), 4).as(s"${f.name}__min_num"),
           round(max(c).cast("double"), 4).as(s"${f.name}__max_num"))
@@ -995,6 +996,22 @@ object Relational {
 
   def profileOrders(spark: SparkSession, dir: String): DataFrame =
     profileColumns(Tables(spark, dir, "orders"))
+
+  /** The PRODUCTION profiling rung (round-16 VERDICT item 3): same
+    * per-column relation as [[profileOrders]] but with
+    * `approx_count_distinct` (HLL++, fixed ~few-KB mergeable state
+    * per column) in place of the exact distinct. The exact rung makes
+    * Catalyst EXPAND the scan once per profiled column (grouping-set
+    * semantics — the standard exact-ANALYZE cost, measured
+    * 12.8×/decade at the round-16 100× anchor, 44.4 s); the HLL swap
+    * keeps the pass single-scan with map-side-combining bounded
+    * state, the same trade the a4 HLL rung documents. No SQL oracle
+    * (estimator internals differ cross-engine) — the deterministic
+    * hash-green sibling is [[profileOrders]] itself (now
+    * audit-tagged), and RelationalSpec bounds the estimate against
+    * the exact sibling while pinning nulls/min/max bit-equal. */
+  def profileOrdersApprox(spark: SparkSession, dir: String): DataFrame =
+    profileColumns(Tables(spark, dir, "orders"), exact = false)
 
   /** S5 — update-rewrite: read → conditional column rewrite → (would be
     * an overwrite sink; here the projected view). routers.py:124-136. */

@@ -160,6 +160,31 @@ class RelationalSpec extends AnyFunSuite {
       p("t").getDouble(3) === java.sql.Timestamp.valueOf("2026-01-01 00:00:00").getTime * 1000.0)
   }
 
+  test("approx profile: nulls/min/max bit-equal to the exact sibling, distinct within 5%") {
+    // the a4/a8 no-oracle pattern: the approximate production rung is
+    // bounded against its deterministic audit sibling — everything
+    // except the HLL distinct must be IDENTICAL (same pass, same
+    // expressions), and the estimate lands within HLL++'s default rsd
+    // envelope on every orders column
+    val exact = Relational.profileOrders(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Relational.profileOrdersApprox(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet === approx.keySet)
+    exact.foreach { case (name, e) =>
+      val a = approx(name)
+      assert(a.getLong(1) === e.getLong(1), s"$name nulls")
+      for (i <- 3 to 6)
+        assert((a.isNullAt(i) && e.isNullAt(i)) || a.get(i) === e.get(i),
+          s"$name min/max field $i")
+      val (de, da) = (e.getLong(2), a.getLong(2))
+      // HLL++ default rsd is 0.05 (one sigma); bound at 3 sigma —
+      // o_totalprice measures ~7.3% at sf0.001, well inside
+      assert(math.abs(da - de).toDouble / math.max(de, 1L) < 0.15,
+        s"$name distinct: approx $da vs exact $de")
+    }
+  }
+
   test("set ops tags partition the furniture segment") {
     val counts = Relational.setOps(spark, sf0001)
       .groupBy("tag").count().collect()

@@ -188,7 +188,11 @@ object Bench {
     // subtotals, requeries, and the slowest queries — with the
     // complete per-query map in `queries_full` (the atomically-written
     // outPath below). queries_truncated flags the subset explicitly.
-    val top = medians.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(25)
+    // top-10, not 25 (round-17): BENCH_r16.json shows the driver's
+    // ~2000-char tail window cut even the compact line mid-stream —
+    // a ~700-char final line fits the window with room for sbt's
+    // epilogue, a ~1200-char one rides the edge
+    val top = medians.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => "\"" + k + "\":" + num2(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$top,""" +

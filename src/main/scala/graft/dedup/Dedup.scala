@@ -174,7 +174,10 @@ object Dedup {
     * the pre-projected base column; the n components are multiply-adds
     * inside the partial aggregate. */
   private[graft] def sigsOf(sh: DataFrame, numHashes: Int = 16): DataFrame =
-    sh.withColumn("__mhb", minhashBase(col("shingle")))
+    sigsOfBase(sh.withColumn("__mhb", minhashBase(col("shingle"))), numHashes)
+
+  private[graft] def sigsOfBase(shBase: DataFrame, numHashes: Int = 16): DataFrame =
+    shBase
       .groupBy("doc_id")
       .agg(minhashCols(numHashes).head, minhashCols(numHashes).tail: _*)
 
@@ -293,7 +296,17 @@ object Dedup {
     * band index serves and ngramJaccardTopPairs' unrestricted-oracle
     * coverage requires; the duplicate-safe production entry point is
     * [[minhashPairs]]. */
-  def minhashPairsOf(sh: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
+  def minhashPairsOf(sh: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame =
+    minhashPairsOfBase(sh.withColumn("__mhb", minhashBase(col("shingle"))),
+      numHashes, bands)
+
+  /** [[minhashPairsOf]] over a relation carrying the PRE-COMPUTED
+    * `__mhb` base column instead of shingle text — the entry point for
+    * callers that keep only compact shingle fingerprints (a 60-bit
+    * md5-prefix long reduces to the identical base via `% p`, so the
+    * signatures are bit-equal to the text path's). */
+  def minhashPairsOfBase(shBase: DataFrame, numHashes: Int = 16,
+                         bands: Int = 4): DataFrame = {
     // materialized: the self-join references this relation on BOTH
     // sides, and without the checkpoint correctness-of-cost rests on
     // ReusedExchange recognizing the two subtrees — when it doesn't
@@ -301,7 +314,8 @@ object Dedup {
     // 16-md5-agg shingle pipeline runs twice. The banded relation is
     // tiny ((doc_id, band_idx, band_key) ids only), so pinning it costs
     // O(docs) rows and guarantees the signature build runs exactly once.
-    val long = bandedOf(sh, numHashes, bands).localCheckpoint()
+    val long = bandedOfSigs(sigsOfBase(shBase, numHashes), numHashes, bands)
+      .localCheckpoint()
     pairsFromBands(long, long)
   }
 
@@ -517,16 +531,36 @@ object Dedup {
     * honest: a missed top-k pair would hash-mismatch. */
   def ngramJaccardTopPairs(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    // shingles feed the signature build, both sides of the intersection
-    // join, and the size table — materialize once
-    val sh = shingles(docs).localCheckpoint()
+    // Round-17 scale rework (isolated 100× anchor was 122 s —
+    // 22×/decade — with text shingles checkpointed and shuffled):
+    //  1. The shingle relation carries a 60-bit md5-prefix LONG, not
+    //     text — the same value minhashBase reduces mod p, so the
+    //     signature build is bit-identical while the distinct, the
+    //     checkpoint, the size table, and the intersection join all
+    //     move 16-byte (doc_id, fp) rows. Identity by fingerprint:
+    //     a collision inside one doc's set or one candidate pair's
+    //     union is ~2⁻⁶⁰ per shingle pair — vanishing against the
+    //     corpus sizes this runs at.
+    //  2. Both intersection sides are SEMI-FILTERED to candidate docs
+    //     before the join — candidates are band collisions (tiny), so
+    //     the join never shuffles the full corpus shingle relation.
+    val sh = shingles(docs, distinct = false)
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("fp"))
+      .distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-    val cand = minhashPairsOf(sh).select("doc_a", "doc_b")
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val cand = minhashPairsOfBase(
+      sh.withColumn("__mhb", col("fp") % minhashPrime)).select("doc_a", "doc_b")
+    val a = sh.join(cand.select(col("doc_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_a"), col("fp"))
+    val b = sh.join(cand.select(col("doc_b").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("doc_b"), col("fp"))
     val inter = cand
       .join(a, Seq("doc_a"))
-      .join(b, Seq("doc_b", "shingle"))
+      .join(b, Seq("doc_b", "fp"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"))
     inter

@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-run output goes RAW to stdout instead of through sbt's
+// logger: the logger prefixes every line with "[info] ", so the
+// driver-parsed final Bench JSON line arrived as "[info] {...}" and
+// BENCH_r*.json shipped "parsed": null every round even after the
+// line itself was shrunk to fit the driver's tail window (round-16/17
+// item). With StdoutOutput the last JSON line is bare and
+// machine-parseable.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

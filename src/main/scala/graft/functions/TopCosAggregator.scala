@@ -55,6 +55,13 @@ class TopCosAggregator(k: Int) extends Aggregator[CosCand, TopCosBuf, TopCosBuf]
     c1 > c2 || (c1 == c2 && id1 < id2)
 
   def reduce(b: TopCosBuf, in: CosCand): TopCosBuf = {
+    // NaN inputs are DROPPED (round-18 ADVICE): `before` uses primitive
+    // double comparisons, under which NaN compares false both ways, so
+    // an admitted NaN would park at the buffer tail and break the
+    // sorted invariant across merges. hardNegativesOn's `cos < hi`
+    // filter already excludes NaN; this makes the class safe for
+    // callers without such a filter instead of relying on it.
+    if (in.cos.isNaN) return b
     val n = b.cos.length
     if (n >= k && !before(in.cos, in.candId, b.cos(n - 1), b.ids(n - 1))) b
     else {

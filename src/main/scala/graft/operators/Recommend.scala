@@ -74,32 +74,51 @@ object Recommend {
     * sized for dimension-like catalogs; shuffle-joined otherwise); the
     * customer×part incidence is the only corpus-sized relation. It
     * feeds TWO consumers — the score join and the already-bought
-    * left-anti exclusion — and AQE's opportunistic stage reuse does
-    * NOT dedup the two branches (round-17 final-plan check: the
-    * lineitem⋈orders join + distinct runs twice). Recomputing is the
-    * MEASURED winner anyway: a localCheckpoint of the incidence was
-    * A/B'd at 1×/10×/100× and lost at every scale (6.1/12.8/54.3 s vs
+    * exclusion — and AQE's opportunistic stage reuse does NOT dedup
+    * the two branches (round-17 final-plan check: the lineitem⋈orders
+    * join runs twice). Recomputing is the MEASURED winner over a
+    * localCheckpoint, A/B'd at 1×/10×/100× (6.1/12.8/54.3 s vs
     * 3.9/11.7/50.4 recomputed) — materializing 60M deserialized rows
     * costs more than re-running the codegen'd columnar scan +
-    * broadcast join + map-side-combined distinct, so the duplicate
-    * branch stays, priced and deliberate. */
+    * broadcast join, so the duplicate branch stays, priced and
+    * deliberate.
+    *
+    * Round 18 (VERDICT item 3, bounding the 4.3× top decade): the
+    * exclusion is no longer a LEFT ANTI join of the aggregated scores
+    * against a SECOND distinct incidence — ownership rows ride the
+    * SAME aggregation as the score contributions (union with an
+    * `owned` marker, `max(owned)` per group, filter owned = 0). That
+    * removes two 100×-sized stages: the second incidence `distinct`
+    * (the marker branch tolerates duplicate purchases, `max` absorbs
+    * them — the raw lineitem⋈orders rows union in unshuffled) and the
+    * anti-join's build/probe shuffle over scores×incidence. Semantics
+    * are row-identical: a (cust, part-already-bought) group carries
+    * owned = 1 and is filtered exactly where the anti-join dropped
+    * it; score_bp sums only contribution rows (owned rows carry
+    * bp = 0); n_contrib counts only contribution rows. A/B vs the
+    * anti-join form at 1×/10×/100×: see BASELINE.md round 18. */
   def userTopN(spark: SparkSession, dir: String,
                n: Int = 3, k: Int = 10, minCo: Long = 2L): DataFrame = {
     val nbr = itemNeighbors(spark, dir, k, minCo)
       .select(col("part"), col("neighbor"),
         round(col("cosine") * 10000).cast("long").as("bp"))
     val ords = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
-    val userParts = Tables(spark, dir, "lineitem")
+    val custParts = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey"))
       .join(ords, col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("cust"), col("l_partkey").as("p"))
-      .distinct()
-    val scored = userParts
+    val contrib = custParts.distinct()
       .join(nbr, col("p") === col("part"))
+      .select(col("cust"), col("neighbor"), col("bp"), lit(0).as("owned"))
+    val ownership = custParts
+      .select(col("cust"), col("p").as("neighbor"),
+        lit(0L).as("bp"), lit(1).as("owned"))
+    val scored = contrib.unionByName(ownership)
       .groupBy(col("cust"), col("neighbor"))
-      .agg(sum(col("bp")).as("score_bp"), count(lit(1)).as("n_contrib"))
-      .join(userParts.select(col("cust"), col("p").as("neighbor")),
-        Seq("cust", "neighbor"), "left_anti")
+      .agg(sum(col("bp")).as("score_bp"),
+        sum(lit(1L) - col("owned")).as("n_contrib"),
+        max(col("owned")).as("own"))
+      .filter(col("own") === 0)
     val rk = Window.partitionBy("cust")
       .orderBy(col("score_bp").desc, col("neighbor"))
     scored.withColumn("rk", row_number().over(rk)).filter(col("rk") <= n)

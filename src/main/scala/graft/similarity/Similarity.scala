@@ -1503,8 +1503,15 @@ object Similarity {
   def hardNegativesOn(all: DataFrame, benchEvery: Int = 10,
                       hi: Double = 0.9, k: Int = 5): DataFrame = {
     VectorExpressions.register(all.sparkSession)
+    // Session-wide by necessity (the returned plan is lazy, so the
+    // conf must still hold at execution time — there is no per-query
+    // scope for a SQLConf), so keep the blast radius minimal: 2¹³ is
+    // just above the ~2000-group bound autoBenchEvery guarantees
+    // (round-18 ADVICE; the previous 2¹⁸ disabled the sort-based
+    // fallback safety valve for EVERY later object-hash aggregate in
+    // a shared Bench/Verify session up to 256k groups per partition).
     all.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 18)
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 13)
     val q = all.filter(pmod(col("vec_id"), lit(benchEvery)) === 0)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("vec").as("qv"), col("norm").as("qn"))

@@ -39,11 +39,16 @@ object BasketProbe {
       def time(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
-      // warm both halves once, then time
+      // warm EACH half once before timing it (round-18 ADVICE: timing
+      // tU cold skewed the nbr/topn decomposition — the cold pass
+      // carried first-touch parquet footers + codegen of the serving
+      // half, overstating the serving-aggregation share)
       graft.operators.Recommend.itemNeighbors(spark, d)
         .write.format("noop").mode("overwrite").save()
       val tN = time(graft.operators.Recommend.itemNeighbors(spark, d)
         .write.format("noop").mode("overwrite").save())
+      graft.operators.Recommend.userTopN(spark, d)
+        .write.format("noop").mode("overwrite").save()
       val tU = time(graft.operators.Recommend.userTopN(spark, d)
         .write.format("noop").mode("overwrite").save())
       println(f"$d%-28s ${r.getLong(0)}%10d ${r.getLong(1)}%10d ${r.getDouble(2)}%7.2f ${r.getDouble(3)}%6.1f ${r.getLong(4)}%6d $tN%7.2f $tU%7.2f")

@@ -120,4 +120,90 @@ class ProbeRegistrySpec extends AnyFunSuite {
         s"exception for non-production query $q is dead weight")
     }
   }
+
+  // ---- second decade (10x -> 100x), round-18 VERDICT item 5 ----
+  //
+  // The 10x-only gate is blind to steepness that shows only on the
+  // second decade: txt_repetition_stats passes its 10x probe at ~2.8x
+  // while its measured 10x->100x ratio is ~6x (single-host
+  // shuffle-memory pressure on a by-construction linear gram
+  // relation, three rewrites A/B'd and all lost — BASELINE.md round
+  // 17), and the old hard-negatives plan was 2.8x at 10x but
+  // 33x/decade at 100x. PROBES100X.tsv pins the 10x->100x ratio for
+  // the WATCHLIST — the rows with recorded isolated triples, i.e.
+  // exactly the rows whose scale behavior past 10x has ever been in
+  // question — so a superlinear rework trips a test, not a judge.
+
+  /** Rows that must carry a PROBES100X entry: dropping a row cannot
+    * be used to dodge its bound. */
+  private val watchlist100: Set[String] = Set(
+    "emb_hard_negatives", "profile_orders_approx", "dedup_ngram_jaccard",
+    "txt_boilerplate", "txt_repetition_stats",
+    "rec_item_neighbors", "rec_user_topn", "a8_approx_percentiles")
+
+  /** Second-decade ceilings above the default linear-plus-ambient
+    * bound; same contract as `exceptions` (must name the measured
+    * cause). Currently empty: every watchlist row measures under
+    * 13x on the second decade (txt_repetition_stats ~6x,
+    * rec_user_topn ~4x are the steepest). */
+  private val exceptions100: Map[String, (Double, String)] = Map.empty
+
+  private def probe100Rows(): Map[String, (Double, Double, Double, Double)] = {
+    val f = new java.io.File("PROBES100X.tsv")
+    assert(f.exists(),
+      "PROBES100X.tsv missing — run the watchlist triple (Bench with " +
+        "SPARK_GRAFT_BENCH_ONLY at sf0.1 / graft_scale10 / graft_scale100) " +
+        "and tools/make_probe100_table.py")
+    scala.io.Source.fromFile(f).getLines()
+      .filterNot(l => l.startsWith("#") || l.startsWith("name\t") || l.trim.isEmpty)
+      .map { l =>
+        // name, sec_1x, sec_10x, sec_100x, d1_ratio, d2_ratio
+        val cols = l.split('\t')
+        cols(0) -> (cols(1).toDouble, cols(2).toDouble, cols(3).toDouble,
+          cols(5).toDouble)
+      }.toMap
+  }
+
+  test("second-decade table is fresh: generated on an ancestor commit within the staleness budget") {
+    import scala.sys.process._
+    // one round's churn plus slack: the watchlist triple is a ~15-min
+    // regeneration (8 rows x 3 scales), cheap enough to refresh
+    // whenever a watchlist row's plan is reworked
+    val budget = 60
+    val header = scala.io.Source.fromFile("PROBES100X.tsv").getLines()
+      .take(5).find(_.startsWith("# commit: "))
+    assert(header.isDefined,
+      "PROBES100X.tsv lacks the generating-commit header — regenerate with tools/make_probe100_table.py")
+    val c = header.get.stripPrefix("# commit: ").trim
+    assert(c.matches("[0-9a-f]{40}"), s"malformed commit stamp '$c'")
+    val isAncestor = Process(Seq("git", "merge-base", "--is-ancestor", c, "HEAD")).! == 0
+    assert(isAncestor, s"PROBES100X commit $c is not an ancestor of HEAD — regenerate")
+    val behind = Process(Seq("git", "rev-list", "--count", s"$c..HEAD")).!!.trim.toInt
+    assert(behind <= budget,
+      s"PROBES100X generated $behind commits ago (> $budget) — regenerate the watchlist triple")
+  }
+
+  test("every watchlist row has a 100x triple with its second decade at/below the bound") {
+    val rows = probe100Rows()
+    val missing = watchlist100.filterNot(rows.contains).toSeq.sorted
+    assert(missing.isEmpty,
+      s"watchlist rows with no 100x probe triple (regenerate PROBES100X.tsv): $missing")
+    rows.toSeq.sortBy(_._1).foreach { case (q, (s1, s10, s100, d2)) =>
+      assert(s1 > 0 && s10 > 0 && s100 > 0,
+        s"$q: probe triple recorded a failed run ($s1, $s10, $s100)")
+      if (s100 >= AbsoluteFloorSec) {
+        val (bound, why) = exceptions100.getOrElse(q, (LinearBound, ""))
+        assert(d2 <= bound,
+          s"$q grew ${d2}x on the 10x->100x decade (bound $bound" +
+            s"${if (why.nonEmpty) s"; $why" else ""}) — the decade the 10x gate " +
+            "cannot see; fix the plan or add a named exceptions100 ceiling")
+      }
+    }
+  }
+
+  test("second-decade table rows name only registered queries") {
+    val names = SparkEntry.queries.keySet
+    val stale = probe100Rows().keys.filterNot(names.contains).toSeq.sorted
+    assert(stale.isEmpty, s"stale PROBES100X rows (renamed/removed queries?): $stale")
+  }
 }

@@ -173,6 +173,18 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
+    // min/max per query alongside the median (round-19, VERDICT item
+    // 5): reps=2 "median" is the LARGER pass by sorted-index-1, which
+    // made reps=2 artifacts non-comparable with reps=3 medians at face
+    // value — the spread lets any reader reconstruct the protocol bias
+    // instead of footnoting every cross-vintage comparison. File
+    // artifact only (the console line must stay inside the driver's
+    // ~2000-char tail window).
+    val spread = names.map { n =>
+      val ok = times(n).filter(_ >= 0)
+      val (lo, hi) = if (ok.isEmpty) (-1.0, -1.0) else (ok.min, ok.max)
+      "\"" + n + "\":[" + num3(lo) + "," + num3(hi) + "]"
+    }.mkString("{", ",", "}")
     val rq = requeried.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
@@ -185,7 +197,7 @@ object Bench {
     val tags = tagTotals.toSeq.sortBy(_._1)
       .map { case (t, v) => "\"" + t + "\":" + num3(v) }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"requeried":$rq,"tags":$tags,"profile":"$profile","sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"requeried":$rq,"tags":$tags,"profile":"$profile","sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}"""
     println(json)
     // Driver-artifact self-containment (round-14 VERDICT #7): the round
     // driver keeps only the last ~2000 chars of stdout and parses the

@@ -174,6 +174,70 @@ object Components {
     labels
   }
 
+  /** Connected components of an edge list whose components are KNOWN
+    * to be group-confined — every edge carries a `grp` key and no
+    * component can span groups (the semdedup cluster rungs: candidate
+    * pairs join only WITHIN a coarse k-means cluster, so the
+    * transitive closure is confined by construction). One shuffle on
+    * grp + a linear union-find per group replaces [[labelGraph]]'s
+    * driver-looped global rounds (each round = a checkpoint job + a
+    * convergence count action — measured as the wall-clock FLOOR of
+    * the cluster rungs since round 12, ~2 s/round of pure per-action
+    * latency at test scale). Same grouped-vs-iterative split as
+    * `label`/`labelGrouped` for image masks: callers must gate on
+    * per-group edge counts (Similarity.keepDecisionGrouped collects
+    * the max group size first and falls back to labelGraph past its
+    * task budget — at 100 TB a coarse cluster's candidate edges can
+    * outgrow one task, and the O(log d) global closure is the plan
+    * that survives).
+    *
+    * Input (grp, u, v) with LONG node ids; output (node, component),
+    * component = min node id — labelGraph-identical labels
+    * (ComponentsSpec pins parity on random group-confined graphs).
+    * Nodes with no edges do not appear; callers rejoin singletons. */
+  def labelGraphGrouped(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("grp").cast("long"), col("u").cast("long"),
+        col("v").cast("long"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it: Iterator[(Long, Long, Long)]) =>
+        val es = it.toArray
+        val idx = new java.util.HashMap[Long, Integer](es.length * 4)
+        val nodes = new scala.collection.mutable.ArrayBuffer[Long](es.length)
+        def id(x: Long): Int = {
+          val got = idx.get(x)
+          if (got != null) got.intValue()
+          else { val i = nodes.length; nodes += x; idx.put(x, i); i }
+        }
+        val pairs = es.map(e => (id(e._2), id(e._3)))
+        val parent = Array.tabulate(nodes.length)(identity)
+        def find(a: Int): Int = {
+          var r = a
+          while (parent(r) != r) r = parent(r)
+          var c = a
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        pairs.foreach { case (a, b) =>
+          val ra = find(a); val rb = find(b)
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+        }
+        // component id = min NODE id (insertion order is not id order,
+        // so resolve in a second pass — the labelGrouped recipe)
+        val minId = Array.fill(nodes.length)(Long.MaxValue)
+        var i = 0
+        while (i < nodes.length) {
+          val r = find(i)
+          if (nodes(i) < minId(r)) minId(r) = nodes(i)
+          i += 1
+        }
+        nodes.indices.iterator.map(i => (nodes(i), minId(find(i))))
+      }
+      .toDF("node", "component")
+  }
+
   /** Connected components over a generic EDGE LIST (u, v) — the graph
     * twin of the grid labeler, used to resolve near-dup candidate
     * PAIRS into duplicate clusters (LSH emits pairs; a cluster is the

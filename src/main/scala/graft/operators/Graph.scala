@@ -145,6 +145,23 @@ object Graph {
     spark.conf.getOption("graft.graph.stateBroadcastMaxRows")
       .map(_.toLong).getOrElse(50000L)
 
+  /** Round-19 A/B knob (`graft.graph.persistEdges`): when true, the
+    * FIXED-ROUND Pregel loops (pageRank/bfsHops/ssspOn — the rows
+    * measured at 8.2-8.5x on the 10x->100x decade, vs 3.7-4.7x for
+    * their tolerance-exit twins) localCheckpoint the edge relation
+    * once so every round reads local shuffle blocks instead of
+    * re-decoding the bucketed parquet scan per round. localCheckpoint
+    * preserves the reported hash partitioning (the pageRankUntil
+    * precedent, pinned by PlanContractSpec), so the per-round join
+    * stays zero-exchange on the edge side either way — the A/B
+    * isolates pure re-scan/decode cost. Default false = the shipped
+    * bucketed-scan-per-round plan; GraphPregelAbProbe measures both
+    * at 10x/100x before this ships as a default. */
+  private[graft] def persistEdges(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.graph.persistEdges").exists(_.toBoolean)
+  private def roundEdges(df: DataFrame): DataFrame =
+    if (persistEdges(df.sparkSession)) df.localCheckpoint() else df
+
   /** The state side of a Pregel round join: broadcast while the known
     * row bound fits the budget, SHUFFLE_MERGE-hinted (→ the measured
     * zero-exchange SMJ against the bucketed edge scan) once it does
@@ -236,8 +253,9 @@ object Graph {
   def pageRank(spark: SparkSession, dir: String, iters: Int = 5): DataFrame = {
     // bucketed-by-`a` catalog table: every per-round join reads the
     // edge side with NO exchange; the state side (one row per node)
-    // broadcasts below the row budget, shuffles above it (stateSide)
-    val linked = bipartiteLinked(spark, dir)
+    // broadcasts below the row budget, shuffles above it (stateSide);
+    // roundEdges optionally pins the scan to local blocks (A/B knob)
+    val linked = roundEdges(bipartiteLinked(spark, dir))
     val n = bipartiteNodeCount(spark, dir)
     val teleport = lit(0.15).cast("double") / lit(n.toDouble)
     var pr = linked.select(col("a").as("node")).distinct()
@@ -687,7 +705,7 @@ object Graph {
     * relax-everything at the same fixed bound, measured at sf0.1). */
   def bfsHops(spark: SparkSession, dir: String, source: String = "s:1",
               hops: Int = 4): DataFrame = {
-    val edges = bipartiteEdges(spark, dir)
+    val edges = roundEdges(bipartiteEdges(spark, dir))
     var dist = spark.createDataFrame(Seq(Tuple2(source, 0)))
       .toDF("node", "hops")
     var frontier = dist
@@ -752,8 +770,9 @@ object Graph {
     * scale the move is delta-stepping (bucketed priority relaxation);
     * the per-round shape is unchanged: one equality join on the edge
     * key + one min-aggregate, edges checkpointed once. */
-  def ssspOn(edges: DataFrame, source: String, rounds: Int = 4): DataFrame = {
-    val spark = edges.sparkSession
+  def ssspOn(edges0: DataFrame, source: String, rounds: Int = 4): DataFrame = {
+    val spark = edges0.sparkSession
+    val edges = roundEdges(edges0)
     var dist = spark.createDataFrame(Seq(Tuple2(source, 0L)))
       .toDF("node", "dist")
     for (_ <- 1 to rounds) {

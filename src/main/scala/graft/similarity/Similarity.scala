@@ -1039,6 +1039,40 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** keepDecision for GROUP-CONFINED candidate edges (grp, u, v) —
+    * both cluster rungs generate pairs only within a coarse cluster,
+    * so the transitive closure cannot span groups and the CC can run
+    * as ONE shuffle + per-group union-find
+    * ([[graft.operators.Components.labelGraphGrouped]]) instead of the
+    * iterative global closure's driver-looped rounds (a checkpoint
+    * job + a count action per round — the measured wall-clock floor
+    * of these rungs since round 12; the round-19 stage decomposition
+    * put the closure at ~40% of emb_semdedup_keep's eager
+    * construction). The gate is per-group EDGE count: one aggregate
+    * over the checkpointed edge relation (which the closure needed
+    * materialized anyway) against a fits-one-task budget; past it —
+    * the 100 TB regime where a coarse cluster's candidate edges
+    * outgrow an executor task — the iterative labelGraph plan is the
+    * one that survives, so it remains the fallback unchanged.
+    * Labels are identical either way (ComponentsSpec parity; the
+    * emb_semdedup_keep DuckDB oracle stays hash-green). */
+  private def keepDecisionGrouped(all: DataFrame, edgesG: DataFrame,
+                                  maxGroupEdges: Long = 4L << 20): DataFrame = {
+    val e = edgesG.localCheckpoint()
+    val biggest = e.groupBy("grp").count()
+      .agg(max("count").as("m")).head().getAs[java.lang.Long]("m")
+    val comp =
+      if (biggest == null || biggest <= maxGroupEdges)
+        graft.operators.Components.labelGraphGrouped(e)
+      else graft.operators.Components.labelGraph(e.select(col("u"), col("v")))
+    all.select(col("vec_id"))
+      .join(comp.select(col("node").as("vec_id"), col("component")), Seq("vec_id"), "left")
+      .withColumn("keep_id", coalesce(col("component"), col("vec_id")))
+      .select(col("vec_id"), col("keep_id"),
+        (col("keep_id") === col("vec_id")).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   def semanticKeep(spark: SparkSession, dir: String, threshold: Double = 0.3): DataFrame =
     semanticKeepOn(corpus(spark, dir), threshold)
 
@@ -1395,15 +1429,20 @@ object Similarity {
     * rung's O(n²) broadcast nested loop. Same min-label closure, same
     * (vec_id, keep_id, is_kept) relation; cross-cluster near-dups are
     * the recall trade, measurable against semanticKeepOn by
-    * construction (SimilaritySpec pins planted-dup parity). */
+    * construction (SimilaritySpec pins planted-dup parity). The CC
+    * closure rides the grouped union-find when clusters fit a task
+    * (keepDecisionGrouped — components are cluster-confined by
+    * construction here), the iterative global closure past that. */
   def semanticKeepClusteredOn(all: DataFrame, threshold: Double = 0.3,
                               k: Int = 8, iters: Int = 2): DataFrame =
-    keepDecision(all, clusteredEdgesOn(all, threshold, k, iters))
+    keepDecisionGrouped(all, clusteredEdgesOn(all, threshold, k, iters))
 
   /** The pair-generation term of the cluster rung, exposed so
     * PlanContractSpec can assert its shape (the CC closure checkpoints
     * eagerly, hiding this join from the final plan): within-cluster
-    * exact-cosine edges via an equality join on cluster_id. */
+    * exact-cosine edges via an equality join on cluster_id. Output
+    * (grp, u, v) — grp is the shared cluster id, carried so the CC
+    * closure can run group-local (keepDecisionGrouped). */
   private[graft] def clusteredEdgesOn(all: DataFrame, threshold: Double,
                                       k: Int, iters: Int): DataFrame = {
     VectorExpressions.register(all.sparkSession)
@@ -1417,7 +1456,7 @@ object Similarity {
       .filter(col("u") < col("v"))
       .withColumn("cos", ndot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
-      .select("u", "v")
+      .select(col("cluster_id").as("grp"), col("u"), col("v"))
   }
 
   def semanticKeepClustered(spark: SparkSession, dir: String,
@@ -1501,17 +1540,28 @@ object Similarity {
     * (~2000 by [[autoBenchEvery]]) because the sort-based fallback
     * would re-create exactly the spilling sort this plan removes. */
   def hardNegativesOn(all: DataFrame, benchEvery: Int = 10,
-                      hi: Double = 0.9, k: Int = 5): DataFrame = {
+                      hi: Double = 0.9, k: Int = 5,
+                      maxQueryGroups: Long = 1L << 12): DataFrame = {
     VectorExpressions.register(all.sparkSession)
     // Session-wide by necessity (the returned plan is lazy, so the
     // conf must still hold at execution time — there is no per-query
-    // scope for a SQLConf), so keep the blast radius minimal: 2¹³ is
-    // just above the ~2000-group bound autoBenchEvery guarantees
-    // (round-18 ADVICE; the previous 2¹⁸ disabled the sort-based
-    // fallback safety valve for EVERY later object-hash aggregate in
-    // a shared Bench/Verify session up to 256k groups per partition).
+    // scope for a SQLConf), so keep the blast radius minimal: the
+    // threshold is derived as the next power of two ABOVE the
+    // caller's declared query-group bound (round-19, closing the r18
+    // ADVICE gap: benchEvery=10 alone puts NO bound on n/10 groups —
+    // a direct caller on a large corpus would silently cross a fixed
+    // 2¹³ and fall back to exactly the spilling sort this plan
+    // removes). CONTRACT: `maxQueryGroups` must upper-bound the
+    // number of distinct query ids this call produces (n/benchEvery);
+    // [[hardNegatives]] passes the exact count-derived bound, and the
+    // default covers the ~2000-group autoBenchEvery regime. The
+    // floor stays 2¹³ so the sort-based safety valve is never
+    // re-disabled wholesale (the r17 2¹⁸ leak); aggregator state is
+    // ~(20·k+32) B per group, so even 2²⁰ groups is ~140 MB/partition.
+    val threshold = math.max(1L << 13,
+      java.lang.Long.highestOneBit(math.max(1L, maxQueryGroups)) << 1)
     all.sparkSession.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", 1 << 13)
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", threshold)
     val q = all.filter(pmod(col("vec_id"), lit(benchEvery)) === 0)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("vec").as("qv"), col("norm").as("qn"))
@@ -1536,7 +1586,11 @@ object Similarity {
 
   def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    hardNegativesOn(all, benchEvery = autoBenchEvery(all.count()))
+    val n = all.count()
+    val benchEvery = autoBenchEvery(n)
+    // exact count-derived group bound (the hardNegativesOn contract)
+    hardNegativesOn(all, benchEvery = benchEvery,
+      maxQueryGroups = n / benchEvery + 1)
   }
 
   /** Round-11 k rule for the cluster rung, SUPERSEDED as the
@@ -1597,7 +1651,7 @@ object Similarity {
                           targetOccupancy: Int = 32, coarseK: Int = 16,
                           nTables: Int = 4, iters: Int = 2,
                           dims: Int = 64): DataFrame =
-    keepDecision(all,
+    keepDecisionGrouped(all,
       cellEdgesOn(all, threshold, targetOccupancy, coarseK, nTables, iters, dims))
 
   /** The pair-generation term of the cells rung, exposed for
@@ -1646,18 +1700,26 @@ object Similarity {
         posexplode(allBuckets(col("vec"), maxPlanes, nTables, dims)).as(Seq("tbl", "bucket")))
       .join(broadcast(planesFor), Seq("cluster_id"))
       .withColumn("cell", expr("bucket & (shiftleft(1L, planes) - 1L)"))
-    cells
+    // grp = the shared coarse cluster (pairs exist only within one, so
+    // components are cluster-confined — the keepDecisionGrouped
+    // contract); star edges inherit their KEEPER's cluster so an
+    // exact-duplicate fan stays in the same union-find group as any
+    // near-dup edges its keeper participates in
+    val pairEdges = cells
       .groupBy("cluster_id", "tbl", "cell")
       .agg(sort_array(collect_list(
         struct(col("vec_id").as("id"), col("vec").as("v"), col("norm").as("nm")))).as("ms"))
-      .select(explode(expr(
+      .select(col("cluster_id").as("grp"), explode(expr(
         "flatten(transform(ms, (a, i) -> transform(slice(ms, i + 2, size(ms)), " +
           "b -> struct(a.id AS u, b.id AS v, " +
           "graft_dot(a.v, b.v) / (a.nm * b.nm) AS cos))))")).as("p"))
-      .select(col("p.u"), col("p.v"), col("p.cos").as("cos"))
+      .select(col("grp"), col("p.u"), col("p.v"), col("p.cos").as("cos"))
       .filter(col("cos") >= threshold)
-      .select("u", "v").distinct()
-      .unionByName(stars.select(col("vec_a").as("u"), col("vec_b").as("v")))
+      .select("grp", "u", "v").distinct()
+    pairEdges.unionByName(
+      stars.select(col("vec_a").as("u"), col("vec_b").as("v"))
+        .join(assign.select(col("vec_id").as("u"), col("cluster_id").as("grp")), Seq("u"))
+        .select("grp", "u", "v"))
   }
 
   /** The auto-resolution production configuration of the cluster

@@ -65,6 +65,34 @@ class ComponentsSpec extends AnyFunSuite {
       40L -> 40L, 50L -> 40L, 60L -> 60L, 61L -> 60L, 62L -> 60L))
   }
 
+  test("labelGraphGrouped matches labelGraph on group-confined random graphs") {
+    // round-19: the grouped union-find fast path for cluster-confined
+    // semdedup edges must produce labelGraph-IDENTICAL labels. Seeded
+    // random graphs whose edges never span groups (the
+    // keepDecisionGrouped precondition): chains, cliques, rings,
+    // duplicate edges, self-contained stars — across 4 groups.
+    val rnd = new scala.util.Random(19)
+    val edges = (0 until 4).flatMap { g =>
+      val base = g * 1000L
+      val nodes = (0 until 30).map(i => base + rnd.nextInt(200))
+      val chain = nodes.sliding(2).filter(_.size == 2).map(p => (g.toLong, p(0), p(1)))
+      val extra = (0 until 20).map { _ =>
+        val a = base + rnd.nextInt(200); val b = base + rnd.nextInt(200)
+        (g.toLong, a, b)
+      }.filter(e => e._2 != e._3)
+      chain ++ extra ++ extra.take(3) // duplicates too
+    }
+    val df = edges.toDF("grp", "u", "v")
+    val grouped = Components.labelGraphGrouped(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iterative = Components.labelGraph(df.select("u", "v")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(grouped === iterative)
+    // labels must be min node ids of their components
+    assert(grouped.values.toSet.subsetOf(grouped.keySet))
+    grouped.foreach { case (n, c) => assert(c <= n) }
+  }
+
   test("label3d joins lobes connected only through z — where per-slice 2-D CC splits them") {
     // two 3x3x1 lobes at z=2 and z=4, joined by a single voxel at z=3;
     // plus an isolated voxel far away

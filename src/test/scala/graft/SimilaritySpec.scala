@@ -224,6 +224,7 @@ class SimilaritySpec extends AnyFunSuite {
       "every member pairs with keeper 0 at cosine 1.0")
     val edges = Similarity.cellEdgesOn(c, threshold = 0.3, targetOccupancy = 32,
         coarseK = 16, nTables = 4, iters = 2, dims = 8)
+      .select("u", "v") // grp (the coarse cluster) rides along since round 19
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val (stars, rest) = edges.partition(e => e._1 == 0L && e._2 < d)
     assert(stars.length === d - 1, "cells rung must carry the same keeper star")

@@ -65,6 +65,31 @@ class TopCosAggregatorSpec extends AnyFunSuite {
     assert(toSeq(reduceAll(agg, in)).map(_._2) === Seq(2L, 4L))
   }
 
+  test("NaN cosines are dropped in reduce and the buffer stays sorted") {
+    // round-19 (r18 ADVICE): the NaN guard exists because `before`
+    // uses primitive comparisons, under which NaN compares false both
+    // ways — an admitted NaN would park at the tail and poison the
+    // sorted invariant across merges. Feed NaN at every position
+    // (head, interior, tail, into a full buffer) and assert it never
+    // lands and the survivors stay strictly ordered.
+    val agg = new TopCosAggregator(3)
+    val clean = Seq(CosCand(0.9, 1L, 0), CosCand(0.5, 2L, 0), CosCand(0.1, 3L, 0))
+    for (pos <- 0 to clean.length) {
+      val (a, b) = clean.splitAt(pos)
+      val got = toSeq(reduceAll(agg, a ++ Seq(CosCand(Double.NaN, 99L, 7)) ++ b))
+      assert(got === Seq((0.9, 1L, 0), (0.5, 2L, 0), (0.1, 3L, 0)),
+        s"NaN injected at position $pos must be dropped")
+      assert(got.forall(!_._1.isNaN))
+    }
+    // NaN-only input stays at zero; merging it with a clean partial is
+    // identity in both orders (the empty-side fast paths)
+    val nanOnly = reduceAll(agg, Seq(CosCand(Double.NaN, 1L, 0), CosCand(Double.NaN, 2L, 0)))
+    assert(toSeq(nanOnly).isEmpty)
+    val cleanBuf = reduceAll(agg, clean)
+    assert(toSeq(agg.merge(nanOnly, cleanBuf)) === toSeq(cleanBuf))
+    assert(toSeq(agg.merge(cleanBuf, nanOnly)) === toSeq(cleanBuf))
+  }
+
   test("k bound is validated") {
     intercept[IllegalArgumentException](new TopCosAggregator(0))
     intercept[IllegalArgumentException](new TopCosAggregator(4097))

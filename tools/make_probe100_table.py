@@ -21,6 +21,7 @@ rep protocol, and host; the 10x/100x corpora are ScaleProbe's
 (/tmp/graft_scale10, /tmp/graft_scale100 — regenerated on demand).
 """
 import json
+import re
 import subprocess
 import sys
 
@@ -39,8 +40,13 @@ def main():
     one, sf1 = queries(sys.argv[1])
     ten, sf10 = queries(sys.argv[2])
     hundred, sf100 = queries(sys.argv[3])
-    commit = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
-                            text=True, cwd=sys.path[0] or ".").stdout.strip()
+    res = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                         text=True, cwd=sys.path[0] or ".")
+    commit = res.stdout.strip()
+    if res.returncode != 0 or not re.fullmatch(r"[0-9a-f]{40}", commit):
+        sys.exit(f"git rev-parse HEAD failed (rc={res.returncode}, out='{commit}', "
+                 f"err='{res.stderr.strip()}') - run from inside the repo checkout; "
+                 "an empty commit stamp would ship a malformed table")
     print(f"# commit: {commit}")
     print(f"# 100x second-decade table: sec at {sf1} / {sf10} / {sf100}")
     print("# (same host, local[32], median-of-reps with per-query warmup).")

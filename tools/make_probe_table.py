@@ -15,6 +15,7 @@ edge set is unchanged there and a graph ratio over it measures nothing
 graft_scale10/graph10, where all three keys stride and edges grow 10x.
 """
 import json
+import re
 import subprocess
 import sys
 
@@ -43,8 +44,13 @@ def main():
         o, _ = queries(ov)
         ten.update(o)
         from_overlay |= set(o)
-    commit = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
-                            text=True, cwd=sys.path[0] or ".").stdout.strip()
+    res = subprocess.run(["git", "rev-parse", "HEAD"], capture_output=True,
+                         text=True, cwd=sys.path[0] or ".")
+    commit = res.stdout.strip()
+    if res.returncode != 0 or not re.fullmatch(r"[0-9a-f]{40}", commit):
+        sys.exit(f"git rev-parse HEAD failed (rc={res.returncode}, out='{commit}', "
+                 f"err='{res.stderr.strip()}') - run from inside the repo checkout; "
+                 "an empty commit stamp would ship a malformed table")
     print(f"# commit: {commit}")
     print(f"# 10x scale-probe table: sec at {sf1} vs {sf10} (same host, local[32],")
     print("# median-of-reps with per-query warmup). Rows marked axis=edge take their")

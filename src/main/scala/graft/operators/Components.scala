@@ -107,6 +107,24 @@ object Components {
       .toDF("img_id", "y", "x", "component")
   }
 
+  /** Size budget (rows) below which a connected-components input runs
+    * as ONE union-find task instead of the iterative O(log d) join
+    * rounds — the round-19 generalization of the `labelGrouped` /
+    * `labelGraphGrouped` split: the iterative MapReduce-CC plan exists
+    * because a 100 TB edge list cannot fit one executor, but every
+    * driver-looped round costs a checkpoint job plus a convergence
+    * count action (~2 s of pure per-action latency at test scale,
+    * measured since round 12), so paying O(log d) rounds for an edge
+    * list that fits ONE task is pure overhead. The gate is a count
+    * over the already-checkpointed relation; past the budget the
+    * iterative plan — the one that survives at scale — is unchanged.
+    * Conf-overridable so specs can force either path and deployments
+    * can tune to executor task memory (union-find state is O(nodes);
+    * the edge stream is consumed incrementally, never buffered). */
+  private[graft] def localEdgeBudget(spark: SparkSession): Long =
+    spark.conf.getOption("graft.components.localEdgeBudget")
+      .map(_.toLong).getOrElse(8L << 20)
+
   def label(mask: DataFrame, width: Int, maxIters: Int = 64,
             perImage: Boolean = false, diagonal: Boolean = false,
             grouped: Boolean = true): DataFrame = {
@@ -117,6 +135,23 @@ object Components {
       (if (diagonal) Seq((-1, -1), (-1, 1), (1, -1), (1, 1)) else Seq.empty)
     val imgCols = if (perImage) Seq("img_id") else Seq.empty
     val keys = imgCols ++ Seq("y", "x")
+    // GLOBAL masks at or under the one-task budget run through the
+    // same union-find as labelGrouped under a constant group key (one
+    // shuffle, no driver loop); labels are identical by construction
+    // (min linear id per component — ComponentsSpec pins parity).
+    // The mask is checkpointed first so the gate count cannot
+    // re-trigger an expensive upstream plan; past the budget the
+    // iterative rounds below seed from the same checkpoint.
+    val src = if (perImage) mask else {
+      val m = mask.select(col("y"), col("x")).localCheckpoint()
+      if (m.count() <= localEdgeBudget(mask.sparkSession)) {
+        val (yt, xt) = (m.schema("y").dataType, m.schema("x").dataType)
+        return labelGrouped(m.withColumn("img_id", lit(0)), width, diagonal)
+          .select(col("y").cast(yt).as("y"), col("x").cast(xt).as("x"),
+            col("component"))
+      }
+      m
+    }
     // Seed labels from horizontal RUNS (gaps-and-islands): every cell
     // starts with the linear id of its run's leftmost cell — a cell in
     // the same component under 4- or 8-connectivity. This collapses
@@ -125,7 +160,7 @@ object Components {
     // graph diameter instead of the cell-path diameter (a solid mask of
     // width W starts W× ahead).
     val wRow = Window.partitionBy((imgCols :+ "y").map(col): _*).orderBy("x")
-    val seeded = mask.select((imgCols.map(col) ++ Seq(col("y"), col("x"))): _*)
+    val seeded = src.select((imgCols.map(col) ++ Seq(col("y"), col("x"))): _*)
       .withColumn("g", col("x") - row_number().over(wRow))
       .withColumn("run_min_x", min(col("x")).over(
         Window.partitionBy((imgCols ++ Seq("y", "g")).map(col): _*)))
@@ -246,10 +281,85 @@ object Components {
     * only. Dup clusters are near-cliques, so d is tiny and this
     * converges in 2-3 materializations. Output: (node, component)
     * with component = min node id in the component. */
+  /** One-task union-find over a symmetric (u, v) edge relation that
+    * fits the [[localEdgeBudget]] — the generic-edge-list twin of
+    * [[labelGrouped]]. The edge stream is consumed INCREMENTALLY
+    * (union per edge, never buffered), so task memory is O(nodes),
+    * not O(edges). Long and string node ids are supported — string
+    * minima compare in UTF8 binary order, exactly the ordering
+    * Spark's `min` applies to StringType, so labels are bit-identical
+    * to the iterative path's (ComponentsSpec pins parity on both). */
+  private[graft] def labelGraphLocal(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    val dt = sym.schema("u").dataType
+    def unionFind[T](it: Iterator[(T, T)], lt: (T, T) => Boolean): Iterator[(T, T)] = {
+      val idx = new java.util.HashMap[T, Integer](1 << 12)
+      val nodes = new scala.collection.mutable.ArrayBuffer[T]()
+      val parent = new scala.collection.mutable.ArrayBuffer[Int]()
+      def id(x: T): Int = {
+        val got = idx.get(x)
+        if (got != null) got.intValue()
+        else {
+          val i = nodes.length; nodes += x; parent += i; idx.put(x, i); i
+        }
+      }
+      def find(a: Int): Int = {
+        var r = a
+        while (parent(r) != r) r = parent(r)
+        var c = a
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      it.foreach { case (u, v) =>
+        val ra = find(id(u)); val rb = find(id(v))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      // component id = min NODE id (root index order is insertion
+      // order, not id order — resolve minima in a second pass)
+      val minAt = new Array[Int](nodes.length)
+      java.util.Arrays.fill(minAt, -1)
+      var i = 0
+      while (i < nodes.length) {
+        val r = find(i)
+        if (minAt(r) < 0 || lt(nodes(i), nodes(minAt(r)))) minAt(r) = i
+        i += 1
+      }
+      nodes.indices.iterator.map(i => (nodes(i), nodes(minAt(find(i)))))
+    }
+    dt match {
+      case org.apache.spark.sql.types.StringType =>
+        import org.apache.spark.unsafe.types.UTF8String
+        sym.select(col("u"), col("v")).as[(String, String)]
+          .groupByKey(_ => 0)
+          .flatMapGroups { (_, it: Iterator[(String, String)]) =>
+            unionFind[String](it,
+              (a, b) => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
+          }
+          .toDF("node", "component")
+      case _ =>
+        sym.select(col("u").cast("long"), col("v").cast("long"))
+          .as[(Long, Long)]
+          .groupByKey(_ => 0)
+          .flatMapGroups { (_, it: Iterator[(Long, Long)]) =>
+            unionFind[Long](it, _ < _)
+          }
+          .toDF("node", "component")
+          .select(col("node").cast(dt).as("node"),
+            col("component").cast(dt).as("component"))
+    }
+  }
+
   def labelGraph(edges: DataFrame, maxIters: Int = 32): DataFrame = {
     val sym = edges.select(col("u"), col("v"))
       .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
       .localCheckpoint()
+    // one-task fast path (round 19): the gate count reads the
+    // checkpoint just materialized; past the budget the iterative
+    // O(log d) rounds below — the plan that survives at 100 TB — are
+    // unchanged. See localEdgeBudget.
+    if (sym.count() <= localEdgeBudget(edges.sparkSession))
+      return labelGraphLocal(sym)
     var labels = resetStats(
       sym.select(col("u").as("node")).distinct()
         .withColumn("component", col("node")).localCheckpoint())

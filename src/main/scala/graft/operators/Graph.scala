@@ -315,14 +315,19 @@ object Graph {
     var done = false
     while (iter < maxIters && !done) {
       iter += 1
+      // the previous value rides the checkpointed round relation (one
+      // extra narrow column), so the per-round L1 delta is a plain
+      // local-scan aggregate instead of a second join job — same
+      // arithmetic over the same rows (every node appears on both
+      // sides of the symmetric graph), half the per-round actions
       val next = linked.join(stateSide(pr, n), linked("a") === pr("node"))
         .groupBy(col("b"))
         .agg((teleport + lit(0.85) * sum(col("pr") / col("deg"))).as("pr"))
         .select(col("b").as("node"), col("pr"))
+        .join(pr.select(col("node"), col("pr").as("prev")), "node")
         .localCheckpoint()
-      val delta = next.join(pr.select(col("node"), col("pr").as("prev")), "node")
-        .agg(sum(abs(col("pr") - col("prev")))).head().getDouble(0)
-      pr = next
+      val delta = next.agg(sum(abs(col("pr") - col("prev")))).head().getDouble(0)
+      pr = next.select("node", "pr")
       if (delta < tol) done = true
     }
     pr.select(col("node"), round(col("pr") * lit(n.toDouble), 6).as("pr_norm"))
@@ -410,16 +415,17 @@ object Graph {
     var done = false
     while (iter < maxIters && !done) {
       iter += 1
+      // prev rides the checkpointed round relation — see pageRankUntil
       val next = linked.join(stateSide(pr, n), linked("a") === pr("node"))
         .groupBy(col("b"))
         .agg((lit(0.85) * sum(col("pr") / col("deg"))).as("flow"))
         .select(col("b").as("node"),
           (col("flow") +
             when(col("b") === source, lit(0.15)).otherwise(lit(0.0))).as("pr"))
+        .join(pr.select(col("node"), col("pr").as("prev")), "node")
         .localCheckpoint()
-      val delta = next.join(pr.select(col("node"), col("pr").as("prev")), "node")
-        .agg(sum(abs(col("pr") - col("prev")))).head().getDouble(0)
-      pr = next
+      val delta = next.agg(sum(abs(col("pr") - col("prev")))).head().getDouble(0)
+      pr = next.select("node", "pr")
       if (delta < tol) done = true
     }
     pr.select(col("node"), round(col("pr"), 6).as("ppr"))
@@ -561,6 +567,17 @@ object Graph {
   def connectedComponents(spark: SparkSession, dir: String,
                           maxIters: Int = 20): DataFrame = {
     val edges = sparseEdges(spark, dir, "08")
+    // one-task union-find fast path (round 19): the sparse edge
+    // relation is already symmetric, so at or under the
+    // Components.localEdgeBudget the whole closure runs as ONE task
+    // (labels = min node id per component, identical to the converged
+    // min-label loop below — GraphSpec pins the hand graph either
+    // way). The gate count scans the bucketed table once; past the
+    // budget the iterative rounds — the 100 TB plan — are unchanged.
+    if (edges.count() <= graft.operators.Components.localEdgeBudget(spark))
+      return graft.operators.Components.labelGraphLocal(
+          edges.select(col("a").as("u"), col("b").as("v")))
+        .select(col("node"), col("component")).orderBy("node")
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("lbl", col("node"))
       .localCheckpoint()
@@ -814,47 +831,61 @@ object Graph {
     val heavy = edges.filter(col("w") > delta).localCheckpoint()
     var dist = spark.createDataFrame(Seq(Tuple2(source, 0L)))
       .toDF("node", "dist").localCheckpoint()
+    // Round-19 action-count rework (guide §1.2/§2.4 — same relaxation
+    // algebra, half the driver actions): the old loop ran FOUR jobs
+    // per light round (improved checkpoint, dist checkpoint, frontier
+    // checkpoint, frontier count). Folding the old-dist/candidate
+    // merge into ONE aggregate that carries the pre-merge distance
+    // (`prev`) makes the improvement test a filter over the single
+    // checkpointed result — two jobs per round, identical fixpoint:
+    // min(dist) over {old} ∪ {candidates} is improvedOf's union-min,
+    // and (prev IS NULL OR dist < prev) is exactly its strict-
+    // improvement predicate. Empty buckets are skipped by computing
+    // the next occupied bucket directly (processing an empty bucket
+    // was a 4-job no-op; distances are unchanged by skipping).
+    def mergeCands(cand: DataFrame): DataFrame =
+      dist.select(col("node"), col("dist"), lit(true).as("old"))
+        .unionByName(cand.select(col("node"), col("dist"), lit(false).as("old")))
+        .groupBy("node")
+        .agg(min(col("dist")).as("dist"),
+          min(when(col("old"), col("dist"))).as("prev"))
+        .localCheckpoint()
+    def relaxed(edgeSide: DataFrame, state: DataFrame, stateRows: Long): DataFrame =
+      edgeSide.join(stateSide(state, stateRows), edgeSide("a") === state("node"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
+        .groupBy("node").agg(min("dist").as("dist"))
     var bucket = 0L
     var active = true
     while (active && bucket < maxBuckets) {
-      def inBucket(d: DataFrame) = d.filter(
-        col("dist") >= bucket * delta && col("dist") < (bucket + 1) * delta)
-      def improvedOf(cand: DataFrame) =
-        cand.join(dist.select(col("node"), col("dist").as("old")), Seq("node"), "left")
-          .filter(col("old").isNull || col("dist") < col("old"))
-          .select("node", "dist")
+      def inBucket(c: Column) =
+        c >= bucket * delta && c < (bucket + 1) * delta
       // phase 1: light edges from the changed frontier, to a fixpoint.
       // The loop already counts the frontier per pass (the termination
       // check), so the state-side hint rides the same scalar —
       // broadcast while the frontier fits the budget, shuffle join
       // once it does not.
-      var frontier = inBucket(dist).localCheckpoint()
+      var frontier = dist.filter(inBucket(col("dist")))
       var frontierRows = frontier.count()
       while (frontierRows > 0) {
-        val improved = improvedOf(
-          light.join(stateSide(frontier, frontierRows),
-              light("a") === frontier("node"))
-            .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
-            .groupBy("node").agg(min("dist").as("dist")))
-          .localCheckpoint()
-        dist = dist.unionByName(improved)
-          .groupBy("node").agg(min("dist").as("dist"))
-          .localCheckpoint()
-        frontier = inBucket(improved).localCheckpoint()
+        val merged = mergeCands(relaxed(light, frontier, frontierRows))
+        dist = merged.select("node", "dist")
+        frontier = merged
+          .filter((col("prev").isNull || col("dist") < col("prev")) &&
+            inBucket(col("dist")))
+          .select("node", "dist")
         frontierRows = frontier.count()
       }
       // phase 2: heavy edges from the now-settled bucket, once
-      val settled = inBucket(dist).localCheckpoint()
-      val himproved = improvedOf(
-        heavy.join(stateSide(settled, settled.count()),
-            heavy("a") === settled("node"))
-          .select(col("b").as("node"), (col("dist") + col("w")).as("dist"))
-          .groupBy("node").agg(min("dist").as("dist")))
-      dist = dist.unionByName(himproved)
-        .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
-      bucket += 1
-      active = dist.filter(col("dist") >= bucket * delta).count() > 0
+      val settled = dist.filter(inBucket(col("dist")))
+      val merged = mergeCands(relaxed(heavy, settled, settled.count()))
+      dist = merged.select("node", "dist")
+      // jump to the next OCCUPIED bucket (one scalar over the local
+      // checkpoint, replacing the old >=-count action)
+      val nextd = merged
+        .filter(col("dist") >= (bucket + 1) * delta)
+        .agg(min("dist")).head().getAs[java.lang.Long](0)
+      if (nextd == null) active = false
+      else bucket = math.min(nextd.longValue() / delta, maxBuckets.toLong)
     }
     dist.orderBy("node")
   }
@@ -1072,18 +1103,26 @@ object Graph {
       .localCheckpoint()
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
+      // checkpoint the RAW per-node sums and keep the normalizer a
+      // LAZY transform over those local blocks: checkpointing the
+      // normalized relation materialized a plan that contained the
+      // join+aggregate subtree TWICE (once for the rows, once inside
+      // the broadcast scalar), so every round re-ran its join unless
+      // exchange reuse happened to fire. Same arithmetic, same
+      // per-round float values (the division is applied to identical
+      // raw sums), one join per side per round guaranteed.
       val aRaw = edges.join(stateSide(hub, nh), edges("src") === hub("node"))
         .groupBy(col("dst")).agg(sum("hub").as("a"))
         .select(col("dst").as("node"), col("a"))
+        .localCheckpoint()
       auth = aRaw.crossJoin(broadcast(aRaw.agg(sum("a").as("za"))))
         .select(col("node"), (col("a") / col("za")).as("auth"))
-        .localCheckpoint()
       val hRaw = edges.join(stateSide(auth, na), edges("dst") === auth("node"))
         .groupBy(col("src")).agg(sum("auth").as("h"))
         .select(col("src").as("node"), col("h"))
+        .localCheckpoint()
       hub = hRaw.crossJoin(broadcast(hRaw.agg(sum("h").as("zh"))))
         .select(col("node"), (col("h") / col("zh")).as("hub"))
-        .localCheckpoint()
     }
     auth.select(col("node"), lit("auth").as("kind"),
         round(col("auth") * lit(na), 6).as("score"))

@@ -93,6 +93,44 @@ class ComponentsSpec extends AnyFunSuite {
     grouped.foreach { case (n, c) => assert(c <= n) }
   }
 
+  test("one-task fast paths match the forced-iterative plans (grid, long edges, string edges)") {
+    // round-19: labelGraph and the global grid labeler gate on
+    // localEdgeBudget — at/under it one union-find task, past it the
+    // iterative MapReduce-CC rounds. Forcing budget=0 runs the same
+    // inputs through the iterative plan; labels must be identical.
+    def forcedIterative[T](f: => T): T = {
+      spark.conf.set("graft.components.localEdgeBudget", "0")
+      try f finally spark.conf.unset("graft.components.localEdgeBudget")
+    }
+    // grid (the a13 path: global mask, no img_id)
+    val fastGrid = Components.label(mask, width = 64).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val iterGrid = forcedIterative(Components.label(mask, width = 64).collect())
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fastGrid === iterGrid)
+    // long-id edge list with chains, a cycle and duplicate edges
+    val edges = Seq((10L, 20L), (20L, 30L), (40L, 50L), (50L, 40L),
+        (60L, 61L), (61L, 62L), (62L, 60L), (10L, 20L))
+      .toDF("u", "v")
+    val fastL = Components.labelGraph(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iterL = forcedIterative(Components.labelGraph(edges).collect())
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastL === iterL)
+    // string-id edge list (the nameEntities / graph_components shape);
+    // min must follow Spark's UTF8 binary ordering
+    val sedges = Seq(("p:9", "s:10"), ("s:10", "p:11"), ("b", "a"),
+        ("Z", "a"), ("p:2", "p:10"))
+      .toDF("u", "v")
+    val fastS = Components.labelGraph(sedges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val iterS = forcedIterative(Components.labelGraph(sedges).collect())
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fastS === iterS)
+    assert(fastS("p:9") === "p:11", "min of {p:9, s:10, p:11} in UTF8 order")
+    assert(fastS("b") === "Z", "uppercase sorts below lowercase in UTF8 order")
+  }
+
   test("label3d joins lobes connected only through z — where per-slice 2-D CC splits them") {
     // two 3x3x1 lobes at z=2 and z=4, joined by a single voxel at z=3;
     // plus an isolated voxel far away

@@ -1,0 +1,36 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Round-19 deliverable helper: dump `explain("formatted")` for a list
+  * of declared queries to files —
+  * `sbt "Test/runMain graft.PlanFmt <sfDir> <outDir> <suffix> <q1,q2,...>"`
+  * writes `<outDir>/<query>_<suffix>.txt` per query.
+  *
+  * Note for iterative operators (Pregel loops, CC closures, k-means):
+  * constructing the DataFrame executes the eager per-round
+  * checkpoints, so the captured plan is the FINAL stage's plan over
+  * local checkpoint blocks — the per-round join shapes are pinned
+  * separately by PlanContractSpec; the capture still shows the final
+  * join/aggregate/sort shape and any scan pushdown feeding it. */
+object PlanFmt {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, suffix, qlist) = args.take(4)
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    for (name <- qlist.split(",").map(_.trim).filter(_.nonEmpty)) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val txt = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      Files.writeString(Paths.get(outDir, s"${name}_$suffix.txt"), txt)
+      println(s"[planfmt] wrote $outDir/${name}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}

@@ -174,7 +174,15 @@ object BlockMatch {
   def methodMetricsQuery(spark: SparkSession,
                          methods: Set[String] = Set("full", "diamond", "tss")): DataFrame = {
     val (h, w, n) = (96, 128, 20)
-    val video = Motion.videoSmall(spark)
+    // round-19: an explicit single-partition exchange under the four
+    // consumers (cur blocks, ref patches, stats aggregate + join sides
+    // inside classified). Unlike localCheckpoint (tried: it erases the
+    // plan-visible SinglePartition and every downstream join
+    // re-shuffles — the regression the generator scaladoc warns
+    // about), Exchange(SinglePartition) keeps the shuffle-free join
+    // shape AND lets ReuseExchange serve all consumers from one
+    // generator run.
+    val video = Motion.videoSmall(spark).repartition(1)
     val medium = Motion.classified(video, nFrames = n).filter(col("class") === "MEDIUM")
     searchMethods(video, medium, h, w, methods = methods)
       .groupBy("method", "frame_idx")

@@ -365,15 +365,16 @@ object Events {
 
   /** S16 — JSON response shaping (routers.py:26-40: dict + _links
     * builders): rows rendered as JSON documents via to_json(struct). */
+  private def jsonDocCol: Column =
+    to_json(struct(
+      col("event_id"), col("user_id"), col("event_type"),
+      struct(
+        concat(lit("/events/"), col("event_id")).as("self"),
+        concat(lit("/users/"), col("user_id")).as("user")).as("_links")))
+
   def jsonShape(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
-      .select(col("event_id"),
-        to_json(struct(
-          col("event_id"), col("user_id"), col("event_type"),
-          struct(
-            concat(lit("/events/"), col("event_id")).as("self"),
-            concat(lit("/users/"), col("user_id")).as("user")).as("_links")))
-          .as("doc"))
+      .select(col("event_id"), jsonDocCol.as("doc"))
       .orderBy("event_id")
 
   /** S16 oracle surface: cross-engine JSON *text* formatting isn't
@@ -382,7 +383,19 @@ object Events {
     * a shaping bug (lost field, wrong nesting, mangled value) can't
     * round-trip, while formatting freedom is normalized away. */
   def jsonShapeParsed(spark: SparkSession, dir: String): DataFrame =
-    jsonShape(spark, dir)
+    // round-19 (guide §2.3): sort FIRST on the three narrow source
+    // columns, render+parse after. A global sort samples its child to
+    // compute range bounds, so heavy expressions below the sort ran
+    // TWICE (sampling pass + shuffle pass) and the rendered JSON
+    // string rode the exchange; with the sort hoisted the exchange
+    // carries (event_id, user_id, event_type) and the JSON round-trip
+    // runs exactly once, post-shuffle — a projection after the sort
+    // preserves the output order, so the ORDER BY semantics (and the
+    // oracle hash) are unchanged.
+    Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy("event_id")
+      .select(col("event_id"), jsonDocCol.as("doc"))
       // one from_json parse per row (get_json_object re-parses the doc
       // once PER extracted field — 4x the JSON parsing in the hot path)
       .select(col("event_id"), from_json(col("doc"),
@@ -394,7 +407,6 @@ object Events {
         col("j.event_type").as("event_type"),
         col("j._links.self").as("link_self"),
         col("j._links.user").as("link_user"))
-      .orderBy("event_id")
 
   /** ST2 batch shape — events per (type, hour) tumbling window; the
     * groupBy keys match the streaming window aggregation so the same

@@ -226,7 +226,18 @@ object Motion {
     * video — the no-ME half of the pipeline at full frame size, with all
     * three classes present. */
   def frameStatsQuery(spark: SparkSession): DataFrame =
-    classified(videoVariable(spark), nFrames = 60)
+    // round-19: materialize the generated pixel relation once — the
+    // three consumers inside frameStats (stats aggregate, current
+    // side, prev side) otherwise re-run the window-cumsum generator
+    // per subtree (2.95M rows x3 at this frame size). Both
+    // single-materialization forms were measured: localCheckpoint
+    // 4.61 s vs repartition(1)+ReuseExchange 6.15 s vs 5.58 s
+    // unmaterialized — at this row count losing the plan-visible
+    // SinglePartition is a WIN, because the downstream self-joins
+    // re-shuffle to 32 partitions and parallelize what was a
+    // one-core pipeline (the u4 twins at 245k rows measure the
+    // opposite; see BlockMatch.methodMetricsQuery).
+    classified(videoVariable(spark).localCheckpoint(), nFrames = 60)
       .select(
         col("frame_idx").as("frame"),
         round(col("raw_mad"), 4).as("mad_raw"),

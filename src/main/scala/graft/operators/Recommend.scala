@@ -32,9 +32,13 @@ object Recommend {
 
   def itemNeighbors(spark: SparkSession, dir: String,
                     k: Int = 10, minCo: Long = 2L): DataFrame = {
+    // round-19: the distinct basket incidence is read by THREE plan
+    // subtrees (item counts + both self-join sides) — materialize the
+    // explode+distinct once; narrow (orderkey, partkey) rows
     val baskets = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .localCheckpoint()
     val itemCount = baskets.groupBy(col("p")).agg(count(lit(1)).as("c"))
     val a = baskets.select(col("o"), col("p").as("pi"))
     val b = baskets.select(col("o").as("ob"), col("p").as("pj"))
@@ -139,9 +143,12 @@ object Recommend {
     * C(basket,2) cost, linear in orders); N is a 1-row broadcast. */
   def associationRules(spark: SparkSession, dir: String,
                        minCo: Long = 2L): DataFrame = {
+    // round-19: four consumers of the distinct incidence (basket
+    // count, item counts, both self-join sides) — materialize once
     val baskets = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
+      .localCheckpoint()
     val nBaskets = baskets.select(col("o")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val itemCount = baskets.groupBy(col("p")).agg(count(lit(1)).as("c"))

@@ -942,17 +942,23 @@ object TextAnalysis {
     * the text); the duplicated-gram relation carries fp only and
     * semi-joins back — O(windows) end to end, all narrow columns. */
   def substringDup(docs: DataFrame, w: Int = 20): DataFrame = {
-    val grams = ngramFingerprints(docs, w)
-    val dup = grams.groupBy("fp")
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") > 1)
-      .select("fp")
-    grams
-      .join(dup.withColumn("is_dup", lit(1)), Seq("fp"), "left")
+    // Round-19 single-pass shape (guide §2.3/§2.4): the old plan read
+    // the gram relation TWICE — once for the duplicated-fp aggregate,
+    // once for the join back — so the corpus explode+md5 (the
+    // dominant per-row cost) ran twice per query. One (doc_id, fp)
+    // pre-aggregate feeds both: rows-per-fp of the aggregated
+    // relation IS countDistinct(doc_id) (the group key contains
+    // doc_id), a window over fp marks duplicated grams on the
+    // aggregated (small) relation, and the per-doc rollup sums the
+    // carried multiplicities — identical output, one gram scan, one
+    // gram-scale shuffle instead of two.
+    val g1 = ngramFingerprints(docs, w)
+      .groupBy("doc_id", "fp").agg(count(lit(1)).as("m"))
+    g1.withColumn("nd", count(lit(1)).over(Window.partitionBy("fp")))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_windows"),
-        sum(when(col("is_dup").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
+        sum(col("m")).as("n_windows"),
+        sum(when(col("nd") > 1, col("m")).otherwise(0L)).as("n_dup_windows"))
       .withColumn("dup_rate",
         round(col("n_dup_windows") / col("n_windows").cast("double"), 4))
       .orderBy("doc_id")
@@ -1475,17 +1481,24 @@ object TextAnalysis {
         expr(s"size(filter(toks, x -> x IN ($stopList))) / cast(size(toks) AS double)"), 4))
       .select(col("doc_id"),
         when(col("nt") >= 20 && col("sr") <= 0.2, 1).otherwise(0).as("y"))
+      // round-19: y is read by every gradient step's score join AND
+      // the final scoring pass (steps+1 consumers) — without the
+      // checkpoint each one re-scans and re-tokenizes the text table.
+      // Narrow (doc_id, y) rows; the label pass runs once.
+      .localCheckpoint()
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .withColumn("bucket",
         (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % dim).cast("int"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    val n = y.count()
     // inverse-class-frequency gradient weights (the standard imbalance
     // correction — the positive "curated" class is always the minority
-    // in a quality filter): two bounded-pull scalars, folded into the
-    // per-doc gradient BEFORE its integerization
-    val nPos = y.filter(col("y") === 1).count()
+    // in a quality filter): ONE bounded-pull scalar action over the
+    // checkpointed labels (was two full label-pass actions), folded
+    // into the per-doc gradient BEFORE its integerization
+    val cnts = y.agg(count(lit(1)), sum(col("y").cast("long"))).head()
+    val n = cnts.getLong(0)
+    val nPos = if (cnts.isNullAt(1)) 0L else cnts.getLong(1)
     val balPos = n.toDouble / (2.0 * nPos.toDouble)
     val balNeg = n.toDouble / (2.0 * (n - nPos).toDouble)
     var w = spark.range(dim)

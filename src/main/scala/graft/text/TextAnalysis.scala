@@ -1048,11 +1048,19 @@ object TextAnalysis {
     * broadcast semi-ish join against distinct benchmark fingerprints;
     * the corpus side stays one map + one aggregate. */
   def decontaminate(docs: DataFrame, w: Int = 13, benchEvery: Int = 10): DataFrame = {
+    // Round-19 single-pass shape (the substringDup move): the old plan
+    // read the gram relation twice — once to build the distinct
+    // benchmark-fp side, once for the training side of the join — so
+    // the corpus 13-gram explode+md5 ran twice per query (and per
+    // manifest query composing this). One scan: a window over fp
+    // marks training rows that share a fingerprint with ANY benchmark
+    // row. Join-with-distinct kept training-row multiplicity, so the
+    // window form counts exactly the same rows; hash-identical.
     val grams = ngramFingerprints(docs, w)
-    val benchFps = grams.filter(pmod(col("doc_id"), lit(benchEvery)) === 0)
-      .select("fp").distinct()
-    grams.filter(pmod(col("doc_id"), lit(benchEvery)) =!= 0)
-      .join(benchFps, "fp")
+      .withColumn("bench", (pmod(col("doc_id"), lit(benchEvery)) === 0).cast("int"))
+    grams
+      .withColumn("has_bench", max(col("bench")).over(Window.partitionBy("fp")))
+      .filter(col("bench") === 0 && col("has_bench") === 1)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hits"))
       .orderBy("doc_id")

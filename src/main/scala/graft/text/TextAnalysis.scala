@@ -1087,11 +1087,15 @@ object TextAnalysis {
     * contamination-sized, not corpus-sized. */
   def maskContamination(docs: DataFrame, w: Int = 13, benchEvery: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // round-19: same single-pass reshape as [[decontaminate]] — one
+    // gram scan with a max-over-fp window instead of the two-scan
+    // distinct-side + join (join-with-distinct kept training-row
+    // multiplicity, so the window form marks exactly the same rows)
     val grams = ngramFingerprints(docs, w)
-    val benchFps = grams.filter(pmod(col("doc_id"), lit(benchEvery)) === 0)
-      .select("fp").distinct()
-    val hits = grams.filter(pmod(col("doc_id"), lit(benchEvery)) =!= 0)
-      .join(benchFps, "fp")
+      .withColumn("bench", (pmod(col("doc_id"), lit(benchEvery)) === 0).cast("int"))
+    val hits = grams
+      .withColumn("has_bench", max(col("bench")).over(Window.partitionBy("fp")))
+      .filter(col("bench") === 0 && col("has_bench") === 1)
       .select(col("doc_id"), col("widx"), (col("widx") + lit(w - 1)).as("wend"))
     val byDoc = Window.partitionBy("doc_id").orderBy("widx")
     val prevEnd = max(col("wend")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))

@@ -147,9 +147,17 @@ object Bench {
         """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.]*)""".r.findAllMatchIn(qobj)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
+    // Round-20 (VERDICT item 4): in addition to the >2x-vs-anchor rule,
+    // a median more than 3x its OWN rep minimum is a burst signature —
+    // one co-tenant spike inside the reps (graph_bfs_hops shipped a
+    // 16.31 s median over a 1.97 s quiet floor in r19) — and requeries
+    // even when no anchor entry exists (new-to-top queries).
     val outliers = medians.collect {
-      case (n, v) if v >= 0.5 && anchor.get(n).exists(a =>
-        a >= 0.5 && (v / a > 2.0 || a / v > 2.0)) => n
+      case (n, v) if v >= 0.5 && (
+        anchor.get(n).exists(a =>
+          a >= 0.5 && (v / a > 2.0 || a / v > 2.0)) ||
+        times(n).filter(_ >= 0).minOption.exists(mn =>
+          mn > 0.0 && v / mn > 3.0)) => n
     }
     val requeried: Map[String, Double] =
       if (outliers.isEmpty) Map.empty
@@ -188,6 +196,15 @@ object Bench {
     val rq = requeried.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + num3(v) }
       .mkString("{", ",", "}")
+    // Requery-CONFIRMED regressions (round-20, VERDICT item 6): a
+    // requeried query whose isolated re-measure is still >2x the
+    // anchor is a real regression, not ambient noise — the artifact
+    // names these so BenchAnchorSpec can fail the suite on a committed
+    // anchor instead of leaving the call to judge-side forensics.
+    val confirmed = requeried.collect {
+      case (n, v) if anchor.get(n).exists(a => a >= 0.5 && v / a > 2.0) => n
+    }.toSeq.sorted
+    val confirmedJson = confirmed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     // per-tag subtotals: the artifact itself states how much of the
     // measured time is production surface vs by-contract audit rungs
@@ -197,7 +214,7 @@ object Bench {
     val tags = tagTotals.toSeq.sortBy(_._1)
       .map { case (t, v) => "\"" + t + "\":" + num3(v) }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"requeried":$rq,"tags":$tags,"profile":"$profile","sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"requeried":$rq,"requery_confirmed":$confirmedJson,"anchor":"$anchorPath","tags":$tags,"profile":"$profile","sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}"""
     println(json)
     // Driver-artifact self-containment (round-14 VERDICT #7): the round
     // driver keeps only the last ~2000 chars of stdout and parses the
@@ -208,17 +225,32 @@ object Bench {
     // subtotals, requeries, and the slowest queries — with the
     // complete per-query map in `queries_full` (the atomically-written
     // outPath below). queries_truncated flags the subset explicitly.
-    // top-10, not 25 (round-17): BENCH_r16.json shows the driver's
-    // ~2000-char tail window cut even the compact line mid-stream —
-    // a ~700-char final line fits the window with room for sbt's
-    // epilogue, a ~1200-char one rides the edge
-    val top = medians.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + num2(v) }
-      .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$top,""" +
-      s""""queries_truncated":true,"queries_n":${medians.count(_._2 >= 0)},""" +
-      s""""queries_full":"$outPath","requeried":$rq,"tags":$tags,""" +
-      s""""profile":"$profile","sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}""")
+    // Round-20 (VERDICT item 4): top-25 by default so the driver's
+    // round-over-round PERF table compares more than a noise-dominated
+    // handful — but LENGTH-GUARDED, because the driver's ~2000-char
+    // tail window cut even the compact line mid-stream in r16 and the
+    // requeried map's size varies run to run. The widest line that
+    // fits under the budget ships; degradation order drops the top-N
+    // width before the requery map (requeries separate ambient noise
+    // from real regressions — the more valuable signal). Entries are
+    // only ever ADDED vs the r19 top-10 format, never renamed.
+    def consoleLine(topN: Int, rqN: Int): String = {
+      val top = medians.filter(_._2 >= 0).toSeq.sortBy(-_._2).take(topN)
+        .map { case (k, v) => "\"" + k + "\":" + num2(v) }
+        .mkString("{", ",", "}")
+      val rqc = requeried.toSeq.sortBy(-_._2).take(rqN).sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + num3(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${num3(total)},"unit":"sec","queries":$top,""" +
+        s""""queries_truncated":true,"queries_n":${medians.count(_._2 >= 0)},""" +
+        s""""queries_full":"$outPath","requeried":$rqc,"tags":$tags,""" +
+        s""""profile":"$profile","sf":"$sfDir","reps":$reps,"stat":"median","warmup":true}"""
+    }
+    val budgetChars = 1800 // tail window ~2000 minus sbt's epilogue line
+    println(Seq(consoleLine(25, requeried.size), consoleLine(15, requeried.size),
+        consoleLine(10, requeried.size), consoleLine(10, 10))
+      .find(_.length <= budgetChars)
+      .getOrElse(consoleLine(10, 5)))
     // Also land the JSON in a file via tmp+atomic-move: the console
     // line travels through a truncating sbt log tail on the driver
     // side (BENCH_r08.json arrived with parsed:null), a file never

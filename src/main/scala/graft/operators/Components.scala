@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, StringType}
 
 /** A13 — connected components over a pixel/voxel mask + keep-largest
   * (reference Hidden_MarkovModels/brain_segmentation.py:88-92:
@@ -26,7 +27,12 @@ object Components {
     * the component). Input: (y, x) mask cells — plus img_id when
     * `perImage` is set, which scopes labels to each image of a batch
     * (component ids stay y·width+x, unique within an image). Output
-    * adds a `component` column. */
+    * adds a `component` column.
+    *
+    * NOTE (ADVICE r19): the GLOBAL (non-perImage) path eagerly
+    * localCheckpoints the mask and runs one gate aggregate at
+    * construction time — building or explaining such a query executes
+    * those jobs. */
   /** localCheckpoint truncates lineage but PRESERVES the source plan's
     * estimated statistics; each propagation round joins labels with
     * itself twice, so the carried sizeInBytes estimate cubes every
@@ -139,16 +145,39 @@ object Components {
     // same union-find as labelGrouped under a constant group key (one
     // shuffle, no driver loop); labels are identical by construction
     // (min linear id per component — ComponentsSpec pins parity).
-    // The mask is checkpointed first so the gate count cannot
+    // The mask is checkpointed first so the gate action cannot
     // re-trigger an expensive upstream plan; past the budget the
     // iterative rounds below seed from the same checkpoint.
+    // Round-20 hardening (ADVICE r19): the fast path casts y/x to Int
+    // inside labelGrouped while the iterative plan keeps the source
+    // column type, so it now engages only when (a) `grouped` allows it
+    // (grouped=false is the API escape to the iterative plan, same as
+    // perImage), (b) both coordinate columns are integral, and (c) ONE
+    // gate aggregate — count AND coordinate bounds in the same action,
+    // no extra job vs the old bare count — proves every coordinate
+    // fits Int (y·width then fits Long for any Int width). A zero
+    // budget (the spec escape) skips the gate action entirely.
     val src = if (perImage) mask else {
       val m = mask.select(col("y"), col("x")).localCheckpoint()
-      if (m.count() <= localEdgeBudget(mask.sparkSession)) {
-        val (yt, xt) = (m.schema("y").dataType, m.schema("x").dataType)
-        return labelGrouped(m.withColumn("img_id", lit(0)), width, diagonal)
-          .select(col("y").cast(yt).as("y"), col("x").cast(xt).as("x"),
-            col("component"))
+      val budget = localEdgeBudget(mask.sparkSession)
+      val integral = Seq(m.schema("y").dataType, m.schema("x").dataType)
+        .forall {
+          case ByteType | ShortType | IntegerType | LongType => true
+          case _ => false
+        }
+      if (grouped && integral && budget > 0L) {
+        val g = m.agg(count(lit(1)),
+          min(col("y").cast("long")), max(col("y").cast("long")),
+          min(col("x").cast("long")), max(col("x").cast("long"))).head()
+        val inIntRange = g.getLong(0) == 0L ||
+          (g.getLong(1) >= Int.MinValue && g.getLong(2) <= Int.MaxValue &&
+            g.getLong(3) >= Int.MinValue && g.getLong(4) <= Int.MaxValue)
+        if (g.getLong(0) <= budget && inIntRange) {
+          val (yt, xt) = (m.schema("y").dataType, m.schema("x").dataType)
+          return labelGrouped(m.withColumn("img_id", lit(0)), width, diagonal)
+            .select(col("y").cast(yt).as("y"), col("x").cast(xt).as("x"),
+              col("component"))
+        }
       }
       m
     }
@@ -328,7 +357,7 @@ object Components {
       nodes.indices.iterator.map(i => (nodes(i), nodes(minAt(find(i)))))
     }
     dt match {
-      case org.apache.spark.sql.types.StringType =>
+      case StringType =>
         import org.apache.spark.unsafe.types.UTF8String
         sym.select(col("u"), col("v")).as[(String, String)]
           .groupByKey(_ => 0)
@@ -337,17 +366,107 @@ object Components {
               (a, b) => UTF8String.fromString(a).compareTo(UTF8String.fromString(b)) < 0)
           }
           .toDF("node", "component")
-      case _ =>
+      case ByteType | ShortType | IntegerType | LongType =>
         sym.select(col("u").cast("long"), col("v").cast("long"))
           .as[(Long, Long)]
           .groupByKey(_ => 0)
           .flatMapGroups { (_, it: Iterator[(Long, Long)]) =>
-            unionFind[Long](it, _ < _)
+            unionFindLong(it)
           }
           .toDF("node", "component")
           .select(col("node").cast(dt).as("node"),
             col("component").cast(dt).as("component"))
+      case other =>
+        // a fractional/decimal id would silently truncate through the
+        // long round-trip (ADVICE r19) — callers gate on
+        // supportsLocalIds and keep such graphs on the iterative plan
+        throw new IllegalArgumentException(
+          s"labelGraphLocal supports string and integral node ids, got $other")
     }
+  }
+
+  /** Node-id types the one-task union-find handles bit-exactly; any
+    * other type (double/decimal ids would truncate through the long
+    * round-trip) stays on the iterative plan. */
+  private[graft] def supportsLocalIds(dt: DataType): Boolean = dt match {
+    case StringType | ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  /** Long-specialized one-task union-find: open-addressed primitive
+    * id→index table plus flat long/int arrays (~36 B/node amortized)
+    * instead of the generic branch's boxed HashMap + ArrayBuffers
+    * (~100 B/node, ADVICE r19) — at the default 8M-edge budget a
+    * worst-case ~16M-node task stays in the hundreds of MB instead of
+    * gigabytes. Same streaming consumption, same min-id labels. */
+  private def unionFindLong(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    var cap = 1 << 13
+    var ks = new Array[Long](cap)
+    var vs = new Array[Int](cap) // slot → node index, -1 = empty
+    java.util.Arrays.fill(vs, -1)
+    var nodes = new Array[Long](1 << 12)
+    var parent = new Array[Int](1 << 12)
+    var n = 0
+    def mix(x: Long): Long = {
+      // splitmix64 finalizer — sequential ids must not cluster probes
+      var h = x + 0x9e3779b97f4a7c15L
+      h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+      h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+      h ^ (h >>> 31)
+    }
+    def rehash(): Unit = {
+      val ncap = cap << 1
+      val nks = new Array[Long](ncap)
+      val nvs = new Array[Int](ncap)
+      java.util.Arrays.fill(nvs, -1)
+      var i = 0
+      while (i < cap) {
+        if (vs(i) >= 0) {
+          var j = (mix(ks(i)) & (ncap - 1)).toInt
+          while (nvs(j) >= 0) j = (j + 1) & (ncap - 1)
+          nks(j) = ks(i); nvs(j) = vs(i)
+        }
+        i += 1
+      }
+      cap = ncap; ks = nks; vs = nvs
+    }
+    def id(x: Long): Int = {
+      if (n * 2 >= cap) rehash() // load ≤ 0.5 keeps probe chains short
+      var i = (mix(x) & (cap - 1)).toInt
+      while (vs(i) >= 0 && ks(i) != x) i = (i + 1) & (cap - 1)
+      if (vs(i) >= 0) vs(i)
+      else {
+        if (n == nodes.length) {
+          nodes = java.util.Arrays.copyOf(nodes, n << 1)
+          parent = java.util.Arrays.copyOf(parent, n << 1)
+        }
+        nodes(n) = x; parent(n) = n; ks(i) = x; vs(i) = n
+        n += 1; n - 1
+      }
+    }
+    def find(a: Int): Int = {
+      var r = a
+      while (parent(r) != r) r = parent(r)
+      var c = a
+      while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    it.foreach { case (u, v) =>
+      val ra = find(id(u)); val rb = find(id(v))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    // component id = min NODE id (insertion order is not id order —
+    // resolve minima in a second pass, the generic-branch recipe)
+    val minAt = new Array[Int](n)
+    java.util.Arrays.fill(minAt, -1)
+    var i = 0
+    while (i < n) {
+      val r = find(i)
+      if (minAt(r) < 0 || nodes(i) < nodes(minAt(r))) minAt(r) = i
+      i += 1
+    }
+    val total = n
+    (0 until total).iterator.map(i => (nodes(i), nodes(minAt(find(i)))))
   }
 
   def labelGraph(edges: DataFrame, maxIters: Int = 32): DataFrame = {
@@ -357,8 +476,13 @@ object Components {
     // one-task fast path (round 19): the gate count reads the
     // checkpoint just materialized; past the budget the iterative
     // O(log d) rounds below — the plan that survives at 100 TB — are
-    // unchanged. See localEdgeBudget.
-    if (sym.count() <= localEdgeBudget(edges.sparkSession))
+    // unchanged. See localEdgeBudget. Round 20: gated on id types the
+    // local path handles bit-exactly (fractional/decimal ids would
+    // truncate through the long cast — ADVICE r19), and a zero budget
+    // (the spec escape) skips the gate count action entirely.
+    val budget = localEdgeBudget(edges.sparkSession)
+    if (budget > 0L && supportsLocalIds(sym.schema("u").dataType) &&
+        sym.count() <= budget)
       return labelGraphLocal(sym)
     var labels = resetStats(
       sym.select(col("u").as("node")).distinct()

@@ -224,7 +224,9 @@ object Motion {
 
   /** Per-frame stats + class on the reference-sized variable-velocity
     * video — the no-ME half of the pipeline at full frame size, with all
-    * three classes present. */
+    * three classes present. NOTE (ADVICE r19): the generator is eagerly
+    * localCheckpoint'ed at construction time — building or explaining
+    * this query runs that materialization job. */
   def frameStatsQuery(spark: SparkSession): DataFrame =
     // round-19: materialize the generated pixel relation once — the
     // three consumers inside frameStats (stats aggregate, current

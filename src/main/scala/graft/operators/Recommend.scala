@@ -27,6 +27,12 @@ import graft.Tables
   *    cosines in every engine — the sort key cannot flip cross-engine.
   *    Exact cosine TIES (equal rationals) are real, so the window
   *    orders by (cosine DESC, neighbor id) to make rank deterministic.
+  *
+  * Construction-time materialization (ADVICE r19): `itemNeighbors` and
+  * `associationRules` eagerly localCheckpoint the shared basket
+  * incidence when the DataFrame is BUILT — merely constructing or
+  * explaining these queries runs that Spark job (PlanFmt documents the
+  * same caveat plan-side).
   */
 object Recommend {
 

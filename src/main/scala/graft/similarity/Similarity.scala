@@ -1340,12 +1340,19 @@ object Similarity {
     * global vec_id-order ranks 0, s, 2s, … with s = n div k. */
   private def stridedInit(withM: DataFrame, k: Int): DataFrame = {
     val spark = withM.sparkSession
+    // LAZY checkpoint (round 20, VERDICT item 5): the counts collect
+    // below is the first action over `local` and computes EVERY
+    // partition (a full groupBy), so it materializes the checkpoint as
+    // a side effect — the old eager form paid a separate
+    // materialization job first. The checkpoint itself is still what
+    // pins the range partitioning: both consumers (the counts pull and
+    // the seed join) must see the identical pid/lrn assignment.
     val local = withM
       .repartitionByRange(col("vec_id"))
       .withColumn("pid", spark_partition_id())
       .withColumn("lrn",
         row_number().over(Window.partitionBy("pid").orderBy("vec_id")).cast("long"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val counts = local.groupBy("pid").agg(count(lit(1)).as("pcnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val n = counts.map(_._2).sum
@@ -1398,7 +1405,10 @@ object Similarity {
     * exactly the table the final assignment pass reads. */
   def kmeansCentroidsDet(all: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
     require(k >= 1 && iters >= 1, s"need k >= 1 and iters >= 1, got k=$k iters=$iters")
-    val withM = quantizeMicros(all).localCheckpoint()
+    // lazy: materialized by stridedInit's counts collect (its first
+    // full-partition action) together with the strided-rank relation —
+    // one seeding job total instead of three (round 20, VERDICT item 5)
+    val withM = quantizeMicros(all).localCheckpoint(eager = false)
     var cent = stridedInit(withM, k).localCheckpoint()
     for (_ <- 1 until iters)
       cent = updateCentroids(withM, assignToCentroids(withM, cent), cent)

@@ -1048,21 +1048,28 @@ object TextAnalysis {
     * broadcast semi-ish join against distinct benchmark fingerprints;
     * the corpus side stays one map + one aggregate. */
   def decontaminate(docs: DataFrame, w: Int = 13, benchEvery: Int = 10): DataFrame = {
-    // Round-19 single-pass shape (the substringDup move): the old plan
-    // read the gram relation twice — once to build the distinct
-    // benchmark-fp side, once for the training side of the join — so
-    // the corpus 13-gram explode+md5 ran twice per query (and per
-    // manifest query composing this). One scan: a window over fp
-    // marks training rows that share a fingerprint with ANY benchmark
-    // row. Join-with-distinct kept training-row multiplicity, so the
-    // window form counts exactly the same rows; hash-identical.
-    val grams = ngramFingerprints(docs, w)
+    // Round-19 single-pass shape (the substringDup move): one gram
+    // scan — a window over fp marks training rows that share a
+    // fingerprint with ANY benchmark row (join-with-distinct kept
+    // training-row multiplicity, so the window counts the same rows).
+    // Round-20 de-skew (guide §2.5 two-level aggregation): the window
+    // first ran on the RAW gram relation, so one hot fingerprint (a
+    // boilerplate 13-gram across millions of docs) became ONE
+    // WindowExec group buffered in a single task. A (fp, doc_id)
+    // pre-aggregate — doc_id acting as the natural salt — now feeds
+    // the window: the partial aggregate collapses per-doc repeats
+    // map-side, its exchange hashes on (fp, doc_id) so no partition is
+    // hot, and the window group is bounded at n_docs-per-fp (the
+    // substringDup recipe). n_hits = Σ per-pair multiplicities =
+    // exactly the old per-row count; hash-identical.
+    val pairs = ngramFingerprints(docs, w)
+      .groupBy("fp", "doc_id").agg(count(lit(1)).as("m"))
       .withColumn("bench", (pmod(col("doc_id"), lit(benchEvery)) === 0).cast("int"))
-    grams
+    pairs
       .withColumn("has_bench", max(col("bench")).over(Window.partitionBy("fp")))
       .filter(col("bench") === 0 && col("has_bench") === 1)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"))
+      .agg(sum(col("m")).as("n_hits"))
       .orderBy("doc_id")
   }
 
@@ -1089,13 +1096,20 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     // round-19: same single-pass reshape as [[decontaminate]] — one
     // gram scan with a max-over-fp window instead of the two-scan
-    // distinct-side + join (join-with-distinct kept training-row
-    // multiplicity, so the window form marks exactly the same rows)
-    val grams = ngramFingerprints(docs, w)
+    // distinct-side + join. Round-20 de-skew (see decontaminate): the
+    // window rides a (fp, doc_id) pre-aggregate so a hot fingerprint
+    // cannot buffer one giant WindowExec group; widx positions are
+    // carried as a per-pair list (bounded by the DOC's gram count,
+    // never by the fingerprint's corpus frequency) and exploded back
+    // after the filter — widx is unique per doc, so the exploded row
+    // set is exactly the old per-row hit set.
+    val pairs = ngramFingerprints(docs, w)
+      .groupBy("fp", "doc_id").agg(collect_list(col("widx")).as("ws"))
       .withColumn("bench", (pmod(col("doc_id"), lit(benchEvery)) === 0).cast("int"))
-    val hits = grams
+    val hits = pairs
       .withColumn("has_bench", max(col("bench")).over(Window.partitionBy("fp")))
       .filter(col("bench") === 0 && col("has_bench") === 1)
+      .select(col("doc_id"), explode(col("ws")).as("widx"))
       .select(col("doc_id"), col("widx"), (col("widx") + lit(w - 1)).as("wend"))
     val byDoc = Window.partitionBy("doc_id").orderBy("widx")
     val prevEnd = max(col("wend")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
@@ -1482,7 +1496,11 @@ object TextAnalysis {
     * `steps` scans — the real pipelines do exactly this few-epoch
     * pass with a frozen feature hash. Weight state is dim longs.
     * (At extreme corpus sizes the per-bucket gradient sum approaches
-    * BIGINT range — the documented decimal-upgrade point.) */
+    * BIGINT range — the documented decimal-upgrade point.)
+    *
+    * NOTE (ADVICE r19): the label relation is eagerly
+    * localCheckpoint'ed at construction time — building or explaining
+    * this query runs that materialization job. */
   def logregScores(spark: SparkSession, dir: String, dim: Int = 256,
                    steps: Int = 6, lrNum: Long = 1L, lrDen: Long = 4L): DataFrame = {
     val docs = Tables(spark, dir, "documents")

@@ -23,6 +23,17 @@ object PlanFmt {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // same optional runtime-conf override hook as Bench (round 20) —
+    // lets plan captures pin a non-default regime, e.g.
+    // SPARK_GRAFT_CONF="graft.graph.stateBroadcastMaxRows=1" for the
+    // above-budget SMJ shape of the Pregel loops
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').iterator
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k.trim, v.trim)
+          case _ => sys.error(s"bad SPARK_GRAFT_CONF entry (expected key=value): '$kv'")
+        }
+      })
     Files.createDirectories(Paths.get(outDir))
     for (name <- qlist.split(",").map(_.trim).filter(_.nonEmpty)) {
       val df = SparkEntry.queries(name)(spark, sfDir)

@@ -139,16 +139,24 @@ class ProbeRegistrySpec extends AnyFunSuite {
   private val watchlist100: Set[String] = Set(
     "emb_hard_negatives", "profile_orders_approx", "dedup_ngram_jaccard",
     "txt_boilerplate", "txt_repetition_stats",
-    "rec_item_neighbors", "rec_user_topn", "a8_approx_percentiles")
+    "rec_item_neighbors", "rec_user_topn", "a8_approx_percentiles",
+    // round-20 additions: the decontamination family (reshaped twice —
+    // r19 single-pass, r20 de-skew pre-aggregate) and the rec/logreg
+    // rows whose r19 materialization change deferred its 100x
+    // re-measure; all five now have recorded triples and stay pinned
+    "txt_decontaminate", "txt_mask_spans", "txt_pipeline_manifest",
+    "txt_logreg_scores")
 
   /** Second-decade ceilings above the default linear-plus-ambient
     * bound; same contract as `exceptions` (must name the measured
     * cause). Currently empty: every watchlist row measures under 13x
-    * on the second decade — the committed PROBES100X.tsv's steepest
-    * rows are txt_repetition_stats 8.09x, txt_boilerplate 6.51x and
-    * rec_user_topn 6.27x (round-18 measurements), so
-    * txt_repetition_stats already sits within ~60% of the bound;
-    * weigh a named ceiling here before tightening the bound or
+    * on the second decade — the round-20 regenerated PROBES100X.tsv's
+    * steepest rows are rec_user_topn 7.54x, txt_boilerplate 6.73x and
+    * dedup_ngram_jaccard 6.60x (reps=3 medians; a reps=2 first pass
+    * measured two rows at 13.0-13.2x because the 2-rep "median" IS the
+    * worse rep under in-suite GC pressure — the committed legs are the
+    * reps=3 re-run, spreads in the bench_watch_*_r20b.json artifacts).
+    * Weigh a named ceiling here before tightening the bound or
     * re-measuring on a loaded host. */
   private val exceptions100: Map[String, (Double, String)] = Map.empty
 
